@@ -1,0 +1,92 @@
+"""Multi-head self-attention ops (jnp reference path).
+
+Reference semantics: `src/utils/transformers/vit.py:174-197` (Attention) and
+`src/apla/appla_attn.py:50-83` (APLA_Attention — same attention, APLA on the
+output projection).  The QKV projection is always frozen under APLA.
+
+XLA on TPU fuses the softmax chain into the attention matmuls; a Pallas
+flash-attention kernel (`apla_tpu/ops/flash_attention.py`) covers the
+memory-efficient variant (`appla_attn_mem_eff.py`) for long sequences.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .apla_proj import apla_proj
+
+
+def _dropout(x, rate, rng, deterministic):
+    if deterministic or rate == 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, p=keep, shape=x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+def qkv_and_attend(x, qkv_kernel, qkv_bias, num_heads, scale=None,
+                   attn_drop=0.0, rng=None, deterministic=True,
+                   use_flash=False):
+    """QKV projection + scaled dot-product attention.  Returns [B, N, C]."""
+    B, N, C = x.shape
+    head_dim = C // num_heads
+    if scale is None:
+        scale = head_dim ** -0.5
+    qkv = jnp.dot(x, qkv_kernel.astype(x.dtype), preferred_element_type=x.dtype)
+    if qkv_bias is not None:
+        qkv = qkv + qkv_bias.astype(x.dtype)
+    qkv = qkv.reshape(B, N, 3, num_heads, head_dim)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, Dh]
+
+    if use_flash and attn_drop == 0.0:
+        from .flash_attention import flash_mha
+        out = flash_mha(q, k, v, scale=scale)  # [B, N, H, Dh]
+        return out.reshape(B, N, C)
+
+    # [B, H, N, N] logits in f32 for a stable softmax
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    attn = jax.nn.softmax(logits, axis=-1)
+    attn = _dropout(attn, attn_drop, rng, deterministic)
+    out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(x.dtype), v,
+                     preferred_element_type=x.dtype)
+    return out.reshape(B, N, C)
+
+
+def multi_head_attention(x, params, num_heads, scale=None, attn_drop=0.0,
+                         proj_drop=0.0, rng=None, deterministic=True,
+                         use_flash=False):
+    """Standard attention block: QKV, attend, dense output projection.
+
+    `params`: {'qkv': {'kernel', 'bias'?}, 'proj': {'kernel', 'bias'}}
+    """
+    rng_a, rng_p = (jax.random.split(rng) if rng is not None else (None, None))
+    out = qkv_and_attend(
+        x, params["qkv"]["kernel"], params["qkv"].get("bias"), num_heads,
+        scale=scale, attn_drop=attn_drop, rng=rng_a,
+        deterministic=deterministic, use_flash=use_flash)
+    proj = params["proj"]
+    out = jnp.dot(out, proj["kernel"].astype(x.dtype),
+                  preferred_element_type=x.dtype) + proj["bias"].astype(x.dtype)
+    return _dropout(out, proj_drop, rng_p, deterministic)
+
+
+def apla_attention(x, frozen, trainable, num_heads, scale=None, attn_drop=0.0,
+                   proj_drop=0.0, rng=None, deterministic=True,
+                   use_flash=False):
+    """APLA attention: frozen QKV + attention, partial-trainable projection.
+
+    `frozen`:    {'qkv': {'kernel','bias'?}, 'proj': {'kernel','bias'}, 'inds': [k]}
+    `trainable`: {'proj_wt': [d, k], 'proj_bt': [k]}  (may be the full proj for
+                 partial_size == 'full', in which case `inds` covers all dims)
+    """
+    rng_a, rng_p = (jax.random.split(rng) if rng is not None else (None, None))
+    out = qkv_and_attend(
+        x, frozen["qkv"]["kernel"], frozen["qkv"].get("bias"), num_heads,
+        scale=scale, attn_drop=attn_drop, rng=rng_a,
+        deterministic=deterministic, use_flash=use_flash)
+    out = apla_proj(out, trainable["proj_wt"], trainable["proj_bt"],
+                    frozen["proj"]["kernel"], frozen["proj"]["bias"],
+                    frozen["inds"])
+    return _dropout(out, proj_drop, rng_p, deterministic)
