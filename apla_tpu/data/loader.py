@@ -1,0 +1,105 @@
+"""Host-side batched data loader with threaded prefetch.
+
+Replaces the reference's torch DataLoader + worker processes
+(`dataloader_params` in the YAML schema: batch_size/num_workers/shuffle/
+drop_last/prefetch_factor).  Workers are threads (PIL/numpy release the GIL
+for the heavy ops); batches are stacked NHWC numpy arrays ready for a single
+`device_put` onto the mesh.  Determinism: every (epoch, index) pair gets its
+own `np.random.Generator`, so runs are reproducible at any worker count —
+stronger than the reference's global-RNG workers.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+def default_collate(samples):
+    """Stack a list of {'image': ..., 'label': ...} into batch arrays.
+    Handles multi-crop lists (SSL): produces a list of stacked crop batches."""
+    first = samples[0]
+    out = {}
+    img = first["image"]
+    if isinstance(img, list):
+        n_crops = len(img)
+        out["image"] = [np.stack([s["image"][c] for s in samples])
+                        .astype(np.float32) for c in range(n_crops)]
+    else:
+        out["image"] = np.stack([s["image"] for s in samples]).astype(np.float32)
+    labels = [s["label"] for s in samples]
+    lab0 = np.asarray(labels[0])
+    if lab0.ndim > 0:  # soft/multi-hot labels
+        out["label"] = np.stack([np.asarray(l) for l in labels]).astype(np.float32)
+    else:
+        out["label"] = np.asarray(labels, dtype=np.int64)
+    return out
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size=32, shuffle=False, drop_last=False,
+                 num_workers=8, prefetch_factor=4, seed=0, collate_fn=None,
+                 **unused):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = bool(shuffle)
+        self.drop_last = bool(drop_last)
+        self.num_workers = max(int(num_workers), 1)
+        self.prefetch = max(int(prefetch_factor or 2), 1)
+        self.seed = seed
+        self.epoch = 0
+        self.collate_fn = collate_fn or default_collate
+
+    def set_epoch(self, epoch: int):
+        """Reseeds the shuffle (reference DistributedSampler.set_epoch)."""
+        self.epoch = int(epoch)
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            rng.shuffle(order)
+        end = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for start in range(0, end, self.batch_size):
+            yield order[start:min(start + self.batch_size, n)]
+
+    def _load_sample(self, idx):
+        rng = np.random.default_rng((self.seed, self.epoch, int(idx)))
+        return self.dataset.__getitem__(int(idx), rng=rng)
+
+    def __iter__(self):
+        batches = list(self._index_batches())
+        if not batches:
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                for idxs in batches:
+                    if stop.is_set():
+                        return
+                    samples = list(pool.map(self._load_sample, idxs))
+                    q.put(self.collate_fn(samples))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()

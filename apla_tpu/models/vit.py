@@ -177,7 +177,8 @@ def _drop_path(x, rate, rng, deterministic):
     keep = 1.0 - rate
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
     mask = jax.random.bernoulli(rng, p=keep, shape=shape)
-    return jnp.where(mask, x / keep, 0.0)
+    return jnp.where(mask, x / jnp.asarray(keep, x.dtype),
+                     jnp.zeros((), x.dtype))
 
 
 def _block_forward(x, block_params, trainable_block, dp_rate, cfg: ViTConfig,

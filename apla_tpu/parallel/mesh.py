@@ -1,0 +1,59 @@
+"""Device mesh + sharding helpers.
+
+The reference's only parallelism is single-node data-parallel DDP over NCCL
+(`launch.py:49-58`, `wrappers.py:182-184`).  TPU-native equivalent: a
+`jax.sharding.Mesh` over ICI with the batch sharded on a 'data' axis and
+params replicated — XLA inserts the gradient psum, which under APLA covers
+only the trainable slices (collective volume ∝ rank·dim per block, the
+memory/latency win the reference README claims).
+
+A 'model' axis is laid out from the start so tensor-parallel shardings can be
+added without re-plumbing (post-parity stretch; absent in the reference).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int | None = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    n = n_data * n_model
+    mesh_devices = mesh_utils.create_device_mesh((n_data, n_model),
+                                                 devices=devices[:n])
+    return Mesh(mesh_devices, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) dim sharded over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host numpy batch onto the mesh, batch-dim sharded."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def pad_to_multiple(batch, multiple: int):
+    """Pad the leading dim of every array to a multiple (for uneven final
+    batches under static shapes); returns (padded_batch, true_count)."""
+    def pad(x):
+        n = x.shape[0]
+        rem = (-n) % multiple
+        if rem == 0:
+            return x
+        pad_width = [(0, rem)] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(x, pad_width, mode="edge")
+    n = jax.tree.leaves(batch)[0].shape[0]
+    return jax.tree.map(pad, batch), n

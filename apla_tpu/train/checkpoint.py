@@ -1,0 +1,96 @@
+"""Checkpoint save/load with reference-parity fields.
+
+Reference checkpoint dict (`bases.py:456-467`): {iters, state_dict,
+original_state, optimizer, epoch, parameters, best_val_target, scaler}.
+Here: a directory with msgpack-serialised pytrees (flax.serialization) plus a
+JSON manifest.  The frozen backbone is saved once per run ("original_state"
+analogue); per-step checkpoints carry only the trainable tree + optimizer
+state, so checkpoint size scales with APLA rank, not model size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Any
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, *, state, frozen=None, epoch: int = 0,
+                    parameters: dict | None = None,
+                    best_val_target: float | None = None,
+                    best_trainable=None, extra: dict | None = None) -> None:
+    os.makedirs(path, exist_ok=True)
+    payload = {
+        "trainable": _to_host(state.trainable),
+        "opt_state": _to_host(state.opt_state),
+    }
+    if best_trainable is not None:
+        payload["best_trainable"] = _to_host(best_trainable)
+    with open(os.path.join(path, "state.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(payload))
+    if frozen is not None:
+        with open(os.path.join(path, "frozen.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(_to_host(frozen)))
+    manifest = {
+        "iters": int(state.step),
+        "epoch": int(epoch),
+        "best_val_target": (None if best_val_target is None
+                            else float(best_val_target)),
+    }
+    if extra:
+        manifest.update(extra)
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    if parameters is not None:
+        # full config embedded, like the reference (bases.py:462)
+        with open(os.path.join(path, "parameters.pkl"), "wb") as f:
+            pickle.dump(dict(parameters), f)
+
+
+def load_checkpoint(path: str, *, state_template, frozen_template=None):
+    """Restore (state, frozen, manifest).  Templates give the pytree structure
+    (msgpack is structure-free, reference `load_state_dict` analogue)."""
+    with open(os.path.join(path, "state.msgpack"), "rb") as f:
+        raw = f.read()
+    template = {
+        "trainable": _to_host(state_template.trainable),
+        "opt_state": _to_host(state_template.opt_state),
+    }
+    # optional key must exist in the template to round-trip
+    payload_probe = serialization.msgpack_restore(raw)
+    if "best_trainable" in payload_probe:
+        template["best_trainable"] = template["trainable"]
+    payload = serialization.from_bytes(template, raw)
+
+    state = state_template.replace(
+        trainable=payload["trainable"], opt_state=payload["opt_state"])
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    state = state.replace(
+        step=jax.numpy.asarray(manifest["iters"], jax.numpy.int32))
+
+    frozen = None
+    fpath = os.path.join(path, "frozen.msgpack")
+    if frozen_template is not None and os.path.exists(fpath):
+        with open(fpath, "rb") as f:
+            frozen = serialization.from_bytes(_to_host(frozen_template),
+                                              f.read())
+    best_trainable = payload.get("best_trainable")
+    return state, frozen, manifest, best_trainable
+
+
+def load_parameters(path: str) -> dict | None:
+    p = os.path.join(path, "parameters.pkl")
+    if not os.path.exists(p):
+        return None
+    with open(p, "rb") as f:
+        return pickle.load(f)

@@ -1,0 +1,81 @@
+"""Optimizer construction over the TRAINABLE pytree only.
+
+Reference parity: `wrappers.py:186-221` — any torch.optim name, with two
+param groups (weight-decay applied only to >=2-D non-bias tensors, the DINO
+rule).  Here that's an optax weight-decay mask; gradients for frozen params
+simply never exist, so there is nothing to filter.
+
+The learning rate enters through `optax.inject_hyperparams` so the host-side
+`LRScheduler` can set it every step without recompiling the train step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def wd_mask(params) -> object:
+    """True for leaves that should be weight-decayed: ndim >= 2 (kernels),
+    mirroring the reference rule "no WD for biases and 1-D params"
+    (wrappers.py:204-221)."""
+    return jax.tree.map(lambda p: p.ndim >= 2, params)
+
+
+def build_optimizer(opt_type: str, opt_params: dict, trainable_template,
+                    grad_clip: float | None = None) -> optax.GradientTransformation:
+    """Build an optax chain for `opt_type` ('AdamW', 'Adam', 'SGD', 'RMSprop',
+    'LAMB'...) with reference param-group semantics.
+
+    `opt_params` follows the YAML schema: {'lr': ..., 'weight_decay': ...,
+    plus optimizer kwargs like betas/eps/momentum}.
+    """
+    opt_params = dict(opt_params)
+    lr = float(opt_params.pop("lr", 1e-3))
+    wd = float(opt_params.pop("weight_decay", 0.0))
+    betas = opt_params.pop("betas", (0.9, 0.999))
+    eps = float(opt_params.pop("eps", 1e-8))
+    momentum = float(opt_params.pop("momentum", 0.9))
+
+    mask = wd_mask(trainable_template)
+
+    def core(learning_rate):
+        if opt_type in ("AdamW", "Adam"):
+            return optax.adamw(learning_rate, b1=betas[0], b2=betas[1],
+                               eps=eps, weight_decay=wd, mask=mask)
+        if opt_type == "SGD":
+            chain = [optax.add_decayed_weights(wd, mask=mask)] if wd else []
+            chain.append(optax.sgd(learning_rate, momentum=momentum,
+                                   nesterov=bool(opt_params.get("nesterov", False))))
+            return optax.chain(*chain)
+        if opt_type == "RMSprop":
+            chain = [optax.add_decayed_weights(wd, mask=mask)] if wd else []
+            chain.append(optax.rmsprop(learning_rate, momentum=momentum, eps=eps))
+            return optax.chain(*chain)
+        if opt_type == "LAMB":
+            return optax.lamb(learning_rate, b1=betas[0], b2=betas[1],
+                              eps=eps, weight_decay=wd, mask=mask)
+        raise NotImplementedError(f"optimizer {opt_type}")
+
+    @optax.inject_hyperparams
+    def make(lr):
+        chain = []
+        if grad_clip:
+            chain.append(optax.clip_by_global_norm(float(grad_clip)))
+        chain.append(core(lr))
+        return optax.chain(*chain)
+
+    return make(lr=jnp.asarray(lr, jnp.float32))
+
+
+def set_lr(opt_state, lr):
+    """Return opt_state with the injected lr hyperparam replaced (functional —
+    safe under jit)."""
+    hp = dict(opt_state.hyperparams)
+    hp["lr"] = jnp.asarray(lr, jnp.float32)
+    return opt_state._replace(hyperparams=hp)
+
+
+def get_lr(opt_state):
+    return opt_state.hyperparams["lr"]

@@ -1,0 +1,75 @@
+"""Jitted supervised train / eval steps.
+
+The reference's hot loop (`trainer.py:106-151` global_step) becomes ONE
+compiled function: forward, loss, backward over the trainable pytree only,
+clip, optimizer update.  Data-parallel gradient reduction is inserted by XLA
+from the shardings — there is no DDP object and no explicit allreduce.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.classifier import classifier_forward
+from .optim import set_lr
+from .train_state import TrainState
+
+
+def make_train_step(vit_cfg, tx, criterion: Callable) -> Callable:
+    """Returns train_step(state, frozen, batch, lr, rng) -> (state, metrics).
+
+    `frozen` is passed as an argument (not closed over) so the same compiled
+    step serves any frozen-weight set and shardings stay explicit.
+    """
+
+    def train_step(state: TrainState, frozen, batch, lr, rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(trainable):
+            logits = classifier_forward(
+                trainable, frozen, batch["image"], vit_cfg,
+                rng=step_rng, deterministic=False)
+            loss = criterion(logits, batch["label"])
+            return loss, logits
+
+        (loss, logits), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.trainable)
+        opt_state = set_lr(state.opt_state, lr)
+        updates, opt_state = tx.update(grads, opt_state, state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
+        gnorm = optax.global_norm(grads)
+        new_state = state.replace(step=state.step + 1, trainable=trainable,
+                                  opt_state=opt_state)
+        return new_state, {"loss": loss, "grad_norm": gnorm, "logits": logits}
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(vit_cfg, criterion: Callable) -> Callable:
+    """Returns eval_step(trainable, frozen, batch) -> (loss, logits)."""
+
+    def eval_step(trainable, frozen, batch):
+        logits = classifier_forward(trainable, frozen, batch["image"],
+                                    vit_cfg, deterministic=True)
+        loss = criterion(logits, batch["label"])
+        return loss, logits
+
+    return jax.jit(eval_step)
+
+
+def make_embed_step(vit_cfg) -> Callable:
+    """Returns embed_step(trainable, frozen, images) -> L2-normalised
+    embeddings — used by the kNN feature bank (reference trainer.py:347-393)."""
+
+    def embed_step(trainable, frozen, images):
+        _, emb = classifier_forward(trainable, frozen, images, vit_cfg,
+                                    deterministic=True, return_embedding=True)
+        emb = emb.astype(jnp.float32)
+        return emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-12)
+
+    return jax.jit(embed_step)

@@ -1,0 +1,258 @@
+"""Supervised Trainer — the run loop.
+
+Reference: `src/defaults/trainer.py` + `BaseTrainer` (`bases.py:379-502`).
+Same behaviours (val_every fraction-of-epoch validation, best-model tracking
+by the dataset's `target_metric`, grad clipping, checkpoint save/resume,
+`--test` table, kNN eval) on a jitted hot loop:
+
+- ONE compiled train step (fwd+bwd+clip+update); the host only streams data,
+  computes the LR scalar and polls the loss at `log_every` (device->host
+  transfers off the critical path — JAX async dispatch keeps the TPU busy).
+- No DDP: the mesh shards the batch; XLA inserts the (APLA-sized) grad psum.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import numpy as np
+
+from ..parallel.mesh import batch_sharding, pad_to_multiple, shard_batch
+from ..utils.logging import RunLogger, cyan, gray, yellow
+from .checkpoint import load_checkpoint, save_checkpoint
+from .knn import build_feature_bank, knn_predict, knn_predict_multilabel
+from .steps import make_embed_step, make_eval_step, make_train_step
+
+
+class Trainer:
+    def __init__(self, wrapper):
+        self.wrapper = wrapper
+        self.parameters = wrapper.parameters
+        tp = wrapper.training_params
+        self.epochs = int(tp.epochs)
+        self.val_every = float(tp.get("val_every", 1.0))
+        self.log_every = int(tp.get("log_every", 25))
+        self.save_best_model = bool(tp.get("save_best_model", True))
+        self.knn_eval = bool(tp.get("knn_eval", False))
+        self.restore_session = bool(tp.get("restore_session", False))
+        self.restore_only_model = bool(tp.get("restore_only_model", False))
+        self.model_name = tp.get("model_name", "model")
+        self.save_dir = tp.get("save_dir", "checkpoints")
+        self.is_debug = False
+        self.is_dry = False
+
+        self.mesh = wrapper.mesh
+        self.vit_cfg = wrapper.vit_cfg
+        self.frozen = wrapper.frozen
+        self.state = wrapper.state
+        self.scheduler = wrapper.scheduler
+        self.criterion = wrapper.criterion
+        self.target_metric = wrapper.model_params.target_metric
+        self.n_classes = int(wrapper.model_params.n_classes)
+        self.knn_nhood = int(wrapper.model_params.get("knn_nhood", 200))
+
+        self.train_step = make_train_step(self.vit_cfg, wrapper.tx,
+                                          self.criterion)
+        self.eval_step = make_eval_step(self.vit_cfg, self.criterion)
+        self.embed_step = make_embed_step(self.vit_cfg)
+
+        self.iters = 0
+        self.epoch0 = 0
+        self.best_val_target = -np.inf
+        self.best_trainable = None
+        self.rng = jax.random.PRNGKey(int(tp.get("seed", 0)))
+
+        run_name = self.model_name
+        self.logger = RunLogger(None if self.is_dry else self.save_dir,
+                                run_name=run_name,
+                                config=dict(self.parameters))
+
+    # ------------------------------------------------------------------ #
+    @property
+    def checkpoint_path(self):
+        return os.path.join(self.save_dir, self.model_name)
+
+    def load_session(self):
+        """Resume from the last checkpoint (reference bases.py:405-434)."""
+        path = self.checkpoint_path
+        if not os.path.isdir(path):
+            print(yellow(f"restore_session: no checkpoint at {path}"))
+            return
+        state, frozen, manifest, best_trainable = load_checkpoint(
+            path, state_template=self.state, frozen_template=self.frozen)
+        self.state = state  # host arrays; jit re-places them on first step
+        if frozen is not None:
+            self.frozen = frozen
+        if not self.restore_only_model:
+            self.iters = manifest["iters"]
+            self.epoch0 = manifest["epoch"]
+            if manifest.get("best_val_target") is not None:
+                self.best_val_target = manifest["best_val_target"]
+            self.scheduler.load_state_dict(manifest.get("scheduler", {}))
+        self.best_trainable = best_trainable
+        print(cyan(f"Restored session from {path} at iter {self.iters}"))
+
+    def save_session(self, epoch, verbose=False):
+        if self.is_dry or self.is_debug:
+            return
+        save_checkpoint(
+            self.checkpoint_path, state=self.state, frozen=self.frozen,
+            epoch=epoch, parameters=self.parameters,
+            best_val_target=(None if self.best_val_target == -np.inf
+                             else self.best_val_target),
+            best_trainable=self.best_trainable,
+            extra={"scheduler": self.scheduler.state_dict()})
+        if verbose:
+            print(gray(f"Checkpoint saved to {self.checkpoint_path}"))
+
+    # ------------------------------------------------------------------ #
+    def _device_batch(self, batch):
+        n_devices = self.mesh.devices.size
+        batch, _ = pad_to_multiple(batch, n_devices)
+        return shard_batch(batch, self.mesh)
+
+    def train(self):
+        if self.restore_session:
+            self.load_session()
+        loader = self.wrapper.dataloaders.trainloader
+        steps_per_epoch = len(loader)
+        val_interval = max(int(self.val_every * steps_per_epoch), 1)
+        log_pending = []  # (iters, device scalars) — fetched lazily
+
+        print(cyan(f"Training {self.model_name}: {self.epochs} epochs x "
+                   f"{steps_per_epoch} steps, mesh={self.mesh.shape}"))
+        t_start = time.time()
+        images_seen = 0
+        for epoch in range(self.epoch0, self.epochs):
+            loader.set_epoch(epoch)
+            for batch in loader:
+                lr = self.scheduler.lr(self.iters)
+                dbatch = self._device_batch(batch)
+                self.state, m = self.train_step(
+                    self.state, self.frozen, dbatch, lr, self.rng)
+                images_seen += batch["label"].shape[0]
+                self.iters += 1
+
+                if self.iters % self.log_every == 0:
+                    loss = float(m["loss"])
+                    gnorm = float(m["grad_norm"])
+                    ips = images_seen / max(time.time() - t_start, 1e-9)
+                    self.logger.log({"train_loss": loss, "lr": lr,
+                                     "grad_norm": gnorm,
+                                     "images_per_sec": ips}, self.iters)
+                    print(gray(f"it {self.iters:6d} ep {epoch:3d} "
+                               f"loss {loss:.4f} lr {lr:.2e} "
+                               f"gnorm {gnorm:.2f} img/s {ips:.1f}"))
+
+                if self.iters % val_interval == 0:
+                    self.epoch_step(epoch)
+
+            # end of epoch bookkeeping
+            del log_pending[:]
+
+        self.epoch_step(self.epochs - 1)
+        self.save_session(self.epochs - 1, verbose=True)
+        self.logger.finish()
+
+    # ------------------------------------------------------------------ #
+    def epoch_step(self, epoch):
+        """Validate + model selection + checkpoint (reference
+        trainer.py:153-245)."""
+        results = self.evaluate(self.wrapper.dataloaders.valloader,
+                                prefix="val")
+        val_target = results.get(f"val_{self.target_metric}")
+        val_loss = results.get("val_loss")
+        self.scheduler.epoch_feedback(val_target=val_target,
+                                      val_loss=val_loss)
+        if val_target is not None and val_target >= self.best_val_target:
+            self.best_val_target = val_target
+            if self.save_best_model:
+                self.best_trainable = jax.tree.map(np.asarray,
+                                                   self.state.trainable)
+        self.logger.log(results, self.iters)
+        print(cyan(f"[val @ it {self.iters}] " + " ".join(
+            f"{k}={v}" for k, v in results.items())))
+        self.save_session(epoch)
+
+    def evaluate(self, loader, prefix="val", trainable=None):
+        trainable = self.state.trainable if trainable is None else trainable
+        metric = self.wrapper.metric_class(self.n_classes, mode=prefix)
+        losses = []
+        bs = loader.batch_size
+        for batch in loader:
+            n = batch["label"].shape[0]
+            if n < bs:  # pad to the compiled shape, then trim
+                pad = {k: (np.concatenate([v, np.repeat(v[-1:], bs - n, 0)])
+                           if not isinstance(v, list) else v)
+                       for k, v in batch.items()}
+                loss, logits = self.eval_step(trainable, self.frozen,
+                                              self._device_batch(pad))
+                logits = np.asarray(logits)[:n]
+            else:
+                loss, logits = self.eval_step(trainable, self.frozen,
+                                              self._device_batch(batch))
+                logits = np.asarray(logits)
+            losses.append(float(loss))
+            metric.add_preds(logits, batch["label"])
+        results = metric.get_values()
+        results[f"{prefix}_loss"] = round(float(np.mean(losses)), 4)
+        return results
+
+    # ------------------------------------------------------------------ #
+    def test(self, chpt_path=None):
+        """Test-set evaluation with the best checkpoint (reference
+        trainer.py:247-345); optional kNN eval."""
+        trainable = self.state.trainable
+        if chpt_path and os.path.isdir(chpt_path):
+            state, frozen, _, best_trainable = load_checkpoint(
+                chpt_path, state_template=self.state,
+                frozen_template=self.frozen)
+            trainable = (best_trainable if best_trainable is not None
+                         else state.trainable)
+            if frozen is not None:
+                self.frozen = frozen
+        elif self.best_trainable is not None:
+            trainable = self.best_trainable
+
+        results = self.evaluate(self.wrapper.dataloaders.testloader,
+                                prefix="test", trainable=trainable)
+        if self.knn_eval and self.wrapper.dataloaders.fbank_loader is not None:
+            knn_results = self.knn_evaluate(
+                self.wrapper.dataloaders.testloader, trainable, prefix="test")
+            results.update(knn_results)
+
+        print(cyan("TEST RESULTS"))
+        width = max(len(k) for k in results)
+        for k, v in results.items():
+            print(f"  {k:<{width}} : {v}")
+        self.logger.log(results, self.iters)
+        return results
+
+    def knn_evaluate(self, loader, trainable=None, prefix="val"):
+        """kNN metrics via the feature bank (reference trainer.py:163-220 knn
+        branch + BYOL/trainer.py:97-166)."""
+        trainable = self.state.trainable if trainable is None else trainable
+        fb_loader = self.wrapper.dataloaders.fbank_loader
+        feats, labels = build_feature_bank(
+            self.embed_step, trainable, self.frozen, fb_loader)
+        knn_k = min(self.knn_nhood, len(labels))
+        metric = self.wrapper.metric_class(self.n_classes,
+                                           mode=f"knn_{prefix}")
+        for batch in loader:
+            emb = np.asarray(self.embed_step(trainable, self.frozen,
+                                             batch["image"]))
+            if self.wrapper.is_multiclass:
+                scores = knn_predict(emb, feats, labels.astype(np.int32),
+                                     knn_k=knn_k, knn_t=0.07,
+                                     classes=self.n_classes)
+                metric.raw = False  # scores are already probabilities
+                metric.add_preds(np.asarray(scores), batch["label"])
+            else:
+                scores = knn_predict_multilabel(emb, feats,
+                                                labels.astype(np.float32),
+                                                knn_k=knn_k, knn_t=0.07)
+                metric.add_preds(np.asarray(scores), batch["label"],
+                                 using_knn=True)
+        return metric.get_values()

@@ -1,0 +1,156 @@
+"""PyTorch checkpoint import: DINO/DINOv2 `.pth` state_dicts -> param pytree.
+
+Reference behaviour: the vit builders download dinov2 checkpoints and
+`load_state_dict` them (`src/utils/transformers/transformers_utils.py:10-57`);
+APLA checkpoints store split proj weights that `load_from_pretrained`
+special-cases (`src/utils/pretrained_loader.py:27-30`).
+
+Conventions converted here (torch -> jax):
+- Linear weight [out, in]      -> kernel [in, out]  (transpose)
+- Conv2d weight [O, I, kh, kw] -> kernel [kh, kw, I, O] (HWIO)
+- per-block tensors            -> stacked on a leading [depth] axis
+This container has zero egress, so weights must already be on disk
+(`model_params.pretrained_checkpoint` path); otherwise training starts from
+the random init with a warning.
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+
+import numpy as np
+
+
+def _np(t):
+    return np.asarray(t.detach().cpu().numpy()) if hasattr(t, "detach") \
+        else np.asarray(t)
+
+
+def convert_torch_vit_state_dict(sd: dict, depth: int, use_swiglu=False,
+                                 has_layerscale=False) -> dict:
+    """Convert a DINO/DINOv2-style VisionTransformer state_dict to our pytree
+    (unstacked -> stacked blocks)."""
+    sd = {k.removeprefix("module.").removeprefix("backbone."): v
+          for k, v in sd.items()}
+    params = {
+        "cls_token": _np(sd["cls_token"]),
+        "pos_embed": _np(sd["pos_embed"]),
+        "patch_embed": {
+            "kernel": _np(sd["patch_embed.proj.weight"]).transpose(2, 3, 1, 0),
+            "bias": _np(sd["patch_embed.proj.bias"]),
+        },
+        "norm": {"scale": _np(sd["norm.weight"]), "bias": _np(sd["norm.bias"])},
+    }
+    if "register_tokens" in sd:
+        params["register_tokens"] = _np(sd["register_tokens"])
+
+    blocks = []
+    for i in range(depth):
+        p = f"blocks.{i}."
+
+        def g(name):
+            return _np(sd[p + name])
+
+        b = {
+            "norm1": {"scale": g("norm1.weight"), "bias": g("norm1.bias")},
+            "norm2": {"scale": g("norm2.weight"), "bias": g("norm2.bias")},
+            "attn": {
+                "qkv": {"kernel": g("attn.qkv.weight").T},
+                "proj": {"kernel": g("attn.proj.weight").T,
+                         "bias": g("attn.proj.bias")},
+            },
+        }
+        if p + "attn.qkv.bias" in sd:
+            b["attn"]["qkv"]["bias"] = g("attn.qkv.bias")
+        if use_swiglu:
+            b["mlp"] = {
+                "w12": {"kernel": g("mlp.w12.weight").T,
+                        "bias": g("mlp.w12.bias")},
+                "w3": {"kernel": g("mlp.w3.weight").T,
+                       "bias": g("mlp.w3.bias")},
+            }
+        else:
+            b["mlp"] = {
+                "fc1": {"kernel": g("mlp.fc1.weight").T,
+                        "bias": g("mlp.fc1.bias")},
+                "fc2": {"kernel": g("mlp.fc2.weight").T,
+                        "bias": g("mlp.fc2.bias")},
+            }
+        if has_layerscale:
+            if p + "ls1.gamma" in sd:
+                b["ls1"] = {"gamma": g("ls1.gamma")}
+                b["ls2"] = {"gamma": g("ls2.gamma")}
+            elif p + "gamma_1" in sd:  # older dinov2 naming
+                b["ls1"] = {"gamma": g("gamma_1")}
+                b["ls2"] = {"gamma": g("gamma_2")}
+        blocks.append(b)
+
+    import jax
+    import jax.numpy as jnp
+    params["blocks"] = jax.tree.map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *blocks)
+    params = jax.tree.map(
+        lambda x: jnp.asarray(x, jnp.float32), params)
+    return params
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("teacher", "student", "model", "state_dict"):
+        if isinstance(ckpt, dict) and key in ckpt and isinstance(ckpt[key], dict):
+            ckpt = ckpt[key]
+            break
+    return ckpt
+
+
+def maybe_load_pretrained_backbone(trainable, frozen, model_params, vit_cfg):
+    """If a local checkpoint path is configured, import it into the backbone
+    params (re-splitting APLA leaves afterwards)."""
+    path = model_params.get("pretrained_checkpoint", "")
+    if not path or not os.path.exists(path):
+        warnings.warn(
+            "model_params.pretrained=true but no local checkpoint found "
+            f"(pretrained_checkpoint={path!r}); zero-egress environment "
+            "cannot download dinov2 weights — continuing from random init.")
+        return trainable, frozen
+    import jax.numpy as jnp
+    from ..apla.core import AplaConfig, build_apla, merge_apla_params
+
+    sd = load_torch_checkpoint(path)
+    params = convert_torch_vit_state_dict(
+        sd, vit_cfg.depth, use_swiglu=vit_cfg.use_swiglu,
+        has_layerscale=vit_cfg.has_layerscale)
+
+    # rebuild the split with the imported weights, keeping existing inds
+    if "backbone" in frozen and "inds" in frozen["backbone"]["blocks"]["attn"]:
+        inds = np.asarray(frozen["backbone"]["blocks"]["attn"]["inds"])
+        kernel = params["blocks"]["attn"]["proj"]["kernel"]
+        bias = params["blocks"]["attn"]["proj"]["bias"]
+        proj_wt = jnp.take_along_axis(
+            kernel, jnp.asarray(inds)[:, None, :], axis=2)
+        proj_bt = jnp.take_along_axis(bias, jnp.asarray(inds), axis=1)
+        trainable = dict(trainable)
+        trainable["backbone"] = {"blocks": {"proj_wt": proj_wt,
+                                            "proj_bt": proj_bt}}
+        frozen = dict(frozen)
+        new_frozen_bb = dict(params)
+        new_frozen_bb["blocks"] = dict(params["blocks"])
+        new_frozen_bb["blocks"]["attn"] = dict(params["blocks"]["attn"])
+        new_frozen_bb["blocks"]["attn"]["inds"] = jnp.asarray(inds)
+        frozen["backbone"] = new_frozen_bb
+    elif "backbone" in frozen:
+        t_bb = trainable.get("backbone", {})
+        if "blocks" in t_bb and "attn" in t_bb.get("blocks", {}) \
+                and "proj" in t_bb["blocks"]["attn"]:
+            # APLA 'full' mode: proj lives in the trainable tree
+            proj = params["blocks"]["attn"].pop("proj")
+            trainable = dict(trainable)
+            trainable["backbone"] = {"blocks": {"attn": {"proj": proj}}}
+        frozen = dict(frozen)
+        frozen["backbone"] = params
+    else:  # full fine-tune
+        trainable = dict(trainable)
+        trainable["backbone"] = params
+    return trainable, frozen

@@ -1,0 +1,182 @@
+"""DefaultWrapper — the DI container that builds model/data/optim/sched/loss
+(reference `src/defaults/wrappers.py`).  The wrapper constructs, the trainer
+consumes; the split is kept from the reference architecture.
+
+TPU specifics: one process drives the whole mesh (no DDP/process-per-device);
+`use_mixed_precision: true` selects bf16 compute (no GradScaler — bf16 needs
+no loss scaling on TPU).
+"""
+
+from __future__ import annotations
+
+import os
+from copy import deepcopy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .apla.core import AplaConfig, count_params
+from .data import datasets as datasets_mod
+from .data.loader import DataLoader
+from .models.classifier import init_classifier
+from .models.vit import VIT_BUILDERS
+from .parallel.mesh import make_mesh, replicated_sharding
+from .train.losses import get_criterion
+from .train.metrics import ClassificationMetrics, MultiLabelClassificationMetrics
+from .train.optim import build_optimizer
+from .train.schedules import LRScheduler
+from .train.train_state import TrainState
+from .utils.config import EDict
+
+
+class DefaultWrapper:
+    is_supervised = True
+
+    def __init__(self, parameters: EDict):
+        parameters = EDict(deepcopy(dict(parameters)))
+        parameters = self.update_augmentation_strategy(parameters)
+        self.parameters = parameters
+        self.dataset_params = parameters.dataset_params
+        self.dataloader_params = parameters.dataloader_params
+        self.model_params = parameters.model_params
+        self.optimization_params = parameters.optimization_params
+        self.training_params = parameters.training_params
+        self.system_params = parameters.get("system_params", EDict())
+        self.log_params = parameters.get("log_params", EDict())
+        self.transfer_learning_params = parameters.get(
+            "transfer_learning_params", EDict())
+
+    # overridden by SSL wrappers (reference wrappers.py:343-379)
+    def update_augmentation_strategy(self, parameters):
+        return parameters
+
+    # ------------------------------------------------------------------ #
+    def instantiate(self, seed: int = 0):
+        self.dataloaders = self.init_dataloaders()
+        trainset = self.dataloaders.trainloader.dataset
+        self.task = trainset.task
+        self.is_multiclass = trainset.is_multiclass
+        n_classes = trainset.n_classes
+        if not self.is_multiclass and n_classes <= 2:
+            n_classes = 1  # binary multi-label (reference wrappers.py:57-60)
+        self.model_params.n_classes = n_classes
+        self.model_params.knn_nhood = trainset.knn_nhood
+        self.model_params.target_metric = trainset.target_metric
+
+        self.mesh = self.init_mesh()
+        self.init_model(seed)
+        self.init_optimization()
+        self.criterion = get_criterion(self.task, self.is_multiclass)
+        self.metric_class = (ClassificationMetrics if self.is_multiclass
+                             else MultiLabelClassificationMetrics)
+
+    # ------------------------------------------------------------------ #
+    def init_dataloaders(self) -> EDict:
+        DataSet = datasets_mod.get_dataset_class(self.dataset_params.dataset)
+        trainset = DataSet(self.dataset_params, mode="train")
+        valset = DataSet(self.dataset_params, mode="val")
+        testset = DataSet(self.dataset_params, mode="test")
+
+        fbank_loader = None
+        if self.training_params.get("knn_eval") or not self.is_supervised:
+            fbank_set = DataSet(self.dataset_params, mode="train")
+            fbank_set.transform = valset.transform
+            fbank_set.resizing = valset.resizing
+            fbank_set.is_multi_crop = False
+            fb_params = dict(self.dataloader_params["valloader"])
+            fb_params["shuffle"] = False
+            fbank_loader = DataLoader(fbank_set, **fb_params)
+
+        if not self.is_supervised:
+            trainset.num_augmentations = 2
+
+        trainloader = DataLoader(trainset, **self.dataloader_params["trainloader"])
+        testloader = DataLoader(testset, **self.dataloader_params["testloader"])
+        if len(valset) > 0:
+            valloader = DataLoader(valset, **self.dataloader_params["valloader"])
+        else:
+            valloader = testloader
+        return EDict(trainloader=trainloader, valloader=valloader,
+                     testloader=testloader, fbank_loader=fbank_loader)
+
+    # ------------------------------------------------------------------ #
+    def init_mesh(self):
+        n_devices = self.system_params.get("n_devices")  # None => all
+        return make_mesh(n_data=n_devices)
+
+    def build_vit_config(self):
+        mp = self.model_params
+        tp = EDict(mp.get("transformers_params", EDict()))
+        builder = VIT_BUILDERS[mp.backbone_type]
+        block_conf = tp.get("block_conf", EDict())
+        img_size = tp.get("img_size", [224])
+        img_size = img_size[0] if isinstance(img_size, (list, tuple)) else img_size
+        use_mp = self.training_params.get("use_mixed_precision", True)
+        return builder(
+            img_size=int(img_size),
+            patch_size=int(tp.get("patch_size", 16)),
+            drop_rate=float(tp.get("drop_rate", 0.0)),
+            attn_drop_rate=float(tp.get("attn_drop_rate", 0.0)),
+            drop_path_rate=float(tp.get("drop_path_rate", 0.0)),
+            has_layerscale=bool(block_conf.get("has_layerscale", False)),
+            layerscale_init=float(block_conf.get("layerscale_init_values", 1e-5)),
+            num_register_tokens=int(tp.get("num_register_tokens", 0)),
+            compute_dtype=jnp.bfloat16 if use_mp else jnp.float32,
+            use_flash=bool(tp.get("is_memory_efficient", False)),
+        )
+
+    def build_apla_config(self):
+        adaptation = self.model_params.get("adaptation")
+        if not adaptation or adaptation.get("mode") != "apla":
+            return None
+        p = adaptation.get("params", EDict())
+        return AplaConfig(partial_size=p.get("partial_size", 32),
+                          inds_path=p.get("inds_path"),
+                          seed=int(p.get("seed", 0)))
+
+    def init_model(self, seed: int = 0):
+        self.vit_cfg = self.build_vit_config()
+        apla_cfg = self.build_apla_config()
+        key = jax.random.PRNGKey(seed)
+        trainable, frozen = init_classifier(
+            key, self.vit_cfg, int(self.model_params.n_classes),
+            apla_cfg=apla_cfg,
+            freeze_backbone=bool(self.model_params.get("freeze_backbone",
+                                                       False)))
+        # pretrained backbone import (reference vit builders download
+        # dinov2 checkpoints; here a local .pth is converted if provided)
+        if self.model_params.get("pretrained"):
+            from .utils.pretrained import maybe_load_pretrained_backbone
+            trainable, frozen = maybe_load_pretrained_backbone(
+                trainable, frozen, self.model_params, self.vit_cfg)
+        if self.transfer_learning_params.get("pretrained_path"):
+            from .train.checkpoint import load_checkpoint  # noqa: F401
+            # full-session restore happens in the trainer; here we only note it
+        # replicate over the mesh
+        repl = replicated_sharding(self.mesh)
+        self.trainable = jax.device_put(trainable, repl)
+        self.frozen = jax.device_put(frozen, repl)
+        n_train = count_params(self.trainable)
+        n_total = n_train + count_params(self.frozen)
+        print(f"Model: {self.model_params.backbone_type} "
+              f"trainable={n_train:,} / total={n_total:,} "
+              f"({100.0 * n_train / max(n_total, 1):.2f}%)")
+
+    def init_optimization(self):
+        opt = self.optimization_params.default
+        self.tx = build_optimizer(
+            opt.optimizer.type, dict(opt.optimizer.params), self.trainable,
+            grad_clip=self.training_params.get("grad_clipping"))
+        steps_per_epoch = len(self.dataloaders.trainloader)
+        self.scheduler = LRScheduler(
+            opt.scheduler.type, opt.scheduler.get("params", {}),
+            max_lr=opt.optimizer.params.lr,
+            steps_per_epoch=steps_per_epoch,
+            epochs=self.training_params.epochs)
+        state = TrainState.create(self.trainable, self.tx)
+        self.state = jax.device_put(state, replicated_sharding(self.mesh))
+
+    @property
+    def is_rank0(self):
+        return jax.process_index() == 0

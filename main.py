@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""CLI entrypoint — surface parity with the reference `src/main.py`:
+
+  python main.py --params_path params/.../apla.yml [--test] [--knn]
+                 [--byol|--simsiam|--dino|--dinov2] [--batch_size N] ...
+
+Differences by design: no `mp.spawn` process-per-GPU launcher — one
+controller drives the whole TPU mesh (`launch.py` disappears); `--gpu`
+becomes `--n_devices`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def parse_arguments():
+    p = argparse.ArgumentParser(allow_abbrev=False)
+    p.add_argument("--params_path", type=str, required=True)
+    # train args (reference main.py:20-38)
+    p.add_argument("--n_devices", type=int, help="mesh data-axis size")
+    p.add_argument("--batch_size", type=int)
+    p.add_argument("--val_every", type=float)
+    p.add_argument("--log_every", type=int)
+    p.add_argument("--mixed_precision", action="store_true", default=False)
+    p.add_argument("--num_workers", type=str)
+    p.add_argument("--prefetch_factor", type=str)
+    p.add_argument("--lr", type=float)
+    p.add_argument("--warmup", type=int)
+    p.add_argument("--epochs", type=int)
+    p.add_argument("--wd", type=float)
+    p.add_argument("--dpr", type=float)   # drop path rate
+    p.add_argument("--dr", type=float)    # drop rate
+    p.add_argument("--adr", type=float)   # attn drop rate
+    # general run args (reference main.py:40-48)
+    p.add_argument("--model_name", type=str)
+    p.add_argument("--pretrained_path", type=str)
+    p.add_argument("--save_dir", type=str)
+    p.add_argument("--debug", action="store_true", default=False)
+    p.add_argument("--dry", action="store_true", default=False)
+    p.add_argument("--job_id", type=str)
+    p.add_argument("--offline", action="store_true", default=False)
+    p.add_argument("--test", action="store_true", default=False)
+    p.add_argument("--knn", action="store_true", default=False)
+    # SSL args (reference main.py:50-54)
+    p.add_argument("--byol", action="store_true", default=False)
+    p.add_argument("--simsiam", action="store_true", default=False)
+    p.add_argument("--dino", action="store_true", default=False)
+    p.add_argument("--dinov2", action="store_true", default=False)
+    return p.parse_args()
+
+
+def update_params_from_args(params, args):
+    """CLI overrides of YAML keys (reference main.py:58-158)."""
+    if args.warmup:
+        params.optimization_params.default.scheduler.params.LinearWarmup\
+            .warmup_iters = args.warmup
+    if args.epochs:
+        params.training_params.epochs = args.epochs
+    if args.num_workers:
+        for ld in ("trainloader", "valloader", "testloader"):
+            params.dataloader_params[ld].num_workers = int(args.num_workers)
+    if args.prefetch_factor:
+        pf = None if args.prefetch_factor == "None" else int(args.prefetch_factor)
+        for ld in ("trainloader", "valloader", "testloader"):
+            params.dataloader_params[ld].prefetch_factor = pf
+    if args.pretrained_path:
+        params.transfer_learning_params.pretrained_path = args.pretrained_path
+    if args.lr:
+        params.optimization_params.default.optimizer.params.lr = args.lr
+    if args.wd is not None:
+        params.optimization_params.default.optimizer.params.weight_decay = args.wd
+    if args.dpr is not None:
+        params.model_params.transformers_params.drop_path_rate = args.dpr
+    if args.dr is not None:
+        params.model_params.transformers_params.drop_rate = args.dr
+    if args.adr is not None:
+        params.model_params.transformers_params.attn_drop_rate = args.adr
+    if args.n_devices:
+        params.system_params.n_devices = args.n_devices
+    if args.model_name:
+        params.training_params.model_name = args.model_name
+    if args.save_dir:
+        params.training_params.save_dir = args.save_dir
+    if args.batch_size:
+        for ld in ("trainloader", "valloader", "testloader"):
+            params.dataloader_params[ld].batch_size = args.batch_size
+    if args.val_every is not None:
+        params.training_params.val_every = args.val_every
+    if args.log_every is not None:
+        params.training_params.log_every = args.log_every
+    if args.job_id is not None:
+        params.training_params.job_id = args.job_id
+    if args.mixed_precision:
+        params.training_params.use_mixed_precision = True
+    if args.knn:
+        assert args.test, "--test --knn should be used together"
+        for ld in ("trainloader", "valloader", "testloader"):
+            params.dataloader_params[ld].shuffle = False
+        params.training_params.knn_eval = True
+        params.model_params.freeze_backbone = True
+    return params
+
+
+def main(parameters, args):
+    assert not (args.byol and args.simsiam), \
+        "BYOL or SimSiam can be on but not both"
+    if args.byol or args.simsiam or args.dino or args.dinov2:
+        from apla_tpu.ssl import get_ssl_wrapper_and_trainer
+        WrapperCls, TrainerCls = get_ssl_wrapper_and_trainer(args)
+        wrapper = WrapperCls(parameters)
+    else:
+        from apla_tpu.wrapper import DefaultWrapper
+        from apla_tpu.train.trainer import Trainer as TrainerCls
+        wrapper = DefaultWrapper(parameters)
+    wrapper.instantiate()
+
+    trainer = TrainerCls(wrapper)
+    if args.debug:
+        trainer.is_debug = True
+    if args.dry:
+        trainer.is_dry = True
+
+    if args.test or args.knn:
+        assert args.pretrained_path, "--test requires --pretrained_path"
+        trainer.test(chpt_path=args.pretrained_path)
+    else:
+        trainer.train()
+        if wrapper.is_supervised:
+            trainer.test()
+
+
+if __name__ == "__main__":
+    from apla_tpu.utils.config import load_merged_params
+
+    args = parse_arguments()
+    print(f"USING PARAMS FROM PATH: {os.path.abspath(args.params_path)}")
+    parameters = load_merged_params(args.params_path)
+    parameters = update_params_from_args(parameters, args)
+    main(parameters, args)
