@@ -1,0 +1,124 @@
+"""Semantic segmentation with an APLA-adapted ViT backbone.
+
+Reference: `src/segmentation_and_detection/segmentation/apla_vit.py` — the
+reference drops an APLA-frozen ViT into mmseg and pairs it with a SETR-PUP
+decoder (`apla_setr_vit-l_pup_8xb2-160k_ade20k-512x512.py`).  Here both live
+in-repo: the backbone is the standard `vit_features` trunk with the APLA
+trainable/frozen split ('full' mode == reference behaviour: only
+`attn.out_proj` trainable), and the decoder is a SETR-PUP-style progressive
+upsampling head (conv3x3 + 2x resize, repeated) implemented in jnp.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..apla.core import AplaConfig, build_apla
+from .vit import ViTConfig, init_vit_params, trunc_normal, vit_features
+
+
+def init_pup_head(key, embed_dim: int, n_classes: int, channels: int = 256,
+                  n_stages: int = 4):
+    """SETR-PUP decoder params: n_stages of conv3x3(+up2x), then a 1x1
+    classifier."""
+    keys = jax.random.split(key, n_stages + 1)
+    params = {"convs": []}
+    c_in = embed_dim
+    for i in range(n_stages):
+        params["convs"].append({
+            "kernel": trunc_normal(keys[i], (3, 3, c_in, channels), std=0.02),
+            "bias": jnp.zeros((channels,)),
+        })
+        c_in = channels
+    params["cls"] = {
+        "kernel": trunc_normal(keys[-1], (1, 1, channels, n_classes),
+                               std=0.02),
+        "bias": jnp.zeros((n_classes,)),
+    }
+    return params
+
+
+def pup_head_forward(feat, params, out_hw):
+    """feat: [B, h, w, D] patch-feature grid -> logits [B, H, W, n_classes].
+    Each stage: conv3x3 + bilinear 2x upsample (SETR-PUP)."""
+    x = feat
+    for conv in params["convs"]:
+        x = jax.lax.conv_general_dilated(
+            x, conv["kernel"].astype(x.dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=x.dtype)
+        x = x + conv["bias"].astype(x.dtype)
+        x = jax.nn.relu(x)
+        B, h, w, C = x.shape
+        x = jax.image.resize(x, (B, h * 2, w * 2, C), method="bilinear")
+    x = jax.lax.conv_general_dilated(
+        x, params["cls"]["kernel"].astype(x.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype)
+    x = x + params["cls"]["bias"].astype(x.dtype)
+    if x.shape[1:3] != tuple(out_hw):
+        x = jax.image.resize(
+            x.astype(jnp.float32),
+            (x.shape[0], out_hw[0], out_hw[1], x.shape[-1]),
+            method="bilinear")
+    return x.astype(jnp.float32)
+
+
+def init_segmenter(key, vit_cfg: ViTConfig, n_classes: int,
+                   apla_cfg: AplaConfig | None = None, channels: int = 256):
+    """(trainable, frozen) for backbone + PUP head.  `apla_cfg=None` defaults
+    to the reference seg recipe: partial_size='full' (only the attention
+    out-projections train, apla_vit.py:27-33)."""
+    k_bb, k_head = jax.random.split(key)
+    vit_params = init_vit_params(k_bb, vit_cfg)
+    if apla_cfg is None:
+        apla_cfg = AplaConfig(partial_size="full")
+    bb_t, bb_f = build_apla(vit_params, vit_cfg, apla_cfg)
+    head = init_pup_head(k_head, vit_cfg.embed_dim, n_classes,
+                         channels=channels)
+    return ({"backbone": bb_t, "head": head}, {"backbone": bb_f})
+
+
+def segmenter_forward(trainable, frozen, images, vit_cfg: ViTConfig,
+                      rng=None, deterministic=True):
+    """images [B, H, W, C] -> per-pixel logits [B, H, W, n_classes]."""
+    from .classifier import _backbone_params
+    t = {"backbone": trainable["backbone"]}
+    params, apla_t = _backbone_params(t, frozen)
+    tokens = vit_features(params, images, vit_cfg, trainable=apla_t, rng=rng,
+                          deterministic=deterministic,
+                          return_all_tokens=True)
+    patches = tokens[:, 1 + vit_cfg.num_register_tokens:]
+    B, N, D = patches.shape
+    g = int(round(N ** 0.5))
+    feat = patches.reshape(B, g, g, D)
+    return pup_head_forward(feat, trainable["head"], images.shape[1:3])
+
+
+def segmentation_loss(logits, labels, ignore_index: int = 255):
+    """Per-pixel CE with ignore label (mmseg convention)."""
+    valid = labels != ignore_index
+    safe_labels = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, safe_labels[..., None].astype(jnp.int32),
+                             axis=-1)[..., 0]
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
+    return -jnp.sum(jnp.where(valid, ll, 0.0)) / n_valid
+
+
+def mean_iou(pred, labels, n_classes: int, ignore_index: int = 255):
+    """mIoU over a batch (host-side numpy)."""
+    import numpy as np
+    pred = np.asarray(pred)
+    labels = np.asarray(labels)
+    valid = labels != ignore_index
+    ious = []
+    for c in range(n_classes):
+        p = (pred == c) & valid
+        t = (labels == c) & valid
+        union = (p | t).sum()
+        if union == 0:
+            continue
+        ious.append((p & t).sum() / union)
+    return float(np.mean(ious)) if ious else 0.0

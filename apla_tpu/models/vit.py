@@ -241,8 +241,12 @@ def interpolate_pos_embed(pos_embed, npatch: int, num_prefix: int = 1):
     return jnp.concatenate([prefix, resized], axis=1)
 
 
-def _prepare_tokens(params, x, cfg: ViTConfig, rng, deterministic):
-    """Patchify, prepend cls (+ register) tokens, add (interpolated) pos embed."""
+def _prepare_tokens(params, x, cfg: ViTConfig, rng, deterministic,
+                    masks=None):
+    """Patchify, prepend cls (+ register) tokens, add (interpolated) pos
+    embed.  `masks` [B, npatch] bool replaces masked patch embeddings with
+    the learned mask token (iBOT; reference
+    dinov2_vits.py `prepare_tokens_with_masks`)."""
     dt = cfg.compute_dtype
     B = x.shape[0]
     x = x.astype(dt)
@@ -256,6 +260,11 @@ def _prepare_tokens(params, x, cfg: ViTConfig, rng, deterministic):
     B, H, W, D = x.shape
     npatch = H * W
     x = x.reshape(B, npatch, D)
+
+    if masks is not None:
+        mask_token = params.get("mask_token",
+                                jnp.zeros((1, 1, D), jnp.float32))
+        x = jnp.where(masks[..., None], mask_token.astype(dt), x)
 
     cls = jnp.broadcast_to(params["cls_token"].astype(dt), (B, 1, D))
     x = jnp.concatenate([cls, x], axis=1)
@@ -272,7 +281,7 @@ def _prepare_tokens(params, x, cfg: ViTConfig, rng, deterministic):
 
 def vit_features(params, x, cfg: ViTConfig, trainable=None, rng=None,
                  deterministic=True, return_all_tokens=False,
-                 return_layers=False):
+                 return_layers=False, masks=None):
     """Run the ViT trunk.  `x`: [B, H, W, C] (NHWC).
 
     Returns the final-norm cls token [B, d] by default (reference
@@ -286,7 +295,7 @@ def vit_features(params, x, cfg: ViTConfig, trainable=None, rng=None,
         r_tok = None
         block_rngs = None
 
-    x = _prepare_tokens(params, x, cfg, r_tok, deterministic)
+    x = _prepare_tokens(params, x, cfg, r_tok, deterministic, masks=masks)
 
     # stochastic-depth linear decay (reference vit.py:338)
     dp_rates = jnp.linspace(0.0, cfg.drop_path_rate, cfg.depth)
@@ -337,8 +346,9 @@ def vit_forward(params, x, cfg: ViTConfig, trainable=None, rng=None,
 def _builder(embed_dim, depth, num_heads, use_swiglu=False):
     def build(**kw):
         kw.setdefault("qkv_bias", True)
+        kw.setdefault("use_swiglu", use_swiglu)
         return ViTConfig(embed_dim=embed_dim, depth=depth,
-                         num_heads=num_heads, use_swiglu=use_swiglu, **kw)
+                         num_heads=num_heads, **kw)
     return build
 
 

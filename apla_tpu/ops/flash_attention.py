@@ -1,0 +1,85 @@
+"""Memory-efficient attention for TPU (the reference's xformers
+`memory_efficient_attention` analogue, `appla_attn_mem_eff.py:42`).
+
+Uses the Pallas flash-attention kernel (blockwise online-softmax; the
+(N, N) score matrix never hits HBM) with fwd+bwd custom VJPs.  ViT sequences
+are short but not lane-aligned (224px/14 -> 257 tokens; 518px/14 -> 1370),
+so inputs are padded to the 128-token block grid and padding is masked out
+via segment ids (pad tokens get a different segment id -> their attention
+weight is exactly 0 for real queries).
+
+Falls back to the jnp softmax path off-TPU (CPU tests / interpret mode).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_BLOCK = 128
+
+
+def _pad_len(n: int) -> int:
+    return (-n) % _BLOCK
+
+
+@functools.lru_cache(maxsize=1)
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _jnp_mha(q, k, v, scale):
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    attn = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                      preferred_element_type=q.dtype)
+
+
+def flash_mha(q, k, v, scale: float = 1.0):
+    """q, k, v: [B, N, H, Dh] -> out [B, N, H, Dh]."""
+    B, N, H, Dh = q.shape
+    qt = q.transpose(0, 2, 1, 3)  # [B, H, N, Dh]
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+
+    if not _on_tpu():
+        out = _jnp_mha(qt, kt, vt, scale)
+        return out.transpose(0, 2, 1, 3)
+
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds, flash_attention)
+
+    pad = _pad_len(N)
+    n_pad = N + pad
+    if pad:
+        cfg = [(0, 0), (0, 0), (0, pad), (0, 0)]
+        qt = jnp.pad(qt, cfg)
+        kt = jnp.pad(kt, cfg)
+        vt = jnp.pad(vt, cfg)
+        # real tokens: segment 1; padding: segment 0 -> masked both ways
+        seg = (jnp.arange(n_pad) < N).astype(jnp.int32)[None, :]
+        seg = jnp.broadcast_to(seg, (B, n_pad))
+        segment_ids = SegmentIds(q=seg, kv=seg)
+    else:
+        segment_ids = None
+
+    blk = min(_BLOCK * 4, n_pad)
+    block_sizes = BlockSizes(
+        block_q=min(blk, n_pad), block_k_major=min(blk, n_pad),
+        block_k=min(_BLOCK, n_pad), block_b=1,
+        block_q_major_dkv=min(blk, n_pad), block_k_major_dkv=min(blk, n_pad),
+        block_k_dkv=min(_BLOCK, n_pad), block_q_dkv=min(blk, n_pad),
+        block_k_major_dq=min(blk, n_pad), block_k_dq=min(_BLOCK, n_pad),
+        block_q_dq=min(blk, n_pad),
+    )
+    out = flash_attention(qt, kt, vt, segment_ids=segment_ids, causal=False,
+                          sm_scale=scale, block_sizes=block_sizes)
+    if pad:
+        out = out[:, :, :N, :]
+    return out.transpose(0, 2, 1, 3)

@@ -1,0 +1,688 @@
+"""DINOv2 self-supervised adaptation (DINO cls loss + iBOT masked-patch loss
++ KoLeo), with APLA on student AND teacher.
+
+Reference: `src/self_supervised/dinov2/` — `DINOv2` student/teacher
+ModuleDicts with multi-crop forward (`models.py:207-441`), `DINOLoss`
+(`loss/dino_clstoken_loss.py`), `iBOTPatchLoss` (`loss/ibot_patch_loss.py`),
+`KoLeoLoss` (`loss/koleo_loss.py`), iBOT mask collate + MaskingGenerator
+(`dinov2_utils.py:21-140`), 4 cosine schedule tables (`trainer.py:7-54`),
+foreach-EMA teacher update (`models.py:443-453`).
+
+TPU-native decisions:
+- STATIC SHAPES: the reference pads masked-patch buffers to a per-batch
+  `upperbound`; here the buffer is a fixed `n_masked_max` (mask_prob *
+  ratio_max * tokens), with zero `masks_weight` on padding rows — XLA never
+  recompiles.  The reference's own padding (models.py:249-256) shows the
+  maths is weight-driven, so padded rows contribute exactly 0.
+- The xformers `BlockDiagonalMask.from_tensor_list` trick exists only to
+  batch ragged inputs through the (per-token MLP) head — a plain
+  concatenation is equivalent and is what we do.
+- Centering allreduce (async, `dino_clstoken_loss.py:79-98`) collapses to a
+  batch mean under single-controller SPMD.
+- EMA covers only trainable leaves; APLA-frozen weights are shared
+  student/teacher, so teacher memory ~ APLA rank.
+"""
+
+from __future__ import annotations
+
+import math
+import random as pyrandom
+from copy import deepcopy
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..parallel.mesh import replicated_sharding
+from ..train.optim import build_optimizer, set_lr
+from ..utils.config import EDict
+from .byol import BYOLTrainer, _encode
+from .dino import DINOWrapper
+from .heads import dino_head_forward, init_dino_head
+from .multicrop import STRATEGIES, apply_augmentation_strategy
+
+
+# --------------------------------------------------------------------------- #
+# schedules (reference dinov2_utils.py:143-163 CosineScheduler + trainer.py
+# build_schedulers)
+# --------------------------------------------------------------------------- #
+
+class CosineScheduler:
+    def __init__(self, base_value, final_value, total_iters, warmup_iters=0,
+                 start_warmup_value=0, freeze_iters=0):
+        self.final_value = final_value
+        self.total_iters = total_iters
+        freeze = np.zeros((freeze_iters,))
+        warmup = np.linspace(start_warmup_value, base_value, warmup_iters)
+        n = max(total_iters - warmup_iters - freeze_iters, 0)
+        it = np.arange(n)
+        core = final_value + 0.5 * (base_value - final_value) * \
+            (1 + np.cos(np.pi * it / max(len(it), 1)))
+        self.schedule = np.concatenate((freeze, warmup, core))
+
+    def __getitem__(self, it):
+        if it >= self.total_iters:
+            return self.final_value
+        return float(self.schedule[it])
+
+
+def build_schedulers(optim_params, training_params, teacher_params,
+                     iters_per_epoch, total_iters):
+    """The 4+1 schedule tables (reference dinov2/trainer.py:7-54)."""
+    lr = CosineScheduler(
+        start_warmup_value=0,
+        base_value=float(optim_params.optimizer.params.lr),
+        final_value=float(optim_params.scheduler.params.CosineAnnealingLR
+                          .eta_min),
+        total_iters=total_iters,
+        warmup_iters=int(optim_params.scheduler.params.LinearWarmup
+                         .warmup_epochs) * iters_per_epoch)
+    wd = CosineScheduler(
+        base_value=float(optim_params.optimizer.params.weight_decay),
+        final_value=1e-4, total_iters=total_iters)
+    momentum = CosineScheduler(
+        base_value=float(teacher_params.momentum_teacher),
+        final_value=float(teacher_params.final_momentum_teacher),
+        total_iters=total_iters)
+    warm_iters = int(teacher_params.warmup_teacher_temp_epochs) \
+        * iters_per_epoch
+    teacher_temp = CosineScheduler(
+        start_warmup_value=float(teacher_params.warmup_teacher_temp),
+        base_value=float(teacher_params.teacher_temp),
+        final_value=float(teacher_params.teacher_temp),
+        total_iters=max(warm_iters, 1), warmup_iters=max(warm_iters, 1))
+    last_layer_lr = CosineScheduler(
+        start_warmup_value=0,
+        base_value=float(optim_params.optimizer.params.lr),
+        final_value=float(optim_params.scheduler.params.CosineAnnealingLR
+                          .eta_min),
+        total_iters=total_iters,
+        warmup_iters=int(optim_params.scheduler.params.LinearWarmup
+                         .warmup_epochs) * iters_per_epoch)
+    freeze_iters = int(training_params.get("freeze_last_layer_epochs", 1)) \
+        * iters_per_epoch
+    last_layer_lr.schedule[:freeze_iters] = 0
+    return lr, wd, momentum, teacher_temp, last_layer_lr
+
+
+# --------------------------------------------------------------------------- #
+# iBOT masking (reference dinov2_utils.py:21-140)
+# --------------------------------------------------------------------------- #
+
+class MaskingGenerator:
+    """Block-wise mask sampler (reference MaskingGenerator)."""
+
+    def __init__(self, input_size, num_masking_patches=None,
+                 min_num_patches=4, max_num_patches=None, min_aspect=0.3,
+                 max_aspect=None):
+        if not isinstance(input_size, tuple):
+            input_size = (input_size,) * 2
+        self.height, self.width = input_size
+        self.num_patches = self.height * self.width
+        self.min_num_patches = min_num_patches
+        self.max_num_patches = (num_masking_patches if max_num_patches is None
+                                else max_num_patches)
+        max_aspect = max_aspect or 1 / min_aspect
+        self.log_aspect_ratio = (math.log(min_aspect), math.log(max_aspect))
+
+    def _mask(self, mask, max_mask_patches, rng):
+        delta = 0
+        for _ in range(10):
+            target_area = rng.uniform(
+                min(self.min_num_patches, max_mask_patches), max_mask_patches)
+            aspect = math.exp(rng.uniform(*self.log_aspect_ratio))
+            h = int(round(math.sqrt(target_area * aspect)))
+            w = int(round(math.sqrt(target_area / aspect)))
+            if w < self.width and h < self.height:
+                top = rng.integers(0, self.height - h + 1)
+                left = rng.integers(0, self.width - w + 1)
+                region = mask[top:top + h, left:left + w]
+                num_masked = region.sum()
+                if 0 < h * w - num_masked <= max_mask_patches:
+                    region[:] = True
+                    delta += h * w - num_masked
+                if delta > 0:
+                    break
+        return delta
+
+    def __call__(self, num_masking_patches=0, rng=None):
+        rng = rng or np.random.default_rng()
+        mask = np.zeros((self.height, self.width), dtype=bool)
+        count = 0
+        while count < num_masking_patches:
+            max_patches = min(num_masking_patches - count,
+                              self.max_num_patches or num_masking_patches)
+            delta = self._mask(mask, max_patches, rng)
+            if delta == 0:
+                break
+            count += delta
+        return mask
+
+
+def make_ibot_collate(n_global_crops, n_local_crops, mask_ratio_tuple,
+                      mask_probability, n_tokens, mask_generator,
+                      n_masked_max=None):
+    """Static-shape collate (reference `collate_data_and_cast`):
+    returns stacked crops + fixed-size mask index buffers."""
+    if n_masked_max is None:
+        n_masked_max = int(math.ceil(
+            n_tokens * mask_ratio_tuple[1]))  # per sample worst case
+
+    def collate(samples_list):
+        B = len(samples_list)
+        global_crops = np.stack(
+            [s["image"][i] for i in range(n_global_crops)
+             for s in samples_list]).astype(np.float32)
+        local_crops = (np.stack(
+            [s["image"][i]
+             for i in range(n_global_crops, n_global_crops + n_local_crops)
+             for s in samples_list]).astype(np.float32)
+            if n_local_crops else None)
+        labels = np.asarray([s["label"] for s in samples_list])
+
+        BG = n_global_crops * B
+        rng = np.random.default_rng()
+        n_samples_masked = int(BG * mask_probability)
+        probs = np.linspace(*mask_ratio_tuple, n_samples_masked + 1)
+        masks_list = []
+        for i in range(n_samples_masked):
+            n_mask = int(n_tokens * rng.uniform(probs[i], probs[i + 1]))
+            masks_list.append(mask_generator(n_mask, rng=rng).flatten())
+        for _ in range(n_samples_masked, BG):
+            masks_list.append(np.zeros(n_tokens, dtype=bool))
+        pyrandom.shuffle(masks_list)
+        masks = np.stack(masks_list)                     # [BG, N]
+
+        # fixed-size masked-index buffer: upperbound = BG * n_masked_max
+        upper = BG * n_masked_max
+        flat_idx = np.flatnonzero(masks.flatten())
+        n_masked = len(flat_idx)
+        mask_indices = np.zeros(upper, dtype=np.int32)
+        mask_indices[:n_masked] = flat_idx[:upper]
+        valid = np.zeros(upper, dtype=np.float32)
+        valid[:min(n_masked, upper)] = 1.0
+        # per-masked-patch weight 1/row_count (reference masks_weight)
+        row_counts = np.clip(masks.sum(-1), 1, None)     # [BG]
+        weights_full = (1.0 / row_counts)[:, None] * np.ones_like(masks, float)
+        masks_weight = np.zeros(upper, dtype=np.float32)
+        masks_weight[:n_masked] = weights_full.flatten()[flat_idx][:upper]
+
+        return {
+            "collated_global_crops": global_crops,
+            "collated_local_crops": local_crops,
+            "collated_masks": masks,
+            "mask_indices_list": mask_indices,
+            "masks_weight": masks_weight,
+            "mask_valid": valid,
+            "n_masked_patches": np.asarray([min(n_masked, upper)], np.int32),
+            "label": labels,
+        }
+
+    return collate
+
+
+# --------------------------------------------------------------------------- #
+# losses
+# --------------------------------------------------------------------------- #
+
+def softmax_center_teacher(t_out, center, teacher_temp):
+    return jax.nn.softmax((t_out - center) / teacher_temp, axis=-1)
+
+
+def sinkhorn_knopp_teacher(t_out, teacher_temp, n_iterations=3,
+                           sample_mask=None):
+    """Sinkhorn-Knopp assignment (reference dino_clstoken_loss.py:35-60).
+    `sample_mask` [B] zeroes padded rows before normalisation."""
+    Q = jnp.exp(t_out.astype(jnp.float32) / teacher_temp).T  # [K, B]
+    if sample_mask is not None:
+        Q = Q * sample_mask[None, :]
+        B = jnp.maximum(jnp.sum(sample_mask), 1.0)
+    else:
+        B = Q.shape[1]
+    K = Q.shape[0]
+    Q = Q / jnp.sum(Q)
+    for _ in range(n_iterations):
+        Q = Q / jnp.maximum(jnp.sum(Q, axis=1, keepdims=True), 1e-12) / K
+        Q = Q / jnp.maximum(jnp.sum(Q, axis=0, keepdims=True), 1e-12) / B
+        if sample_mask is not None:
+            Q = Q * sample_mask[None, :]
+    return (Q * B).T
+
+
+def dinov2_dino_loss(student_out_list, teacher_softmaxed_list,
+                     student_temp=0.1):
+    """Sum of CE over all (student chunk, teacher chunk) pairs (reference
+    dino_clstoken_loss.py:62-74 — pairing/skipping is done by the CALLER)."""
+    total = 0.0
+    for s in student_out_list:
+        lsm = jax.nn.log_softmax(s.astype(jnp.float32) / student_temp,
+                                 axis=-1)
+        for t in teacher_softmaxed_list:
+            total = total - jnp.mean(
+                jnp.sum(jax.lax.stop_gradient(t) * lsm, axis=-1))
+    return total
+
+
+def ibot_patch_loss(student_masked, teacher_softmaxed_masked, masks_weight,
+                    n_images, student_temp=0.1):
+    """Masked-patch CE, weight-normalised per image (reference
+    ibot_patch_loss.py:100-120 forward_masked).  Padding rows carry weight 0."""
+    lsm = jax.nn.log_softmax(
+        student_masked.astype(jnp.float32) / student_temp, axis=-1)
+    per_patch = jnp.sum(jax.lax.stop_gradient(teacher_softmaxed_masked) * lsm,
+                        axis=-1)
+    return -jnp.sum(per_patch * masks_weight) / n_images
+
+
+def koleo_loss(x, eps=1e-8):
+    """Kozachenko-Leonenko regulariser (reference koleo_loss.py:15-45)."""
+    x = x.astype(jnp.float32)
+    x = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + eps)
+    dots = jnp.dot(x, x.T, preferred_element_type=jnp.float32)
+    n = x.shape[0]
+    dots = dots - 2.0 * jnp.eye(n)  # exclude self (fill diag with small)
+    nn_idx = jnp.argmax(dots, axis=1)
+    # eps inside the sqrt: identical neighbours would otherwise give a
+    # 0-distance whose sqrt-gradient is NaN
+    diff = x - x[nn_idx]
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + eps * eps)
+    return -jnp.mean(jnp.log(dist + eps))
+
+
+# --------------------------------------------------------------------------- #
+# state + train step
+# --------------------------------------------------------------------------- #
+
+@struct.dataclass
+class DINOv2TrainState:
+    step: jnp.ndarray
+    trainable: object       # student {'backbone', 'dino_head'[, 'ibot_head']}
+    teacher: object         # EMA twin of trainable
+    dino_center: jnp.ndarray
+    ibot_center: jnp.ndarray
+    opt_state: object
+
+
+def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
+                           n_local: int, freeze_last_layer: bool):
+    """cfg: model_params.dinov2 subtree (dino/ibot weights, centering)."""
+    dino_w = float(cfg.dino.loss_weight)
+    koleo_w = float(cfg.dino.koleo_loss_weight)
+    ibot_w = float(cfg.ibot.loss_weight)
+    separate_head = bool(cfg.ibot.get("separate_head", False))
+    centering = cfg.get("centering", "centering")
+    do_dino, do_ibot = dino_w > 0, ibot_w > 0
+    do_koleo = koleo_w > 0
+    center_momentum = 0.9
+    student_temp = 0.1
+
+    def train_step(state: DINOv2TrainState, frozen, batch, lr, wd, momentum,
+                   teacher_temp, rng):
+        g_crops = batch["collated_global_crops"]       # [2B, H, W, C]
+        l_crops = batch.get("collated_local_crops")    # [LB, h, w, C] | None
+        masks = batch["collated_masks"]                # [2B, N] bool
+        mask_idx = batch["mask_indices_list"]          # [U] int32
+        masks_weight = batch["masks_weight"]           # [U]
+        mask_valid = batch["mask_valid"]               # [U]
+        step_rng = jax.random.fold_in(rng, state.step)
+        r_g, r_l = jax.random.split(step_rng)
+        n_images_global = g_crops.shape[0]
+
+        loss_term_denom = max(n_local * n_global, 1) + (n_global - 1) * n_global
+
+        # ---------------- teacher (no grad) ----------------
+        t_bb = jax.lax.stop_gradient(state.teacher.get("backbone"))
+        t_heads = jax.lax.stop_gradient(
+            {k: v for k, v in state.teacher.items() if k != "backbone"})
+        t_tokens = _encode_tokens(t_bb, frozen, g_crops, vit_cfg, None, True)
+        t_cls = t_tokens[:, 0]                         # [2B, D]
+        t_patches = t_tokens[:, 1 + vit_cfg.num_register_tokens:]
+        # swap global chunks so crop A pairs with crop B (models.py:235-238)
+        halves = jnp.split(t_cls, n_global)
+        t_cls_swapped = jnp.concatenate(halves[::-1], axis=0)
+        t_cls_out = dino_head_forward(t_cls_swapped, t_heads["dino_head"])
+        t_masked_patches = t_patches.reshape(
+            -1, t_patches.shape[-1])[mask_idx]          # [U, D]
+        ihead = t_heads["ibot_head"] if separate_head else t_heads["dino_head"]
+        t_masked_out = dino_head_forward(t_masked_patches, ihead)
+
+        if centering == "centering":
+            t_dino_sm = softmax_center_teacher(t_cls_out, state.dino_center,
+                                               teacher_temp)
+            t_ibot_sm = softmax_center_teacher(t_masked_out,
+                                               state.ibot_center,
+                                               teacher_temp)
+            new_dino_center = state.dino_center * center_momentum + \
+                jnp.mean(t_cls_out, axis=0, keepdims=True) \
+                * (1 - center_momentum)
+            denom = jnp.maximum(jnp.sum(mask_valid), 1.0)
+            new_ibot_center = state.ibot_center * center_momentum + \
+                (jnp.sum(t_masked_out * mask_valid[:, None], axis=0,
+                         keepdims=True) / denom) * (1 - center_momentum)
+        else:  # sinkhorn_knopp
+            t_dino_sm = sinkhorn_knopp_teacher(t_cls_out, teacher_temp)
+            t_ibot_sm = sinkhorn_knopp_teacher(t_masked_out, teacher_temp,
+                                               sample_mask=mask_valid)
+            new_dino_center = state.dino_center
+            new_ibot_center = state.ibot_center
+        t_dino_sm = jax.lax.stop_gradient(t_dino_sm)
+        t_ibot_sm = jax.lax.stop_gradient(t_ibot_sm)
+
+        # ---------------- student ----------------
+        def loss_fn(trainable):
+            s_bb = trainable.get("backbone")
+            s_tokens_g = _encode_tokens(s_bb, frozen, g_crops, vit_cfg, r_g,
+                                        False, masks=masks)
+            s_cls_g = s_tokens_g[:, 0]
+            s_patches_g = s_tokens_g[:, 1 + vit_cfg.num_register_tokens:]
+            head_in = [s_cls_g]
+            if n_local:
+                s_cls_l = _encode_tokens(s_bb, frozen, l_crops, vit_cfg, r_l,
+                                         False)[:, 0]
+                head_in.append(s_cls_l)
+            s_masked = s_patches_g.reshape(
+                -1, s_patches_g.shape[-1])[mask_idx]
+            if not separate_head:
+                head_in.append(s_masked)
+                sizes = [h.shape[0] for h in head_in]
+                outs = dino_head_forward(jnp.concatenate(head_in, axis=0),
+                                         trainable["dino_head"])
+                splits = np.cumsum(sizes)[:-1]
+                parts = jnp.split(outs, splits, axis=0)
+                s_cls_g_out = parts[0]
+                s_cls_l_out = parts[1] if n_local else None
+                s_masked_out = parts[-1]
+            else:
+                sizes = [h.shape[0] for h in head_in]
+                outs = dino_head_forward(jnp.concatenate(head_in, axis=0),
+                                         trainable["dino_head"])
+                splits = np.cumsum(sizes)[:-1]
+                parts = jnp.split(outs, splits, axis=0)
+                s_cls_g_out = parts[0]
+                s_cls_l_out = parts[1] if n_local else None
+                s_masked_out = dino_head_forward(s_masked,
+                                                 trainable["ibot_head"])
+
+            losses = {}
+            total = 0.0
+            if do_dino:
+                t_list = list(jnp.split(t_dino_sm, n_global))
+                if n_local:
+                    s_local_chunks = list(jnp.split(s_cls_l_out, n_local))
+                    dino_local = dinov2_dino_loss(
+                        s_local_chunks, t_list,
+                        student_temp=student_temp) / loss_term_denom
+                    losses["dino_local_crops_loss"] = dino_local
+                    total = total + dino_w * dino_local
+                dino_global = dinov2_dino_loss(
+                    [s_cls_g_out], [t_dino_sm], student_temp=student_temp) \
+                    * 2 / loss_term_denom
+                losses["dino_global_crops_loss"] = dino_global
+                total = total + dino_w * dino_global
+                if do_koleo:
+                    kl = koleo_w * sum(
+                        koleo_loss(chunk)
+                        for chunk in jnp.split(s_cls_g, n_global))
+                    losses["koleo_loss"] = kl / 2
+                    total = total + kl
+            if do_ibot:
+                il = ibot_patch_loss(
+                    s_masked_out, t_ibot_sm, masks_weight * mask_valid,
+                    n_images=n_images_global, student_temp=student_temp) \
+                    * 2 * (1.0 / n_global)
+                losses["ibot_loss"] = il / 2
+                total = total + ibot_w * il
+            return total, losses
+
+        (loss, loss_dict), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.trainable)
+        if freeze_last_layer:
+            grads = jax.tree_util.tree_map_with_path(
+                lambda path, g: (jnp.zeros_like(g)
+                                 if any(getattr(p, "key", None) == "last_v"
+                                        for p in path) else g), grads)
+        opt_state = set_lr(state.opt_state, lr, wd)
+        updates, opt_state = tx.update(grads, opt_state, state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
+        m = jnp.asarray(momentum, jnp.float32)
+        teacher = jax.tree.map(
+            lambda t, s: t * m + s.astype(t.dtype) * (1.0 - m),
+            state.teacher, trainable)
+        new_state = state.replace(
+            step=state.step + 1, trainable=trainable, teacher=teacher,
+            dino_center=jax.lax.stop_gradient(new_dino_center),
+            ibot_center=jax.lax.stop_gradient(new_ibot_center),
+            opt_state=opt_state)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        metrics.update(loss_dict)
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def _encode_tokens(backbone_trainable, frozen, images, vit_cfg, rng,
+                   deterministic, masks=None):
+    from ..models.classifier import _backbone_params
+    from ..models.vit import vit_features
+    t = {"backbone": backbone_trainable} if backbone_trainable else {}
+    params, apla_t = _backbone_params(t, frozen)
+    return vit_features(params, images, vit_cfg, trainable=apla_t, rng=rng,
+                        deterministic=deterministic, return_all_tokens=True,
+                        masks=masks)
+
+
+# --------------------------------------------------------------------------- #
+# wrapper + trainer
+# --------------------------------------------------------------------------- #
+
+class DINOv2Wrapper(DINOWrapper):
+    is_supervised = False
+    use_momentum = True
+
+    def update_augmentation_strategy(self, parameters):
+        return apply_augmentation_strategy(parameters, "dinov2")
+
+    def set_crops_params(self):
+        spec = STRATEGIES["dinov2"]
+        ds = self.dataset_params
+        self.crops_params = EDict(
+            n_global_crops=spec["n_global"], n_local_crops=spec["n_local"],
+            global_crops_size=int(ds.get("ssl_global_size",
+                                         spec["global_size"])),
+            local_crops_size=int(ds.get("ssl_local_size",
+                                        spec["local_size"])))
+
+    def init_dataloaders(self):
+        self.set_crops_params()
+        loaders = super().init_dataloaders()
+        # attach the iBOT mask collate to the trainloader
+        tp = self.model_params.transformers_params
+        patch = int(tp.get("student", tp).get("patch_size", 14))
+        img_size = self.crops_params.global_crops_size
+        grid = img_size // patch
+        n_tokens = grid * grid
+        ibot = self.model_params.dinov2.ibot
+        gen = MaskingGenerator((grid, grid),
+                               max_num_patches=int(0.5 * n_tokens))
+        loaders.trainloader.collate_fn = make_ibot_collate(
+            self.crops_params.n_global_crops, self.crops_params.n_local_crops,
+            tuple(ibot.mask_ratio_min_max),
+            float(ibot.mask_sample_probability), n_tokens, gen)
+        return loaders
+
+    def build_vit_config(self):
+        """dinov2 config uses nested transformers_params.student
+        (reference __common__.yml model_params schema)."""
+        mp = self.model_params
+        tp = EDict(mp.get("transformers_params", EDict()))
+        sp = EDict(tp.get("student", tp))
+        from ..models.vit import VIT_BUILDERS
+        import jax.numpy as jnp2
+        use_mp = self.training_params.get("use_mixed_precision", True)
+        return VIT_BUILDERS[mp.backbone_type](
+            img_size=int(sp.get("pre_img_size", 518)),
+            patch_size=int(sp.get("patch_size", 14)),
+            drop_path_rate=float(sp.get("drop_path_rate", 0.0)),
+            has_layerscale=sp.get("layerscale") is not None,
+            layerscale_init=float(sp.get("layerscale", 1e-5) or 1e-5),
+            num_register_tokens=int(sp.get("num_register_tokens", 0)),
+            use_swiglu=sp.get("ffn_layer", "mlp") == "swiglu",
+            compute_dtype=jnp2.bfloat16 if use_mp else jnp2.float32,
+            use_flash=bool(sp.get("is_memory_efficient", True)),
+        )
+
+    def init_model(self, seed: int = 0):
+        from ..models.classifier import init_classifier
+        self.vit_cfg = self.build_vit_config()
+        apla_cfg = self.build_apla_config()
+        d2 = self.model_params.dinov2
+        key = jax.random.PRNGKey(seed)
+        k_bb, k_dh, k_ih, k_mt = jax.random.split(key, 4)
+        bb_trainable, bb_frozen = init_classifier(
+            k_bb, self.vit_cfg, n_classes=1, apla_cfg=apla_cfg,
+            freeze_backbone=bool(self.model_params.get("freeze_backbone",
+                                                       False)))
+        # iBOT mask token lives with the frozen backbone params
+        from ..models.vit import trunc_normal
+        if "backbone" in bb_frozen:
+            bb_frozen["backbone"]["mask_token"] = trunc_normal(
+                k_mt, (1, 1, self.vit_cfg.embed_dim), std=0.02)
+        dino = d2.dino
+        dino_head = init_dino_head(
+            k_dh, self.vit_cfg.embed_dim, int(dino.head_n_prototypes),
+            nlayers=int(dino.head_nlayers),
+            hidden_dim=int(dino.head_hidden_dim),
+            bottleneck_dim=int(dino.head_bottleneck_dim))
+        trainable = {"backbone": bb_trainable.get("backbone", {}),
+                     "dino_head": dino_head}
+        if bool(d2.ibot.get("separate_head", False)):
+            ib = d2.ibot
+            trainable["ibot_head"] = init_dino_head(
+                k_ih, self.vit_cfg.embed_dim, int(ib.head_n_prototypes),
+                nlayers=int(ib.head_nlayers),
+                hidden_dim=int(ib.head_hidden_dim),
+                bottleneck_dim=int(ib.head_bottleneck_dim))
+        if self.model_params.get("pretrained"):
+            from ..utils.pretrained import maybe_load_pretrained_backbone
+            t2 = {"backbone": trainable["backbone"]}
+            f2 = {"backbone": bb_frozen["backbone"]} \
+                if "backbone" in bb_frozen else {}
+            t2, f2 = maybe_load_pretrained_backbone(
+                t2, f2, self.model_params, self.vit_cfg)
+            trainable["backbone"] = t2.get("backbone", {})
+            if "backbone" in f2:
+                if "mask_token" not in f2["backbone"]:
+                    f2["backbone"]["mask_token"] = \
+                        bb_frozen["backbone"]["mask_token"]
+                bb_frozen["backbone"] = f2["backbone"]
+        teacher = deepcopy(trainable)
+        repl = replicated_sharding(self.mesh)
+        self.trainable = jax.device_put(trainable, repl)
+        self.teacher = jax.device_put(teacher, repl)
+        self.frozen = jax.device_put(bb_frozen, repl)
+        self.n_prototypes = int(dino.head_n_prototypes)
+        self.ibot_prototypes = (int(d2.ibot.head_n_prototypes)
+                                if d2.ibot.get("separate_head", False)
+                                else self.n_prototypes)
+
+    def init_optimization(self):
+        opt = self.optimization_params.default
+        self.tx = build_optimizer(
+            opt.optimizer.type, dict(opt.optimizer.params), self.trainable,
+            grad_clip=self.training_params.get("grad_clipping"))
+        iters_per_epoch = len(self.dataloaders.trainloader)
+        total_iters = iters_per_epoch * int(self.training_params.epochs)
+        tp = self.model_params.transformers_params
+        (self.lr_schedule, self.wd_schedule, self.momentum_schedule_tbl,
+         self.teacher_temp_schedule, self.last_layer_lr_schedule) = \
+            build_schedulers(self.optimization_params.default,
+                             self.training_params, tp.teacher,
+                             iters_per_epoch, max(total_iters, 1))
+        state = DINOv2TrainState(
+            step=jnp.zeros((), jnp.int32), trainable=self.trainable,
+            teacher=self.teacher,
+            dino_center=jnp.zeros((1, self.n_prototypes), jnp.float32),
+            ibot_center=jnp.zeros((1, self.ibot_prototypes), jnp.float32),
+            opt_state=self.tx.init(self.trainable))
+        self.state = jax.device_put(state, replicated_sharding(self.mesh))
+        # BYOLTrainer compatibility
+        from ..train.schedules import LRScheduler
+        self.scheduler = LRScheduler(
+            opt.scheduler.type, opt.scheduler.get("params", {}),
+            max_lr=opt.optimizer.params.lr,
+            steps_per_epoch=iters_per_epoch,
+            epochs=self.training_params.epochs)
+
+
+class Dinov2Trainer(BYOLTrainer):
+    """Reference Dinov2Trainer (`dinov2/trainer.py:57-162`): schedule tables
+    drive lr/wd/momentum/teacher-temp; last-layer frozen for the first
+    epoch(s); feature extractor = TEACHER backbone."""
+
+    feature_branch = "teacher"
+
+    def __init__(self, wrapper):
+        super().__init__(wrapper, use_momentum=True)
+        self.freeze_last_for = int(
+            wrapper.training_params.get("freeze_last_layer_epochs", 1))
+        self.n_global = wrapper.crops_params.n_global_crops
+        self.n_local = wrapper.crops_params.n_local_crops
+        self._steps = {}
+
+    def _get_step(self, freeze: bool):
+        if freeze not in self._steps:
+            self._steps[freeze] = make_dinov2_train_step(
+                self.vit_cfg, self.wrapper.tx,
+                self.wrapper.model_params.dinov2, self.n_global,
+                self.n_local, freeze_last_layer=freeze)
+        return self._steps[freeze]
+
+    def _device_batch(self, batch):
+        from ..parallel.mesh import shard_batch
+        keep = {k: v for k, v in batch.items()
+                if k not in ("label", "n_masked_patches")
+                and v is not None}
+        return shard_batch(keep, self.mesh)
+
+    def train(self):
+        import time
+        from ..utils.logging import cyan, gray
+        loader = self.wrapper.dataloaders.trainloader
+        steps_per_epoch = len(loader)
+        val_interval = max(int(self.val_every * steps_per_epoch), 1)
+        print(cyan(f"DINOv2 training {self.model_name}: "
+                   f"{self.epochs} epochs x {steps_per_epoch}"))
+        for epoch in range(self.epoch0, self.epochs):
+            loader.set_epoch(epoch)
+            self.epoch = epoch
+            freeze = self.freeze_last_for and (epoch + 1) <= self.freeze_last_for
+            step_fn = self._get_step(bool(freeze))
+            for batch in loader:
+                lr = self.wrapper.lr_schedule[self.iters]
+                wd = self.wrapper.wd_schedule[self.iters]
+                mom = self.wrapper.momentum_schedule_tbl[self.iters]
+                t_temp = self.wrapper.teacher_temp_schedule[self.iters]
+                dbatch = self._device_batch(batch)
+                self.state, m = step_fn(self.state, self.frozen, dbatch,
+                                        lr, wd, mom, t_temp, self.rng)
+                self.iters += 1
+                if self.iters % self.log_every == 0 or self.iters == 1:
+                    logd = {k: float(v) for k, v in m.items()}
+                    logd.update(lr=lr, wd=wd, teacher_temp=t_temp,
+                                momentum=mom)
+                    self.logger.log({"train_" + k if k in
+                                     ("loss",) else k: v
+                                     for k, v in logd.items()}, self.iters)
+                    print(gray(f"it {self.iters:6d} ep {epoch:3d} "
+                               f"loss {logd['loss']:.4f} lr {lr:.2e}"))
+                if self.iters % val_interval == 0:
+                    self.epoch_step(epoch)
+        self.epoch_step(self.epochs - 1)
+        self.save_session(self.epochs - 1)
+        self.logger.finish()
+
+    def momentum_at(self, it):
+        return self.wrapper.momentum_schedule_tbl[it]

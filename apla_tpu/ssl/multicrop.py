@@ -1,0 +1,88 @@
+"""SSL augmentation strategies — the declarative multi-crop recipes the
+reference ships as `augmentation_strategy.json` next to each SSL wrapper
+(applied via `DefaultWrapper.update_augmentation_strategy`,
+`wrappers.py:343-379`): train transforms become a LIST of per-crop pipelines,
+inheriting Resize/Normalize from the dataset config.
+"""
+
+from __future__ import annotations
+
+from copy import deepcopy
+
+from ..utils.config import EDict
+
+
+def _global_crop(size=224, scale=(0.4, 1.0), blur_p=1.0, solarize=False):
+    d = {
+        "RandomResizedCrop": {"apply": True, "size": size,
+                              "scale": list(scale)},
+        "HorizontalFlip": {"apply": True, "p": 0.5},
+        "ColorJitter": {"apply": True, "brightness": 0.4, "contrast": 0.4,
+                        "saturation": 0.2, "hue": 0.1, "p": 0.8},
+        "RandomGrayscale": {"apply": True, "p": 0.2},
+        "RandomGaussianBlur": {"apply": True, "radius_min": 0.1,
+                               "radius_max": 2.0, "p": blur_p},
+    }
+    if solarize:
+        d["RandomSolarize"] = {"apply": True, "threshold": 128, "p": 0.2}
+    return d
+
+
+def _local_crop(size=96, scale=(0.05, 0.4)):
+    d = _global_crop(size=size, scale=scale, blur_p=0.5)
+    return d
+
+
+# crop counts/sizes: BYOL 2x224 global; DINO 2 global + 8 local 96
+# (DINO/augmentation_strategy.json); DINOv2 2 global 224 + 8 local 98
+# (dinov2/augmentation_strategy.json:7-10)
+STRATEGIES = {
+    "byol": {
+        "inherit": ["Resize", "Normalize"],
+        "crops": [("global", _global_crop(blur_p=1.0)),
+                  ("global", _global_crop(blur_p=0.1, solarize=True))],
+        "n_global": 2, "n_local": 0,
+        "global_size": 224, "local_size": None,
+    },
+    "dino": {
+        "inherit": ["Resize", "Normalize"],
+        "crops": ([("global", _global_crop(blur_p=1.0)),
+                   ("global", _global_crop(blur_p=0.1, solarize=True))]
+                  + [("local", _local_crop(96))] * 8),
+        "n_global": 2, "n_local": 8,
+        "global_size": 224, "local_size": 96,
+    },
+    "dinov2": {
+        "inherit": ["Resize", "Normalize"],
+        "crops": ([("global", _global_crop(224, (0.32, 1.0), blur_p=1.0)),
+                   ("global", _global_crop(224, (0.32, 1.0), blur_p=0.1,
+                                           solarize=True))]
+                  + [("local", _local_crop(98, (0.05, 0.32)))] * 8),
+        "n_global": 2, "n_local": 8,
+        "global_size": 224, "local_size": 98,
+    },
+}
+
+
+def apply_augmentation_strategy(parameters: EDict, strategy: str) -> EDict:
+    """Replace `dataset_params.train_transforms` with the strategy's per-crop
+    transform list (reference update_augmentation_strategy semantics)."""
+    spec = STRATEGIES[strategy]
+    params = EDict(deepcopy(dict(parameters)))
+    base = params.dataset_params.get("train_transforms", EDict())
+    # optional crop-size overrides (small-image datasets / tests)
+    g_size = params.dataset_params.get("ssl_global_size")
+    l_size = params.dataset_params.get("ssl_local_size")
+    crop_list = []
+    for kind, crop in spec["crops"]:
+        t = deepcopy(crop)
+        if kind == "global" and g_size:
+            t["RandomResizedCrop"]["size"] = int(g_size)
+        if kind == "local" and l_size:
+            t["RandomResizedCrop"]["size"] = int(l_size)
+        for key in spec["inherit"]:
+            if key in base:
+                t[key] = deepcopy(base[key])
+        crop_list.append(t)
+    params.dataset_params.train_transforms = crop_list
+    return params

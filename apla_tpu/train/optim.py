@@ -5,8 +5,9 @@ param groups (weight-decay applied only to >=2-D non-bias tensors, the DINO
 rule).  Here that's an optax weight-decay mask; gradients for frozen params
 simply never exist, so there is nothing to filter.
 
-The learning rate enters through `optax.inject_hyperparams` so the host-side
-`LRScheduler` can set it every step without recompiling the train step.
+Learning rate AND weight decay enter through `optax.inject_hyperparams` so
+host-side schedulers (LRScheduler; DINO's wd cosine decay,
+`DINO/trainer.py:8-11`) can set them every step without recompiling.
 """
 
 from __future__ import annotations
@@ -26,54 +27,58 @@ def wd_mask(params) -> object:
 def build_optimizer(opt_type: str, opt_params: dict, trainable_template,
                     grad_clip: float | None = None) -> optax.GradientTransformation:
     """Build an optax chain for `opt_type` ('AdamW', 'Adam', 'SGD', 'RMSprop',
-    'LAMB'...) with reference param-group semantics.
+    'LAMB') with reference param-group semantics.
 
     `opt_params` follows the YAML schema: {'lr': ..., 'weight_decay': ...,
     plus optimizer kwargs like betas/eps/momentum}.
     """
     opt_params = dict(opt_params)
-    lr = float(opt_params.pop("lr", 1e-3))
-    wd = float(opt_params.pop("weight_decay", 0.0))
+    lr0 = float(opt_params.pop("lr", 1e-3))
+    wd0 = float(opt_params.pop("weight_decay", 0.0))
     betas = opt_params.pop("betas", (0.9, 0.999))
     eps = float(opt_params.pop("eps", 1e-8))
     momentum = float(opt_params.pop("momentum", 0.9))
 
     mask = wd_mask(trainable_template)
 
-    def core(learning_rate):
+    def core(lr, wd):
         if opt_type in ("AdamW", "Adam"):
-            return optax.adamw(learning_rate, b1=betas[0], b2=betas[1],
-                               eps=eps, weight_decay=wd, mask=mask)
+            return optax.adamw(lr, b1=betas[0], b2=betas[1], eps=eps,
+                               weight_decay=wd, mask=mask)
         if opt_type == "SGD":
-            chain = [optax.add_decayed_weights(wd, mask=mask)] if wd else []
-            chain.append(optax.sgd(learning_rate, momentum=momentum,
-                                   nesterov=bool(opt_params.get("nesterov", False))))
+            chain = [optax.add_decayed_weights(wd, mask=mask)]
+            chain.append(optax.sgd(lr, momentum=momentum,
+                                   nesterov=bool(opt_params.get("nesterov",
+                                                                False))))
             return optax.chain(*chain)
         if opt_type == "RMSprop":
-            chain = [optax.add_decayed_weights(wd, mask=mask)] if wd else []
-            chain.append(optax.rmsprop(learning_rate, momentum=momentum, eps=eps))
-            return optax.chain(*chain)
+            return optax.chain(
+                optax.add_decayed_weights(wd, mask=mask),
+                optax.rmsprop(lr, momentum=momentum, eps=eps))
         if opt_type == "LAMB":
-            return optax.lamb(learning_rate, b1=betas[0], b2=betas[1],
-                              eps=eps, weight_decay=wd, mask=mask)
+            return optax.lamb(lr, b1=betas[0], b2=betas[1], eps=eps,
+                              weight_decay=wd, mask=mask)
         raise NotImplementedError(f"optimizer {opt_type}")
 
     @optax.inject_hyperparams
-    def make(lr):
+    def make(lr, wd):
         chain = []
         if grad_clip:
             chain.append(optax.clip_by_global_norm(float(grad_clip)))
-        chain.append(core(lr))
+        chain.append(core(lr, wd))
         return optax.chain(*chain)
 
-    return make(lr=jnp.asarray(lr, jnp.float32))
+    return make(lr=jnp.asarray(lr0, jnp.float32),
+                wd=jnp.asarray(wd0, jnp.float32))
 
 
-def set_lr(opt_state, lr):
-    """Return opt_state with the injected lr hyperparam replaced (functional —
+def set_lr(opt_state, lr, wd=None):
+    """Return opt_state with injected hyperparams replaced (functional —
     safe under jit)."""
     hp = dict(opt_state.hyperparams)
     hp["lr"] = jnp.asarray(lr, jnp.float32)
+    if wd is not None:
+        hp["wd"] = jnp.asarray(wd, jnp.float32)
     return opt_state._replace(hyperparams=hp)
 
 

@@ -1,0 +1,87 @@
+"""DINOv2 objective tests: losses, masking collate (static shapes), and an
+end-to-end training smoke run on synthetic data."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from apla_tpu.utils.config import load_merged_params
+
+PARAMS = os.path.join(os.path.dirname(__file__), "..", "params", "synthetic",
+                      "vit_tiny", "dinov2.yml")
+
+
+def test_masking_generator_shapes():
+    from apla_tpu.ssl.dinov2 import MaskingGenerator
+    gen = MaskingGenerator((8, 8), max_num_patches=32)
+    rng = np.random.default_rng(0)
+    m = gen(16, rng=rng)
+    assert m.shape == (8, 8)
+    assert 0 < m.sum() <= 32
+    assert gen(0, rng=rng).sum() == 0
+
+
+def test_ibot_collate_static_shapes():
+    from apla_tpu.ssl.dinov2 import MaskingGenerator, make_ibot_collate
+    n_tokens = 16
+    gen = MaskingGenerator((4, 4), max_num_patches=8)
+    collate = make_ibot_collate(
+        n_global_crops=2, n_local_crops=4, mask_ratio_tuple=(0.1, 0.5),
+        mask_probability=0.5, n_tokens=n_tokens, mask_generator=gen)
+    samples = [{"image": [np.zeros((32, 32, 3), np.float32)] * 6,
+                "label": i} for i in range(4)]
+    b1 = collate(samples)
+    b2 = collate(samples[:4])
+    # static shapes across batches — XLA never recompiles
+    for k in ("collated_masks", "mask_indices_list", "masks_weight",
+              "mask_valid"):
+        assert b1[k].shape == b2[k].shape, k
+    assert b1["collated_global_crops"].shape == (8, 32, 32, 3)
+    assert b1["collated_local_crops"].shape == (16, 32, 32, 3)
+    # weights zero beyond the valid region
+    inv = b1["mask_valid"] == 0
+    assert (b1["masks_weight"][inv] == 0).all()
+
+
+def test_sinkhorn_doubly_stochastic():
+    from apla_tpu.ssl.dinov2 import sinkhorn_knopp_teacher
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 8))
+    Q = sinkhorn_knopp_teacher(x, 0.07)
+    rows = np.asarray(jnp.sum(Q, axis=1))
+    np.testing.assert_allclose(rows, 1.0, atol=1e-3)  # per-sample assignment
+
+
+def test_koleo_loss_prefers_spread():
+    from apla_tpu.ssl.dinov2 import koleo_loss
+    clustered = jnp.ones((8, 4)) + 0.001 * jax.random.normal(
+        jax.random.PRNGKey(0), (8, 4))
+    spread = jax.random.normal(jax.random.PRNGKey(1), (8, 4))
+    assert float(koleo_loss(clustered)) > float(koleo_loss(spread))
+
+
+@pytest.mark.slow
+def test_dinov2_end_to_end(tmp_path):
+    from apla_tpu.ssl.dinov2 import Dinov2Trainer, DINOv2Wrapper
+    params = load_merged_params(PARAMS)
+    params.training_params.epochs = 1
+    params.training_params.log_every = 1
+    params.training_params.val_every = 1.0
+    params.training_params.save_dir = str(tmp_path)
+    params.dataset_params.synthetic_size = 32
+    for ld in ("trainloader", "valloader", "testloader"):
+        params.dataloader_params[ld].batch_size = 8
+    wrapper = DINOv2Wrapper(params)
+    wrapper.instantiate()
+    # teacher == student at init
+    np.testing.assert_allclose(
+        np.asarray(wrapper.state.teacher["dino_head"]["last_v"]),
+        np.asarray(wrapper.state.trainable["dino_head"]["last_v"]))
+    trainer = Dinov2Trainer(wrapper)
+    trainer.train()
+    # centers moved; loss finite; teacher EMA'd
+    assert np.abs(np.asarray(trainer.state.dino_center)).max() > 0
+    assert np.abs(np.asarray(trainer.state.ibot_center)).max() > 0
+    assert np.isfinite(float(trainer.best_val_target))

@@ -1,0 +1,60 @@
+"""Segmentation head tests (reference seg side-car parity)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from apla_tpu.apla.core import AplaConfig, count_params
+from apla_tpu.models.seg import (
+    init_segmenter, mean_iou, segmentation_loss, segmenter_forward)
+from apla_tpu.models.vit import ViTConfig
+
+CFG = ViTConfig(img_size=32, patch_size=8, embed_dim=64, depth=2, num_heads=4,
+                compute_dtype=jnp.float32)
+
+
+def test_segmenter_shapes_and_grads():
+    trainable, frozen = init_segmenter(jax.random.PRNGKey(0), CFG,
+                                       n_classes=5, channels=32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    logits = segmenter_forward(trainable, frozen, x, CFG)
+    assert logits.shape == (2, 32, 32, 5)
+
+    labels = jnp.zeros((2, 32, 32), jnp.int32)
+
+    def loss(trainable):
+        lg = segmenter_forward(trainable, frozen, x, CFG)
+        return segmentation_loss(lg, labels)
+
+    g = jax.grad(loss)(trainable)
+    # reference seg recipe: 'full' mode — whole attn out-proj trainable,
+    # everything else frozen (apla_vit.py:27-33)
+    gw = np.asarray(g["backbone"]["blocks"]["attn"]["proj"]["kernel"])
+    assert np.isfinite(gw).all() and np.abs(gw).max() > 0
+
+
+def test_segmentation_loss_ignore_index():
+    logits = jnp.zeros((1, 4, 4, 3))
+    labels = jnp.full((1, 4, 4), 255, jnp.int32)  # everything ignored
+    loss = segmentation_loss(logits, labels)
+    assert float(loss) == 0.0
+    labels = labels.at[0, 0, 0].set(1)
+    loss = segmentation_loss(logits, labels)
+    assert float(loss) > 0
+
+
+def test_mean_iou():
+    pred = np.array([[0, 0], [1, 1]])
+    labels = np.array([[0, 0], [1, 255]])
+    assert mean_iou(pred, labels, n_classes=2) == 1.0
+    assert mean_iou(1 - pred, labels, n_classes=2) == 0.0
+
+
+def test_apla_rank_mode_seg():
+    trainable, frozen = init_segmenter(
+        jax.random.PRNGKey(0), CFG, n_classes=5, channels=32,
+        apla_cfg=AplaConfig(partial_size=8))
+    assert trainable["backbone"]["blocks"]["proj_wt"].shape == (2, 64, 8)
+    x = jnp.ones((1, 32, 32, 3))
+    logits = segmenter_forward(trainable, frozen, x, CFG)
+    assert logits.shape == (1, 32, 32, 5)
