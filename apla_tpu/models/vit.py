@@ -189,6 +189,8 @@ def _block_forward(x, block_params, trainable_block, dp_rate, cfg: ViTConfig,
         r_attn, r_dp1, r_mlp, r_dp2 = jax.random.split(rng, 4)
     else:
         r_attn = r_dp1 = r_mlp = r_dp2 = None
+    if cfg.drop_path_rate == 0.0:  # statically skip stochastic depth
+        r_dp1 = r_dp2 = None
 
     y = layer_norm(x, block_params["norm1"]["scale"],
                    block_params["norm1"]["bias"], cfg.norm_eps)

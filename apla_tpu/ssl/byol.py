@@ -309,6 +309,8 @@ class BYOLTrainer:
     def train(self):
         import time
         from ..utils.logging import cyan, gray
+        if self.restore_session:
+            self.load_session()
         loader = self.wrapper.dataloaders.trainloader
         steps_per_epoch = len(loader)
         val_interval = max(int(self.val_every * steps_per_epoch), 1)
@@ -384,6 +386,16 @@ class BYOLTrainer:
                                  using_knn=True)
         return metric.get_values()
 
+    def _aux_state(self, state=None):
+        """Every state field beyond (step, trainable, opt_state) — teacher,
+        centering buffers, BN stats — persisted alongside the trainable tree
+        (the reference saves the full module state_dict, covering these)."""
+        import dataclasses
+        state = state or self.state
+        return {f.name: getattr(state, f.name)
+                for f in dataclasses.fields(state)
+                if f.name not in ("step", "trainable", "opt_state")}
+
     def save_session(self, epoch):
         if self.is_dry or self.is_debug:
             return
@@ -394,7 +406,29 @@ class BYOLTrainer:
             parameters=self.parameters,
             best_val_target=(None if self.best_val_target == -np.inf
                              else float(self.best_val_target)),
+            aux_state=self._aux_state(),
             extra={"scheduler": self.scheduler.state_dict()})
+
+    def load_session(self):
+        from ..train.checkpoint import load_checkpoint
+        from ..utils.logging import cyan, yellow
+        path = os.path.join(self.save_dir, self.model_name)
+        if not os.path.isdir(path):
+            print(yellow(f"restore_session: no checkpoint at {path}"))
+            return
+        state, frozen, manifest, _, aux = load_checkpoint(
+            path, state_template=self.state, frozen_template=self.frozen,
+            aux_template=self._aux_state())
+        if aux is not None:
+            state = state.replace(**aux)
+        self.state = state
+        if frozen is not None:
+            self.frozen = frozen
+        self.iters = manifest["iters"]
+        self.epoch0 = manifest["epoch"]
+        if manifest.get("best_val_target") is not None:
+            self.best_val_target = manifest["best_val_target"]
+        print(cyan(f"Restored SSL session from {path} at iter {self.iters}"))
 
     def test(self, chpt_path=None):
         results = self.evaluate(self.wrapper.dataloaders.testloader)

@@ -650,6 +650,8 @@ class Dinov2Trainer(BYOLTrainer):
     def train(self):
         import time
         from ..utils.logging import cyan, gray
+        if self.restore_session:
+            self.load_session()
         loader = self.wrapper.dataloaders.trainloader
         steps_per_epoch = len(loader)
         val_interval = max(int(self.val_every * steps_per_epoch), 1)

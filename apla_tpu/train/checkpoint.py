@@ -27,12 +27,18 @@ def _to_host(tree):
 def save_checkpoint(path: str, *, state, frozen=None, epoch: int = 0,
                     parameters: dict | None = None,
                     best_val_target: float | None = None,
-                    best_trainable=None, extra: dict | None = None) -> None:
+                    best_trainable=None, extra: dict | None = None,
+                    aux_state: dict | None = None) -> None:
+    """`aux_state`: extra pytrees to persist (SSL teacher, centering buffers,
+    BN stats — the reference stores the whole model state_dict, which covers
+    these implicitly)."""
     os.makedirs(path, exist_ok=True)
     payload = {
         "trainable": _to_host(state.trainable),
         "opt_state": _to_host(state.opt_state),
     }
+    if aux_state:
+        payload["aux_state"] = _to_host(aux_state)
     if best_trainable is not None:
         payload["best_trainable"] = _to_host(best_trainable)
     with open(os.path.join(path, "state.msgpack"), "wb") as f:
@@ -56,19 +62,23 @@ def save_checkpoint(path: str, *, state, frozen=None, epoch: int = 0,
             pickle.dump(dict(parameters), f)
 
 
-def load_checkpoint(path: str, *, state_template, frozen_template=None):
-    """Restore (state, frozen, manifest).  Templates give the pytree structure
-    (msgpack is structure-free, reference `load_state_dict` analogue)."""
+def load_checkpoint(path: str, *, state_template, frozen_template=None,
+                    aux_template=None):
+    """Restore (state, frozen, manifest[, aux via manifest key]).  Templates
+    give the pytree structure (msgpack is structure-free, reference
+    `load_state_dict` analogue)."""
     with open(os.path.join(path, "state.msgpack"), "rb") as f:
         raw = f.read()
     template = {
         "trainable": _to_host(state_template.trainable),
         "opt_state": _to_host(state_template.opt_state),
     }
-    # optional key must exist in the template to round-trip
+    # optional keys must exist in the template to round-trip
     payload_probe = serialization.msgpack_restore(raw)
     if "best_trainable" in payload_probe:
         template["best_trainable"] = template["trainable"]
+    if "aux_state" in payload_probe and aux_template is not None:
+        template["aux_state"] = _to_host(aux_template)
     payload = serialization.from_bytes(template, raw)
 
     state = state_template.replace(
@@ -85,7 +95,8 @@ def load_checkpoint(path: str, *, state_template, frozen_template=None):
             frozen = serialization.from_bytes(_to_host(frozen_template),
                                               f.read())
     best_trainable = payload.get("best_trainable")
-    return state, frozen, manifest, best_trainable
+    aux_state = payload.get("aux_state")
+    return state, frozen, manifest, best_trainable, aux_state
 
 
 def load_parameters(path: str) -> dict | None:

@@ -80,7 +80,7 @@ class Trainer:
         if not os.path.isdir(path):
             print(yellow(f"restore_session: no checkpoint at {path}"))
             return
-        state, frozen, manifest, best_trainable = load_checkpoint(
+        state, frozen, manifest, best_trainable, _ = load_checkpoint(
             path, state_template=self.state, frozen_template=self.frozen)
         self.state = state  # host arrays; jit re-places them on first step
         if frozen is not None:
@@ -206,7 +206,7 @@ class Trainer:
         trainer.py:247-345); optional kNN eval."""
         trainable = self.state.trainable
         if chpt_path and os.path.isdir(chpt_path):
-            state, frozen, _, best_trainable = load_checkpoint(
+            state, frozen, _, best_trainable, _ = load_checkpoint(
                 chpt_path, state_template=self.state,
                 frozen_template=self.frozen)
             trainable = (best_trainable if best_trainable is not None

@@ -91,7 +91,18 @@ class DefaultWrapper:
         if not self.is_supervised:
             trainset.num_augmentations = 2
 
-        trainloader = DataLoader(trainset, **self.dataloader_params["trainloader"])
+        # mixup/cutmix collate (reference wrappers.py:138-141 advanced_aug)
+        train_collate = None
+        tt = self.dataset_params.get("train_transforms")
+        if isinstance(tt, dict) and tt.get("advanced_aug"):
+            from .data.mixup import AdvancedAugCollate
+            aug_params = dict(tt.get("advanced_aug_params", {}))
+            aug_params["num_classes"] = trainset.n_classes
+            train_collate = AdvancedAugCollate(aug_params)
+
+        trainloader = DataLoader(trainset,
+                                 collate_fn=train_collate,
+                                 **self.dataloader_params["trainloader"])
         testloader = DataLoader(testset, **self.dataloader_params["testloader"])
         if len(valset) > 0:
             valloader = DataLoader(valset, **self.dataloader_params["valloader"])

@@ -62,7 +62,7 @@ def test_trainable_params_changed(trained):
 def test_checkpoint_roundtrip(trained):
     wrapper, trainer, _, _ = trained
     from apla_tpu.train.checkpoint import load_checkpoint
-    state, frozen, manifest, best = load_checkpoint(
+    state, frozen, manifest, best, _ = load_checkpoint(
         trainer.checkpoint_path, state_template=trainer.state,
         frozen_template=trainer.frozen)
     assert manifest["iters"] == trainer.iters
