@@ -319,6 +319,25 @@ class ToArray(Transform):
         return arr
 
 
+class NativeToArrayNormalize(Transform):
+    """Fused PIL -> float32 HWC normalised via the C++ kernel
+    (apla_tpu.native.normalize): one pass instead of ToArray + Normalize."""
+
+    def __init__(self, mean, std):
+        self.mean = np.asarray(mean, dtype=np.float32)
+        self.std = np.asarray(std, dtype=np.float32)
+
+    def __call__(self, img, rng):
+        from .. import native
+        arr = np.asarray(img)
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        if arr.dtype == np.uint8 and arr.shape[-1] == len(self.mean):
+            return native.normalize(arr, self.mean, self.std)
+        arr = arr.astype(np.float32) / 255.0
+        return (arr - self.mean) / self.std
+
+
 class Normalize(Transform):
     def __init__(self, mean, std):
         self.mean = np.asarray(mean, dtype=np.float32)
@@ -640,9 +659,15 @@ def build_transform(transform_dict: dict, mean, std) -> Compose:
     if on("TrivialAugment"):
         tl.append(TrivialAugmentWide())
 
-    tl.append(ToArray())
     if td.get("Normalize"):
-        tl.append(Normalize(mean, std))
+        from .. import native as _native
+        if _native.available():
+            tl.append(NativeToArrayNormalize(mean, std))
+        else:
+            tl.append(ToArray())
+            tl.append(Normalize(mean, std))
+    else:
+        tl.append(ToArray())
     if on("RandomErasing"):
         e = td["RandomErasing"]
         tl.append(RandomErasing(p=e["p"], scale=tuple(e["scale"]),

@@ -51,6 +51,7 @@ class ViTConfig:
     num_register_tokens: int = 0  # DINOv2-style registers
     compute_dtype: Any = jnp.bfloat16
     use_flash: bool = False   # Pallas flash-attention path
+    attn_logits_f32: bool = True  # f32 vs bf16 attention logits buffer
     # APLA: None => no adaptation (plain ViT); int k => k trainable output
     # channels per block; "full" => whole projection trainable.
     apla_rank: Optional[Any] = None
@@ -199,7 +200,7 @@ def _block_forward(x, block_params, trainable_block, dp_rate, cfg: ViTConfig,
             y, block_params["attn"], trainable_block, cfg.num_heads,
             scale=cfg.scale, attn_drop=cfg.attn_drop_rate,
             proj_drop=cfg.drop_rate, rng=r_attn, deterministic=deterministic,
-            use_flash=cfg.use_flash)
+            use_flash=cfg.use_flash, logits_f32=cfg.attn_logits_f32)
     else:
         attn_params = dict(block_params["attn"])
         if trainable_block is not None and "attn" in trainable_block:
@@ -208,7 +209,8 @@ def _block_forward(x, block_params, trainable_block, dp_rate, cfg: ViTConfig,
         y = multi_head_attention(
             y, attn_params, cfg.num_heads, scale=cfg.scale,
             attn_drop=cfg.attn_drop_rate, proj_drop=cfg.drop_rate, rng=r_attn,
-            deterministic=deterministic, use_flash=cfg.use_flash)
+            deterministic=deterministic, use_flash=cfg.use_flash,
+            logits_f32=cfg.attn_logits_f32)
     if "ls1" in block_params:
         y = y * block_params["ls1"]["gamma"].astype(y.dtype)
     x = x + _drop_path(y, dp_rate, r_dp1, deterministic)

@@ -27,7 +27,7 @@ def _dropout(x, rate, rng, deterministic):
 
 def qkv_and_attend(x, qkv_kernel, qkv_bias, num_heads, scale=None,
                    attn_drop=0.0, rng=None, deterministic=True,
-                   use_flash=False):
+                   use_flash=False, logits_f32=True):
     """QKV projection + scaled dot-product attention.  Returns [B, N, C]."""
     B, N, C = x.shape
     head_dim = C // num_heads
@@ -44,19 +44,22 @@ def qkv_and_attend(x, qkv_kernel, qkv_bias, num_heads, scale=None,
         out = flash_mha(q, k, v, scale=scale)  # [B, N, H, Dh]
         return out.reshape(B, N, C)
 
-    # [B, H, N, N] logits in f32 for a stable softmax
+    # logits materialise as [B, H, N, N]; f32 is the safe default, bf16
+    # halves the HBM traffic of the softmax chain (max-subtracted exp is
+    # fine in bf16 for ViT-scale logits)
+    acc = jnp.float32 if logits_f32 else x.dtype
     logits = jnp.einsum("bnhd,bmhd->bhnm", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    attn = jax.nn.softmax(logits, axis=-1)
+                        preferred_element_type=acc) * scale
+    attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
     attn = _dropout(attn, attn_drop, rng, deterministic)
-    out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(x.dtype), v,
+    out = jnp.einsum("bhnm,bmhd->bnhd", attn, v,
                      preferred_element_type=x.dtype)
     return out.reshape(B, N, C)
 
 
 def multi_head_attention(x, params, num_heads, scale=None, attn_drop=0.0,
                          proj_drop=0.0, rng=None, deterministic=True,
-                         use_flash=False):
+                         use_flash=False, logits_f32=True):
     """Standard attention block: QKV, attend, dense output projection.
 
     `params`: {'qkv': {'kernel', 'bias'?}, 'proj': {'kernel', 'bias'}}
@@ -65,7 +68,8 @@ def multi_head_attention(x, params, num_heads, scale=None, attn_drop=0.0,
     out = qkv_and_attend(
         x, params["qkv"]["kernel"], params["qkv"].get("bias"), num_heads,
         scale=scale, attn_drop=attn_drop, rng=rng_a,
-        deterministic=deterministic, use_flash=use_flash)
+        deterministic=deterministic, use_flash=use_flash,
+        logits_f32=logits_f32)
     proj = params["proj"]
     out = jnp.dot(out, proj["kernel"].astype(x.dtype),
                   preferred_element_type=x.dtype) + proj["bias"].astype(x.dtype)
@@ -74,7 +78,7 @@ def multi_head_attention(x, params, num_heads, scale=None, attn_drop=0.0,
 
 def apla_attention(x, frozen, trainable, num_heads, scale=None, attn_drop=0.0,
                    proj_drop=0.0, rng=None, deterministic=True,
-                   use_flash=False):
+                   use_flash=False, logits_f32=True):
     """APLA attention: frozen QKV + attention, partial-trainable projection.
 
     `frozen`:    {'qkv': {'kernel','bias'?}, 'proj': {'kernel','bias'}, 'inds': [k]}
@@ -85,7 +89,8 @@ def apla_attention(x, frozen, trainable, num_heads, scale=None, attn_drop=0.0,
     out = qkv_and_attend(
         x, frozen["qkv"]["kernel"], frozen["qkv"].get("bias"), num_heads,
         scale=scale, attn_drop=attn_drop, rng=rng_a,
-        deterministic=deterministic, use_flash=use_flash)
+        deterministic=deterministic, use_flash=use_flash,
+        logits_f32=logits_f32)
     out = apla_proj(out, trainable["proj_wt"], trainable["proj_bt"],
                     frozen["proj"]["kernel"], frozen["proj"]["bias"],
                     frozen["inds"])
