@@ -1,0 +1,216 @@
+"""Anchor-free detection head on the APLA-Swin feature pyramid.
+
+Reference scope: the reference's detection support is a backbone drop-in —
+`APLA_SwinTransformer` (freeze all but attn.proj) fed into mmdet's Mask R-CNN
+(`apla_mask_rcnn_swin_tiny_..._coco.py`); the head itself is external.  Here
+a compact in-repo FCOS-style head (shared conv towers -> per-level cls /
+box / centerness maps, focal + IoU loss, top-k + NMS decode) makes the
+adapted backbone trainable end-to-end for detection on TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .vit import trunc_normal
+
+
+def _conv_init(key, k, c_in, c_out):
+    return {"kernel": trunc_normal(key, (k, k, c_in, c_out), std=0.01),
+            "bias": jnp.zeros((c_out,))}
+
+
+def init_fcos_head(key, in_channels, n_classes, channels=128, n_convs=2,
+                   n_levels=4):
+    keys = jax.random.split(key, 2 * n_convs + 4)
+    head = {"cls_tower": [], "box_tower": []}
+    c = None
+    for i in range(n_convs):
+        cin = in_channels if i == 0 else channels
+        head["cls_tower"].append(_conv_init(keys[2 * i], 3, cin, channels))
+        head["box_tower"].append(_conv_init(keys[2 * i + 1], 3, cin, channels))
+    head["cls"] = _conv_init(keys[-4], 3, channels, n_classes)
+    # focal-loss prior: start predictions near p=0.01
+    head["cls"]["bias"] = jnp.full((n_classes,), -np.log((1 - 0.01) / 0.01))
+    head["box"] = _conv_init(keys[-3], 3, channels, 4)
+    head["ctr"] = _conv_init(keys[-2], 3, channels, 1)
+    head["scales"] = jnp.ones((n_levels,))
+    # lateral 1x1 convs: project each pyramid level to `channels`... handled
+    # by per-level input conv when channel counts differ
+    return head
+
+
+def _conv(x, p):
+    y = jax.lax.conv_general_dilated(
+        x, p["kernel"].astype(x.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype)
+    return y + p["bias"].astype(x.dtype)
+
+
+def fcos_head_forward(features, head, laterals=None):
+    """features: list of [B, H, W, C_l] pyramid levels (C_l may differ —
+    pass `laterals` 1x1 conv params per level to unify).  Returns per-level
+    (cls_logits [B,H,W,K], box [B,H,W,4], ctr [B,H,W,1])."""
+    outs = []
+    for lvl, feat in enumerate(features):
+        x = feat
+        if laterals is not None:
+            x = _conv(x, laterals[lvl])
+        c = x
+        for p in head["cls_tower"]:
+            c = jax.nn.relu(_conv(c, p))
+        b = x
+        for p in head["box_tower"]:
+            b = jax.nn.relu(_conv(b, p))
+        cls_logits = _conv(c, head["cls"]).astype(jnp.float32)
+        box = jax.nn.relu(_conv(b, head["box"]).astype(jnp.float32)
+                          * head["scales"][lvl])
+        ctr = _conv(b, head["ctr"]).astype(jnp.float32)
+        outs.append((cls_logits, box, ctr))
+    return outs
+
+
+def focal_loss(logits, targets, alpha=0.25, gamma=2.0):
+    """Sigmoid focal loss; targets one-hot [N, K] (0 rows = background)."""
+    p = jax.nn.sigmoid(logits)
+    ce = -(targets * jax.nn.log_sigmoid(logits)
+           + (1 - targets) * jax.nn.log_sigmoid(-logits))
+    p_t = p * targets + (1 - p) * (1 - targets)
+    a_t = alpha * targets + (1 - alpha) * (1 - targets)
+    return a_t * ((1 - p_t) ** gamma) * ce
+
+
+def iou_loss(pred_ltrb, target_ltrb, eps=1e-7):
+    """IoU loss between (l, t, r, b) distance encodings at matched points."""
+    pl, pt, pr, pb = jnp.split(pred_ltrb, 4, axis=-1)
+    tl, tt, tr, tb = jnp.split(target_ltrb, 4, axis=-1)
+    p_area = (pl + pr) * (pt + pb)
+    t_area = (tl + tr) * (tt + tb)
+    iw = jnp.minimum(pl, tl) + jnp.minimum(pr, tr)
+    ih = jnp.minimum(pt, tt) + jnp.minimum(pb, tb)
+    inter = jnp.clip(iw, 0) * jnp.clip(ih, 0)
+    union = p_area + t_area - inter
+    iou = inter / (union + eps)
+    return -jnp.log(iou + eps)[..., 0]
+
+
+def fcos_loss(level_outs, strides, gt_boxes, gt_labels, n_classes,
+              img_hw):
+    """Single-image FCOS loss with fixed-size GT buffers.
+
+    gt_boxes: [M, 4] (x1, y1, x2, y2), padded rows have label -1.
+    gt_labels: [M] int (-1 = padding).
+    Points are assigned to the smallest box containing them (per level by
+    stride range), classic FCOS.
+    """
+    total_cls, total_box, total_ctr, n_pos = 0.0, 0.0, 0.0, 0.0
+    size_ranges = [(0, 64), (64, 128), (128, 256), (256, 1e8)]
+    valid_gt = gt_labels >= 0
+    areas = jnp.where(valid_gt,
+                      (gt_boxes[:, 2] - gt_boxes[:, 0])
+                      * (gt_boxes[:, 3] - gt_boxes[:, 1]), 1e9)
+    for lvl, (cls_logits, box, ctr) in enumerate(level_outs):
+        B, H, W, K = cls_logits.shape
+        stride = strides[lvl]
+        ys = (jnp.arange(H) + 0.5) * stride
+        xs = (jnp.arange(W) + 0.5) * stride
+        py, px = jnp.meshgrid(ys, xs, indexing="ij")      # [H, W]
+        # distances to every gt box: [H, W, M]
+        l = px[..., None] - gt_boxes[None, None, :, 0]
+        t = py[..., None] - gt_boxes[None, None, :, 1]
+        r = gt_boxes[None, None, :, 2] - px[..., None]
+        b = gt_boxes[None, None, :, 3] - py[..., None]
+        ltrb = jnp.stack([l, t, r, b], axis=-1)           # [H, W, M, 4]
+        inside = jnp.min(ltrb, axis=-1) > 0
+        max_dist = jnp.max(ltrb, axis=-1)
+        lo, hi = size_ranges[min(lvl, len(size_ranges) - 1)]
+        in_range = (max_dist >= lo) & (max_dist <= hi)
+        candidate = inside & in_range & valid_gt[None, None, :]
+        cand_areas = jnp.where(candidate, areas[None, None, :], 1e9)
+        best = jnp.argmin(cand_areas, axis=-1)            # [H, W]
+        is_pos = jnp.take_along_axis(candidate, best[..., None],
+                                     axis=-1)[..., 0]
+        tgt_label = jnp.where(is_pos, gt_labels[best], -1)
+        tgt_ltrb = jnp.take_along_axis(
+            ltrb, best[..., None, None].repeat(4, -1), axis=2)[:, :, 0]
+
+        one_hot = jax.nn.one_hot(jnp.where(tgt_label >= 0, tgt_label, 0),
+                                 K) * (tgt_label >= 0)[..., None]
+        total_cls = total_cls + jnp.sum(
+            focal_loss(cls_logits[0], one_hot))
+        lr_ = jnp.stack([tgt_ltrb[..., 0], tgt_ltrb[..., 2]], -1)
+        tb_ = jnp.stack([tgt_ltrb[..., 1], tgt_ltrb[..., 3]], -1)
+        ctr_tgt = jnp.sqrt(
+            jnp.clip(jnp.min(lr_, -1) / jnp.clip(jnp.max(lr_, -1), 1e-7), 0)
+            * jnp.clip(jnp.min(tb_, -1) / jnp.clip(jnp.max(tb_, -1), 1e-7),
+                       0))
+        pos = is_pos.astype(jnp.float32)
+        total_box = total_box + jnp.sum(
+            iou_loss(box[0] / stride, tgt_ltrb / stride) * pos)
+        ctr_bce = -(ctr_tgt * jax.nn.log_sigmoid(ctr[0, ..., 0])
+                    + (1 - ctr_tgt) * jax.nn.log_sigmoid(-ctr[0, ..., 0]))
+        total_ctr = total_ctr + jnp.sum(ctr_bce * pos)
+        n_pos = n_pos + jnp.sum(pos)
+
+    n_pos = jnp.maximum(n_pos, 1.0)
+    return {"cls_loss": total_cls / n_pos, "box_loss": total_box / n_pos,
+            "ctr_loss": total_ctr / n_pos,
+            "total": (total_cls + total_box + total_ctr) / n_pos}
+
+
+def decode_detections(level_outs, strides, score_thresh=0.05, top_k=100):
+    """Decode per-level maps to (boxes [N,4], scores [N], labels [N]) on
+    host (numpy) with greedy NMS."""
+    boxes, scores, labels = [], [], []
+    for lvl, (cls_logits, box, ctr) in enumerate(level_outs):
+        stride = strides[lvl]
+        cls_p = np.asarray(jax.nn.sigmoid(cls_logits))[0]
+        ctr_p = np.asarray(jax.nn.sigmoid(ctr))[0, ..., 0]
+        box_np = np.asarray(box)[0]
+        H, W, K = cls_p.shape
+        ys = (np.arange(H) + 0.5) * stride
+        xs = (np.arange(W) + 0.5) * stride
+        py, px = np.meshgrid(ys, xs, indexing="ij")
+        score = cls_p * ctr_p[..., None]
+        keep = score > score_thresh
+        hh, ww, kk = np.nonzero(keep)
+        for y, x, k in zip(hh, ww, kk):
+            l, t, r, b = box_np[y, x]
+            boxes.append([px[y, x] - l, py[y, x] - t,
+                          px[y, x] + r, py[y, x] + b])
+            scores.append(score[y, x, k])
+            labels.append(k)
+    if not boxes:
+        return np.zeros((0, 4)), np.zeros((0,)), np.zeros((0,), int)
+    boxes = np.asarray(boxes)
+    scores = np.asarray(scores)
+    labels = np.asarray(labels, int)
+    order = np.argsort(-scores)[:top_k * 4]
+    boxes, scores, labels = boxes[order], scores[order], labels[order]
+    keep = nms(boxes, scores, iou_thresh=0.6)[:top_k]
+    return boxes[keep], scores[keep], labels[keep]
+
+
+def nms(boxes, scores, iou_thresh=0.5):
+    order = np.argsort(-scores)
+    keep = []
+    while len(order):
+        i = order[0]
+        keep.append(i)
+        if len(order) == 1:
+            break
+        rest = order[1:]
+        xx1 = np.maximum(boxes[i, 0], boxes[rest, 0])
+        yy1 = np.maximum(boxes[i, 1], boxes[rest, 1])
+        xx2 = np.minimum(boxes[i, 2], boxes[rest, 2])
+        yy2 = np.minimum(boxes[i, 3], boxes[rest, 3])
+        inter = np.clip(xx2 - xx1, 0, None) * np.clip(yy2 - yy1, 0, None)
+        a_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+        a_r = (boxes[rest, 2] - boxes[rest, 0]) \
+            * (boxes[rest, 3] - boxes[rest, 1])
+        iou = inter / (a_i + a_r - inter + 1e-9)
+        order = rest[iou <= iou_thresh]
+    return np.asarray(keep, int)

