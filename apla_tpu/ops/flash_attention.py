@@ -42,8 +42,17 @@ def _jnp_mha(q, k, v, scale):
 
 
 def flash_mha(q, k, v, scale: float = 1.0):
-    """q, k, v: [B, N, H, Dh] -> out [B, N, H, Dh]."""
+    """q, k, v: [B, N, H, Dh] -> out [B, N, H, Dh].
+
+    Dispatch: short sequences -> full-VMEM Pallas kernel (pallas_mha.py, no
+    HBM score traffic); long sequences -> blockwise flash kernel; off-TPU ->
+    jnp reference."""
     B, N, H, Dh = q.shape
+    if _on_tpu():
+        from .pallas_mha import fits_vmem, vmem_mha
+        if fits_vmem(N):
+            return vmem_mha(q, k, v, scale=scale)
+
     qt = q.transpose(0, 2, 1, 3)  # [B, H, N, Dh]
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
