@@ -1,0 +1,63 @@
+"""Data-parallel correctness: the same global batch must produce identical
+losses and updates on a 1-device and an 8-device mesh (XLA inserts the
+gradient psum from shardings — this pins down that the collective math
+matches single-device execution)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from apla_tpu.apla.core import AplaConfig
+from apla_tpu.models.classifier import init_classifier
+from apla_tpu.models.vit import ViTConfig
+from apla_tpu.parallel.mesh import make_mesh, replicated_sharding, shard_batch
+from apla_tpu.train.losses import cross_entropy
+from apla_tpu.train.optim import build_optimizer
+from apla_tpu.train.steps import make_train_step
+from apla_tpu.train.train_state import TrainState
+
+CFG = ViTConfig(img_size=32, patch_size=8, embed_dim=64, depth=2, num_heads=4,
+                compute_dtype=jnp.float32)
+
+
+def _run_steps(n_devices, n_steps=3):
+    mesh = make_mesh(n_data=n_devices, devices=jax.devices()[:n_devices])
+    trainable, frozen = init_classifier(
+        jax.random.PRNGKey(0), CFG, n_classes=10,
+        apla_cfg=AplaConfig(partial_size=8))
+    tx = build_optimizer("AdamW", {"lr": 1e-3, "weight_decay": 1e-5},
+                         trainable, grad_clip=1.0)
+    state = jax.device_put(TrainState.create(trainable, tx),
+                           replicated_sharding(mesh))
+    frozen = jax.device_put(frozen, replicated_sharding(mesh))
+    step = make_train_step(CFG, tx, cross_entropy)
+    rng = np.random.default_rng(0)
+    losses = []
+    for i in range(n_steps):
+        batch = {
+            "image": rng.standard_normal((16, 32, 32, 3)).astype(np.float32),
+            "label": rng.integers(0, 10, 16).astype(np.int64),
+        }
+        state, m = step(state, frozen, shard_batch(batch, mesh), 1e-3,
+                        jax.random.PRNGKey(7))
+        losses.append(float(m["loss"]))
+    wt = np.asarray(state.trainable["backbone"]["blocks"]["proj_wt"])
+    return losses, wt
+
+
+def test_dp_invariance_1_vs_8():
+    l1, w1 = _run_steps(1)
+    l8, w8 = _run_steps(8)
+    np.testing.assert_allclose(l1, l8, rtol=1e-5)
+    np.testing.assert_allclose(w1, w8, rtol=1e-5, atol=1e-7)
+
+
+def test_uneven_batch_padding():
+    from apla_tpu.parallel.mesh import pad_to_multiple
+    batch = {"image": np.zeros((13, 4, 4, 3)), "label": np.arange(13)}
+    padded, n = pad_to_multiple(batch, 8)
+    assert n == 13
+    assert padded["image"].shape[0] == 16
+    # padded rows repeat the last row (edge mode)
+    assert padded["label"][-1] == 12
