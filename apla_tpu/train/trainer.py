@@ -121,6 +121,8 @@ class Trainer:
         val_interval = max(int(self.val_every * steps_per_epoch), 1)
         log_pending = []  # (iters, device scalars) — fetched lazily
 
+        from ..utils.profiling import StepTimer
+        timer = StepTimer(sync_every=self.log_every)
         print(cyan(f"Training {self.model_name}: {self.epochs} epochs x "
                    f"{steps_per_epoch} steps, mesh={self.mesh.shape}"))
         t_start = time.time()
@@ -134,14 +136,16 @@ class Trainer:
                     self.state, self.frozen, dbatch, lr, self.rng)
                 images_seen += batch["label"].shape[0]
                 self.iters += 1
+                timer.tick(sync_value=m["loss"])
 
                 if self.iters % self.log_every == 0:
                     loss = float(m["loss"])
                     gnorm = float(m["grad_norm"])
                     ips = images_seen / max(time.time() - t_start, 1e-9)
-                    self.logger.log({"train_loss": loss, "lr": lr,
-                                     "grad_norm": gnorm,
-                                     "images_per_sec": ips}, self.iters)
+                    rec = {"train_loss": loss, "lr": lr, "grad_norm": gnorm,
+                           "images_per_sec": ips}
+                    rec.update(timer.summary())
+                    self.logger.log(rec, self.iters)
                     print(gray(f"it {self.iters:6d} ep {epoch:3d} "
                                f"loss {loss:.4f} lr {lr:.2e} "
                                f"gnorm {gnorm:.2f} img/s {ips:.1f}"))

@@ -1,0 +1,52 @@
+"""Step-time / throughput observability.
+
+The reference has no profiling subsystem (SURVEY §5: tqdm rates +
+nvidia-smi dumps).  Here: a host-side step timer with percentile summaries —
+robust against the async-dispatch pitfall (a device sync is injected every
+`sync_every` steps via a value fetch, because through remote-PJRT transports
+`block_until_ready` may return before execution finishes).
+`jax.profiler.trace` can be layered on top where the backend supports it.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+class StepTimer:
+    def __init__(self, sync_every: int = 50, skip_first: int = 3):
+        self.sync_every = sync_every
+        self.skip_first = skip_first
+        self._t_last = None
+        self._count = 0
+        self.samples: list[float] = []
+
+    def tick(self, sync_value=None):
+        """Call once per step; pass a device scalar (e.g. the loss) — it is
+        fetched on sync steps to create a true barrier."""
+        now = time.perf_counter()
+        self._count += 1
+        if sync_value is not None and self._count % self.sync_every == 0:
+            float(sync_value)
+            now = time.perf_counter()
+        if self._t_last is not None and self._count > self.skip_first:
+            self.samples.append(now - self._t_last)
+        self._t_last = now
+
+    def summary(self) -> dict:
+        if not self.samples:
+            return {}
+        arr = np.asarray(self.samples)
+        return {
+            "step_time_mean_ms": round(float(arr.mean()) * 1e3, 2),
+            "step_time_p50_ms": round(float(np.percentile(arr, 50)) * 1e3, 2),
+            "step_time_p95_ms": round(float(np.percentile(arr, 95)) * 1e3, 2),
+            "steps_per_sec": round(1.0 / max(float(arr.mean()), 1e-9), 2),
+        }
+
+    def reset(self):
+        self.samples.clear()
+        self._t_last = None
+        self._count = 0
