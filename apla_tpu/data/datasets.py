@@ -707,6 +707,24 @@ class ImageNet(BaseSet):
                 for f in files]
 
 
+def compute_stats(loader):
+    """Per-channel mean/std over a loader's images (reference
+    `_utils.compute_stats`) — for populating a new dataset's class attrs."""
+    x_tot = x2_tot = None
+    n = 0
+    for batch in loader:
+        imgs = batch["image"].astype(np.float64)
+        if x_tot is None:
+            x_tot = np.zeros(imgs.shape[-1])
+            x2_tot = np.zeros(imgs.shape[-1])
+        x_tot += imgs.mean(axis=(0, 1, 2))
+        x2_tot += (imgs ** 2).mean(axis=(0, 1, 2))
+        n += 1
+    mean = x_tot / n
+    std = np.sqrt(x2_tot / n - mean ** 2)
+    return mean, std
+
+
 def get_dataset_class(name: str):
     cls = globals().get(name)
     if cls is None or not (isinstance(cls, type) and issubclass(cls, BaseSet)):

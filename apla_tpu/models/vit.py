@@ -368,6 +368,26 @@ def vit_forward(params, x, cfg: ViTConfig, trainable=None, rng=None,
                         deterministic=deterministic, **kw)
 
 
+def vit_intermediate_layers(params, x, cfg: ViTConfig, n: int = 1,
+                            trainable=None, return_patch_avgpool=False):
+    """Cls tokens of the last `n` blocks (+ optional mean patch token),
+    concatenated — reference `forward_return_n_last_blocks`
+    (vit.py:480-501) / dinov2 `get_intermediate_layers`.  Uses the scan ys,
+    so all layers come from one trunk pass."""
+    final, layer_outs = vit_features(params, x, cfg, trainable=trainable,
+                                     return_all_tokens=True,
+                                     return_layers=True)
+    outs = []
+    for i in range(cfg.depth - n, cfg.depth):
+        tokens = layer_outs[i]
+        tokens = layer_norm(tokens, params["norm"]["scale"],
+                            params["norm"]["bias"], cfg.norm_eps)
+        outs.append(tokens[:, 0])
+    if return_patch_avgpool:
+        outs.append(jnp.mean(final[:, 1 + cfg.num_register_tokens:], axis=1))
+    return jnp.concatenate(outs, axis=-1)
+
+
 def _builder(embed_dim, depth, num_heads, use_swiglu=False):
     def build(**kw):
         kw.setdefault("qkv_bias", True)

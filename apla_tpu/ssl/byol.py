@@ -431,6 +431,18 @@ class BYOLTrainer:
         print(cyan(f"Restored SSL session from {path} at iter {self.iters}"))
 
     def test(self, chpt_path=None):
+        """kNN evaluation on the test set, optionally from a checkpoint dir
+        (reference trainer.test with --knn)."""
+        if chpt_path and os.path.isdir(chpt_path):
+            from ..train.checkpoint import load_checkpoint
+            state, frozen, _, _, aux = load_checkpoint(
+                chpt_path, state_template=self.state,
+                frozen_template=self.frozen, aux_template=self._aux_state())
+            if aux is not None:
+                state = state.replace(**aux)
+            self.state = state
+            if frozen is not None:
+                self.frozen = frozen
         results = self.evaluate(self.wrapper.dataloaders.testloader)
         from ..utils.logging import cyan
         print(cyan("SSL TEST RESULTS (kNN)"))

@@ -124,3 +124,19 @@ def test_inds_path_compat(tmp_path):
         params, cfg, AplaConfig(partial_size=8, inds_path=str(p)))
     np.testing.assert_array_equal(
         np.asarray(frozen["blocks"]["attn"]["inds"]), inds)
+
+
+def test_intermediate_layers():
+    from apla_tpu.models.vit import vit_intermediate_layers
+    params = init_vit_params(jax.random.PRNGKey(0), TINY)
+    x = jnp.ones((2, 32, 32, 3))
+    out = vit_intermediate_layers(params, x, TINY, n=2)
+    assert out.shape == (2, 2 * TINY.embed_dim)
+    out2 = vit_intermediate_layers(params, x, TINY, n=1,
+                                   return_patch_avgpool=True)
+    assert out2.shape == (2, 2 * TINY.embed_dim)
+    # last-block cls must match the standard feature path
+    feats = vit_features(params, x, TINY)
+    np.testing.assert_allclose(
+        np.asarray(out2[:, :TINY.embed_dim]), np.asarray(feats),
+        rtol=1e-5, atol=1e-5)
