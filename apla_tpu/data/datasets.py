@@ -92,13 +92,25 @@ class BaseSet:
                 return img.convert("L")
             return img.convert("RGBA")
 
+    # raw_mode: skip per-sample augmentation; emit resized uint8 HWC for
+    # DEVICE-side augmentation (data/device_augs.py).  Set by the wrapper
+    # when `dataset_params.device_augment` is on.
+    raw_mode = False
+    raw_size = None
+
     def __getitem__(self, idx, rng=None):
-        """Returns {'image': HWC float32 (or list for SSL multi-aug),
-        'label': int or float vector}."""
+        """Returns {'image': HWC float32 (or list for SSL multi-aug; uint8 in
+        raw_mode), 'label': int or float vector}."""
         if rng is None:
             rng = np.random.default_rng()
         record = self.data[idx]
         img = self.load_image(record)
+        if self.raw_mode:
+            if self.raw_size and img.size != (self.raw_size, self.raw_size):
+                img = img.resize((self.raw_size, self.raw_size),
+                                 Image.BICUBIC)
+            return {"image": np.asarray(img, dtype=np.uint8),
+                    "label": record["label"]}
         if self.resizing is not None:
             img = self.resizing(img, rng)
         if isinstance(self.transform, list):

@@ -24,12 +24,20 @@ def default_collate(samples):
     first = samples[0]
     out = {}
     img = first["image"]
+
+    def _stack(arrs):
+        stacked = np.stack(arrs)
+        # uint8 passes through untouched (device-side augmentation path)
+        if stacked.dtype == np.uint8:
+            return stacked
+        return stacked.astype(np.float32)
+
     if isinstance(img, list):
         n_crops = len(img)
-        out["image"] = [np.stack([s["image"][c] for s in samples])
-                        .astype(np.float32) for c in range(n_crops)]
+        out["image"] = [_stack([s["image"][c] for s in samples])
+                        for c in range(n_crops)]
     else:
-        out["image"] = np.stack([s["image"] for s in samples]).astype(np.float32)
+        out["image"] = _stack([s["image"] for s in samples])
     labels = [s["label"] for s in samples]
     lab0 = np.asarray(labels[0])
     if lab0.ndim > 0:  # soft/multi-hot labels

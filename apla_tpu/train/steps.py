@@ -20,19 +20,28 @@ from .optim import set_lr
 from .train_state import TrainState
 
 
-def make_train_step(vit_cfg, tx, criterion: Callable) -> Callable:
+def make_train_step(vit_cfg, tx, criterion: Callable,
+                    device_aug_cfg=None) -> Callable:
     """Returns train_step(state, frozen, batch, lr, rng) -> (state, metrics).
 
     `frozen` is passed as an argument (not closed over) so the same compiled
     step serves any frozen-weight set and shardings stay explicit.
+    `device_aug_cfg`: run the augmentation tail on device (batch['image']
+    arrives as resized uint8) — fused by XLA into the step.
     """
 
     def train_step(state: TrainState, frozen, batch, lr, rng):
         step_rng = jax.random.fold_in(rng, state.step)
+        images = batch["image"]
+        if device_aug_cfg is not None:
+            from ..data.device_augs import device_augment
+            step_rng, aug_rng = jax.random.split(step_rng)
+            images = device_augment(images, aug_rng, device_aug_cfg,
+                                    compute_dtype=vit_cfg.compute_dtype)
 
         def loss_fn(trainable):
             logits = classifier_forward(
-                trainable, frozen, batch["image"], vit_cfg,
+                trainable, frozen, images, vit_cfg,
                 rng=step_rng, deterministic=False)
             loss = criterion(logits, batch["label"])
             return loss, logits

@@ -53,8 +53,9 @@ class Trainer:
         self.n_classes = int(wrapper.model_params.n_classes)
         self.knn_nhood = int(wrapper.model_params.get("knn_nhood", 200))
 
-        self.train_step = make_train_step(self.vit_cfg, wrapper.tx,
-                                          self.criterion)
+        self.train_step = make_train_step(
+            self.vit_cfg, wrapper.tx, self.criterion,
+            device_aug_cfg=getattr(wrapper, "device_aug_cfg", None))
         self.eval_step = make_eval_step(self.vit_cfg, self.criterion)
         self.embed_step = make_embed_step(self.vit_cfg)
 

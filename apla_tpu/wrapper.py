@@ -91,6 +91,34 @@ class DefaultWrapper:
         if not self.is_supervised:
             trainset.num_augmentations = 2
 
+        # device-side augmentation: host workers only decode+resize uint8;
+        # the geometric/photometric tail runs on-device inside the train
+        # step (data/device_augs.py)
+        self.device_aug_cfg = None
+        if self.dataset_params.get("device_augment") and self.is_supervised:
+            from .data.device_augs import DeviceAugConfig
+            tt = self.dataset_params.get("train_transforms", {})
+            rrc = tt.get("RandomResizedCrop", {})
+            cj = tt.get("ColorJitter", {})
+            rs = tt.get("Resize", {})
+            trainset.raw_mode = True
+            trainset.raw_size = int(rs.get("height", 256)) \
+                if rs.get("apply") else 256
+            self.device_aug_cfg = DeviceAugConfig(
+                out_size=int(rrc.get("size", 224)),
+                crop_scale=tuple(rrc.get("scale", (0.8, 1.2))),
+                hflip_p=float(tt.get("HorizontalFlip", {}).get("p", 0.5)
+                              if tt.get("HorizontalFlip", {}).get("apply")
+                              else 0.0),
+                jitter_p=float(cj.get("p", 0.8) if cj.get("apply") else 0.0),
+                brightness=float(cj.get("brightness", 0.2)),
+                contrast=float(cj.get("contrast", 0.2)),
+                saturation=float(cj.get("saturation", 0.1)),
+                grayscale_p=float(
+                    tt.get("RandomGrayscale", {}).get("p", 0.0)
+                    if tt.get("RandomGrayscale", {}).get("apply") else 0.0),
+                mean=tuple(trainset.mean), std=tuple(trainset.std))
+
         # mixup/cutmix collate (reference wrappers.py:138-141 advanced_aug)
         train_collate = None
         tt = self.dataset_params.get("train_transforms")
