@@ -64,9 +64,6 @@ class ViTConfig:
     # backward pass — measured +10% train throughput on v5e (HBM-traffic
     # bound); 'full' recomputes everything; None stores all residuals.
     remat: Any = "dots"
-    # APLA: None => no adaptation (plain ViT); int k => k trainable output
-    # channels per block; "full" => whole projection trainable.
-    apla_rank: Optional[Any] = None
 
     @property
     def num_patches(self) -> int:

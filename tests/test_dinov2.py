@@ -85,3 +85,32 @@ def test_dinov2_end_to_end(tmp_path):
     assert np.abs(np.asarray(trainer.state.dino_center)).max() > 0
     assert np.abs(np.asarray(trainer.state.ibot_center)).max() > 0
     assert np.isfinite(float(trainer.best_val_target))
+
+
+def test_dinov2_separate_ibot_head_and_full_mode(tmp_path):
+    """separate iBOT head + APLA 'full' mode (the ISIC2019 recipe shape):
+    one train step must run and produce finite losses."""
+    from apla_tpu.ssl.dinov2 import Dinov2Trainer, DINOv2Wrapper
+    params = load_merged_params(PARAMS)
+    params.training_params.epochs = 1
+    params.training_params.val_every = 10  # skip validation
+    params.training_params.save_dir = str(tmp_path)
+    params.dataset_params.synthetic_size = 16
+    for ld in ("trainloader", "valloader", "testloader"):
+        params.dataloader_params[ld].batch_size = 8
+    params.model_params.dinov2.ibot.separate_head = True
+    params.model_params.adaptation.params.partial_size = "full"
+    wrapper = DINOv2Wrapper(params)
+    wrapper.instantiate()
+    assert "ibot_head" in wrapper.state.trainable
+    assert "proj" in wrapper.state.trainable["backbone"]["blocks"]["attn"]
+    trainer = Dinov2Trainer(wrapper)
+    trainer.val_every = 100  # no eval in this smoke
+    loader = wrapper.dataloaders.trainloader
+    batch = next(iter(loader))
+    step_fn = trainer._get_step(True)
+    state, m = step_fn(trainer.state, trainer.frozen,
+                       trainer._device_batch(batch), 1e-4, 1e-5, 0.99,
+                       0.04, trainer.rng)
+    assert np.isfinite(float(m["loss"]))
+    assert "ibot_loss" in m and np.isfinite(float(m["ibot_loss"]))
