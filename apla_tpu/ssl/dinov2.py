@@ -682,7 +682,9 @@ class Dinov2Trainer(BYOLTrainer):
                                f"loss {logd['loss']:.4f} lr {lr:.2e}"))
                 if self.iters % val_interval == 0:
                     self.epoch_step(epoch)
-        self.epoch_step(self.epochs - 1)
+                    self._last_val_iter = self.iters
+        if getattr(self, "_last_val_iter", -1) != self.iters:
+            self.epoch_step(self.epochs - 1)
         self.save_session(self.epochs - 1)
         self.logger.finish()
 

@@ -153,11 +153,13 @@ class Trainer:
 
                 if self.iters % val_interval == 0:
                     self.epoch_step(epoch)
+                    self._last_val_iter = self.iters
 
             # end of epoch bookkeeping
             del log_pending[:]
 
-        self.epoch_step(self.epochs - 1)
+        if getattr(self, "_last_val_iter", -1) != self.iters:
+            self.epoch_step(self.epochs - 1)
         self.save_session(self.epochs - 1, verbose=True)
         self.logger.finish()
 
