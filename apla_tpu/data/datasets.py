@@ -230,6 +230,24 @@ class Synthetic(BaseSet):
         return data
 
 
+class SyntheticMultiLabel(Synthetic):
+    """Multi-label synthetic variant (exercises the BCE + MultiLabel metrics
+    path; reference analogue: the DDSM/multi-label branches)."""
+
+    is_multiclass = False
+    target_metric = "mAP"
+
+    def get_data_as_list(self):
+        data = super().get_data_as_list()
+        for rec in data:
+            c = rec["label"]
+            vec = np.zeros(self.n_classes, np.float32)
+            vec[c] = 1.0
+            vec[(c + 1) % self.n_classes] = 1.0
+            rec["label"] = vec
+        return data
+
+
 # --------------------------------------------------------------------------- #
 # VTAB suite (reference datasets.py:36-178): png files named img_*-label_N.png
 # under <root>/VTAB_<name>/{train,val,test}
