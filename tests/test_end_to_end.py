@@ -94,3 +94,35 @@ def test_resume_session(trained, tmp_path):
     np.testing.assert_allclose(
         np.asarray(t2.state.trainable["fc"]["kernel"]),
         np.asarray(trainer.state.trainable["fc"]["kernel"]))
+
+
+def test_linear_probe_freeze_backbone(tmp_path):
+    """freeze_backbone: only the fc head trains (reference linear-probe /
+    --knn setup, main.py:148-155)."""
+    params = load_merged_params(PARAMS)
+    del params.model_params["adaptation"]
+    params.model_params.freeze_backbone = True
+    params.training_params.epochs = 1
+    params.training_params.save_dir = str(tmp_path)
+    params.dataset_params.synthetic_size = 128
+    wrapper = DefaultWrapper(params)
+    wrapper.instantiate()
+    assert set(wrapper.trainable.keys()) == {"fc"}
+    trainer = Trainer(wrapper)
+    trainer.train()
+    assert np.isfinite(trainer.best_val_target)
+
+
+def test_full_finetune_mode(tmp_path):
+    """No adaptation + no freeze: the whole backbone trains."""
+    params = load_merged_params(PARAMS)
+    del params.model_params["adaptation"]
+    params.training_params.epochs = 1
+    params.training_params.save_dir = str(tmp_path)
+    params.dataset_params.synthetic_size = 64
+    wrapper = DefaultWrapper(params)
+    wrapper.instantiate()
+    assert "backbone" in wrapper.trainable and wrapper.frozen == {}
+    trainer = Trainer(wrapper)
+    trainer.train()
+    assert np.isfinite(trainer.best_val_target)
