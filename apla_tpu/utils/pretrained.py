@@ -52,17 +52,29 @@ def convert_torch_vit_state_dict(sd: dict, depth: int, use_swiglu=False,
         def g(name):
             return _np(sd[p + name])
 
+        if p + "attn.qkv.weight" in sd:
+            qkv_w = g("attn.qkv.weight").T
+            qkv_b = g("attn.qkv.bias") if p + "attn.qkv.bias" in sd else None
+        else:
+            # separate q/k/v weights (reference AttentionSepQKV,
+            # vit.py:200-231) — packed into the fused qkv layout at import
+            qkv_w = np.concatenate(
+                [g("attn.q.weight").T, g("attn.k.weight").T,
+                 g("attn.v.weight").T], axis=1)
+            qkv_b = (np.concatenate([g("attn.q.bias"), g("attn.k.bias"),
+                                     g("attn.v.bias")])
+                     if p + "attn.q.bias" in sd else None)
         b = {
             "norm1": {"scale": g("norm1.weight"), "bias": g("norm1.bias")},
             "norm2": {"scale": g("norm2.weight"), "bias": g("norm2.bias")},
             "attn": {
-                "qkv": {"kernel": g("attn.qkv.weight").T},
+                "qkv": {"kernel": qkv_w},
                 "proj": {"kernel": g("attn.proj.weight").T,
                          "bias": g("attn.proj.bias")},
             },
         }
-        if p + "attn.qkv.bias" in sd:
-            b["attn"]["qkv"]["bias"] = g("attn.qkv.bias")
+        if qkv_b is not None:
+            b["attn"]["qkv"]["bias"] = qkv_b
         if use_swiglu:
             b["mlp"] = {
                 "w12": {"kernel": g("mlp.w12.weight").T,

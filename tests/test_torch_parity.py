@@ -136,3 +136,24 @@ def test_apla_split_preserves_imported_weights():
     merged = merge_apla_params(t, f)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(merged)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_separate_qkv_import():
+    """Separate q/k/v torch weights pack into the fused qkv layout and give
+    the same attention output (reference AttentionSepQKV parity)."""
+    torch.manual_seed(2)
+    model = TorchViT().eval()
+    sd = model.dinov2_state_dict()
+    # re-key block 0's qkv into separate q/k/v
+    sep = dict(sd)
+    for i in range(2):
+        w = sep.pop(f"blocks.{i}.attn.qkv.weight")
+        b = sep.pop(f"blocks.{i}.attn.qkv.bias")
+        d = w.shape[0] // 3
+        for j, name in enumerate("qkv"):
+            sep[f"blocks.{i}.attn.{name}.weight"] = w[j * d:(j + 1) * d]
+            sep[f"blocks.{i}.attn.{name}.bias"] = b[j * d:(j + 1) * d]
+    p1 = convert_torch_vit_state_dict(sd, depth=2)
+    p2 = convert_torch_vit_state_dict(sep, depth=2)
+    for a, b_ in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_))
