@@ -15,7 +15,6 @@ hermetically in tests/benchmarks.
 from __future__ import annotations
 
 import glob
-import json
 import os
 import pickle
 import random
@@ -24,7 +23,7 @@ from pathlib import Path
 import numpy as np
 from PIL import Image
 
-from ..utils.config import EDict, load_json, save_json
+from ..utils.config import load_json, save_json
 from .transforms import build_transform, Compose, Resize
 
 

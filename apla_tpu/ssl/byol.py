@@ -269,7 +269,6 @@ class BYOLTrainer:
 
         self.train_step = make_byol_train_step(self.vit_cfg, wrapper.tx,
                                                self.use_momentum)
-        from ..train.steps import make_embed_step  # noqa: F401
         self.iters = 0
         self.epoch0 = 0
         self.best_val_target = -np.inf

@@ -28,7 +28,6 @@ from __future__ import annotations
 import math
 import random as pyrandom
 from copy import deepcopy
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +38,7 @@ from flax import struct
 from ..parallel.mesh import replicated_sharding
 from ..train.optim import build_optimizer, set_lr
 from ..utils.config import EDict
-from .byol import BYOLTrainer, _encode
+from .byol import BYOLTrainer
 from .dino import DINOWrapper
 from .heads import dino_head_forward, init_dino_head
 from .multicrop import STRATEGIES, apply_augmentation_strategy

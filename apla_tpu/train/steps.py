@@ -8,7 +8,6 @@ from the shardings — there is no DDP object and no explicit allreduce.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

@@ -19,7 +19,7 @@ import time
 import jax
 import numpy as np
 
-from ..parallel.mesh import batch_sharding, pad_to_multiple, shard_batch
+from ..parallel.mesh import pad_to_multiple, shard_batch
 from ..utils.logging import RunLogger, cyan, gray, yellow
 from .checkpoint import load_checkpoint, save_checkpoint
 from .knn import build_feature_bank, knn_predict, knn_predict_multilabel

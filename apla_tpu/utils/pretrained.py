@@ -128,7 +128,6 @@ def maybe_load_pretrained_backbone(trainable, frozen, model_params, vit_cfg):
             "cannot download dinov2 weights — continuing from random init.")
         return trainable, frozen
     import jax.numpy as jnp
-    from ..apla.core import AplaConfig, build_apla, merge_apla_params
 
     sd = load_torch_checkpoint(path)
     params = convert_torch_vit_state_dict(

@@ -9,12 +9,10 @@ no loss scaling on TPU).
 
 from __future__ import annotations
 
-import os
 from copy import deepcopy
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .apla.core import AplaConfig, count_params
 from .data import datasets as datasets_mod
@@ -189,9 +187,6 @@ class DefaultWrapper:
             from .utils.pretrained import maybe_load_pretrained_backbone
             trainable, frozen = maybe_load_pretrained_backbone(
                 trainable, frozen, self.model_params, self.vit_cfg)
-        if self.transfer_learning_params.get("pretrained_path"):
-            from .train.checkpoint import load_checkpoint  # noqa: F401
-            # full-session restore happens in the trainer; here we only note it
         # replicate over the mesh
         repl = replicated_sharding(self.mesh)
         self.trainable = jax.device_put(trainable, repl)
