@@ -1,0 +1,67 @@
+"""CLI surface tests: flag -> config overrides (reference main.py:58-158)."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import main as cli  # noqa: E402
+from apla_tpu.utils.config import load_merged_params  # noqa: E402
+
+PARAMS = os.path.join(os.path.dirname(__file__), "..", "params", "synthetic",
+                      "vit_tiny", "apla.yml")
+
+
+def parse(argv):
+    old = sys.argv
+    sys.argv = ["main.py"] + argv
+    try:
+        return cli.parse_arguments()
+    finally:
+        sys.argv = old
+
+
+def test_overrides_applied():
+    args = parse(["--params_path", PARAMS, "--lr", "0.01", "--wd", "0.0",
+                  "--epochs", "7", "--batch_size", "32", "--warmup", "123",
+                  "--dpr", "0.1", "--num_workers", "2", "--model_name", "x",
+                  "--val_every", "0.25", "--log_every", "7"])
+    params = load_merged_params(PARAMS)
+    params = cli.update_params_from_args(params, args)
+    opt = params.optimization_params.default
+    assert opt.optimizer.params.lr == 0.01
+    assert opt.optimizer.params.weight_decay == 0.0
+    assert opt.scheduler.params.LinearWarmup.warmup_iters == 123
+    assert params.training_params.epochs == 7
+    assert params.training_params.model_name == "x"
+    assert params.training_params.val_every == 0.25
+    assert params.training_params.log_every == 7
+    assert params.model_params.transformers_params.drop_path_rate == 0.1
+    for ld in ("trainloader", "valloader", "testloader"):
+        assert params.dataloader_params[ld].batch_size == 32
+        assert params.dataloader_params[ld].num_workers == 2
+
+
+def test_knn_requires_test():
+    args = parse(["--params_path", PARAMS, "--knn"])
+    params = load_merged_params(PARAMS)
+    with pytest.raises(AssertionError):
+        cli.update_params_from_args(params, args)
+
+
+def test_knn_with_test_sets_flags():
+    args = parse(["--params_path", PARAMS, "--test", "--knn"])
+    params = load_merged_params(PARAMS)
+    params = cli.update_params_from_args(params, args)
+    assert params.training_params.knn_eval is True
+    assert params.model_params.freeze_backbone is True
+    assert params.dataloader_params.trainloader.shuffle is False
+
+
+def test_wd_zero_is_respected():
+    """--wd 0 must override (reference uses `is not None`, not truthiness)."""
+    args = parse(["--params_path", PARAMS, "--wd", "0"])
+    params = load_merged_params(PARAMS)
+    params = cli.update_params_from_args(params, args)
+    assert params.optimization_params.default.optimizer.params.weight_decay == 0
