@@ -78,14 +78,15 @@ def flash_mha(q, k, v, scale: float = 1.0):
     else:
         segment_ids = None
 
-    blk = min(_BLOCK * 4, n_pad)
+    # largest block (<=512) that divides the padded length
+    blk = next(b for b in (512, 384, 256, 128) if n_pad % b == 0)
     block_sizes = BlockSizes(
-        block_q=min(blk, n_pad), block_k_major=min(blk, n_pad),
+        block_q=blk, block_k_major=blk,
         block_k=min(_BLOCK, n_pad), block_b=1,
-        block_q_major_dkv=min(blk, n_pad), block_k_major_dkv=min(blk, n_pad),
-        block_k_dkv=min(_BLOCK, n_pad), block_q_dkv=min(blk, n_pad),
-        block_k_major_dq=min(blk, n_pad), block_k_dq=min(_BLOCK, n_pad),
-        block_q_dq=min(blk, n_pad),
+        block_q_major_dkv=blk, block_k_major_dkv=blk,
+        block_k_dkv=min(_BLOCK, n_pad), block_q_dkv=blk,
+        block_k_major_dq=blk, block_k_dq=min(_BLOCK, n_pad),
+        block_q_dq=blk,
     )
     out = flash_attention(qt, kt, vt, segment_ids=segment_ids, causal=False,
                           sm_scale=scale, block_sizes=block_sizes)

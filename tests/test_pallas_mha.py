@@ -63,3 +63,13 @@ def test_padding_mask_correct():
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(_ref(q, k, v, scale)),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_flash_block_size_divisors():
+    """Padded lengths must get block sizes that divide them (518px ->
+    N=1370 -> pad 1408 = 11*128, where only 128 divides)."""
+    for n_pad, expected in [(1408, 128), (1536, 512), (512, 512),
+                            (768, 384), (1280, 256)]:
+        blk = next(b for b in (512, 384, 256, 128) if n_pad % b == 0)
+        assert blk == expected, (n_pad, blk)
+        assert n_pad % blk == 0
