@@ -530,7 +530,12 @@ class DINOv2Wrapper(DINOWrapper):
             num_register_tokens=int(sp.get("num_register_tokens", 0)),
             use_swiglu=sp.get("ffn_layer", "mlp") == "swiglu",
             compute_dtype=jnp2.bfloat16 if use_mp else jnp2.float32,
-            use_flash=bool(sp.get("is_memory_efficient", True)),
+            # XLA's fused attention + remat('dots') measures FASTER than the
+            # Pallas flash kernels at ViT scales on v5e (59.7 vs 22.5 img/s
+            # for ViT-B@518 b8) while fitting memory — so the mem-efficient
+            # kernel path is opt-in (`is_memory_efficient: true`), not the
+            # default as in the reference.
+            use_flash=bool(sp.get("is_memory_efficient", False)),
         )
 
     def init_model(self, seed: int = 0):
