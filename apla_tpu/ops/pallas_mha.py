@@ -157,3 +157,56 @@ def vmem_mha(q, k, v, scale: float = 1.0):
     out = _vmem_mha_padded(prep(q), prep(k), prep(v), float(scale), N)
     out = out[:, :N].reshape(B, H, N, D).transpose(0, 2, 1, 3)
     return out
+
+
+# --------------------------------------------------------------------------- #
+# multi-head-per-program variant: batches HB heads into one grid step so the
+# MXU sees [HB, Np, D] batched matmuls (better pipelining than one tiny
+# matmul per program)
+# --------------------------------------------------------------------------- #
+
+def _fwd_kernel_mh(q_ref, k_ref, v_ref, o_ref, *, scale, n_real):
+    q = q_ref[...].astype(jnp.float32)        # [HB, Np, D]
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...]
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale   # [HB, Np, Np]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    s = jnp.where(col < n_real, s, NEG_INF)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+def vmem_mha_multihead(q, k, v, scale: float = 1.0, heads_per_block: int = 4):
+    """Forward-only multi-head-blocked variant (benchmarking/eval path)."""
+    B, N, H, D = q.shape
+    Np = _pad_n(N)
+    HB = heads_per_block
+    assert H % HB == 0
+
+    def prep(x):
+        x = x.transpose(0, 2, 1, 3).reshape(B * H, N, D)
+        if Np != N:
+            x = jnp.pad(x, ((0, 0), (0, Np - N), (0, 0)))
+        return x
+
+    qp, kp, vp = prep(q), prep(k), prep(v)
+    import functools as ft
+    kern = ft.partial(_fwd_kernel_mh, scale=float(scale), n_real=N)
+    spec = pl.BlockSpec((HB, Np, D), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+        grid=(B * H // HB,),
+        in_specs=[spec] * 3,
+        out_specs=spec,
+        interpret=INTERPRET,
+    )(qp, kp, vp)
+    return out[:, :N].reshape(B, H, N, D).transpose(0, 2, 1, 3)

@@ -107,6 +107,57 @@ def convert_torch_vit_state_dict(sd: dict, depth: int, use_swiglu=False,
     return params
 
 
+def export_torch_vit_state_dict(params: dict, use_swiglu=False) -> dict:
+    """Inverse of `convert_torch_vit_state_dict`: our (stacked-blocks) pytree
+    -> a DINO/DINOv2-style torch state_dict (numpy values; wrap in
+    torch.from_numpy for torch.save).  APLA-split params must be merged
+    first (`apla.core.merge_apla_params`)."""
+    sd = {}
+    sd["cls_token"] = _np(params["cls_token"])
+    sd["pos_embed"] = _np(params["pos_embed"])
+    if "register_tokens" in params:
+        sd["register_tokens"] = _np(params["register_tokens"])
+    if "mask_token" in params:
+        sd["mask_token"] = _np(params["mask_token"]).reshape(1, -1)
+    sd["patch_embed.proj.weight"] = \
+        _np(params["patch_embed"]["kernel"]).transpose(3, 2, 0, 1)
+    sd["patch_embed.proj.bias"] = _np(params["patch_embed"]["bias"])
+    sd["norm.weight"] = _np(params["norm"]["scale"])
+    sd["norm.bias"] = _np(params["norm"]["bias"])
+
+    blocks = params["blocks"]
+    depth = _np(blocks["norm1"]["scale"]).shape[0]
+    for i in range(depth):
+        p = f"blocks.{i}."
+
+        def put(name, arr):
+            sd[p + name] = np.asarray(arr)
+
+        put("norm1.weight", _np(blocks["norm1"]["scale"])[i])
+        put("norm1.bias", _np(blocks["norm1"]["bias"])[i])
+        put("norm2.weight", _np(blocks["norm2"]["scale"])[i])
+        put("norm2.bias", _np(blocks["norm2"]["bias"])[i])
+        put("attn.qkv.weight", _np(blocks["attn"]["qkv"]["kernel"])[i].T)
+        if "bias" in blocks["attn"]["qkv"]:
+            put("attn.qkv.bias", _np(blocks["attn"]["qkv"]["bias"])[i])
+        put("attn.proj.weight", _np(blocks["attn"]["proj"]["kernel"])[i].T)
+        put("attn.proj.bias", _np(blocks["attn"]["proj"]["bias"])[i])
+        if use_swiglu:
+            put("mlp.w12.weight", _np(blocks["mlp"]["w12"]["kernel"])[i].T)
+            put("mlp.w12.bias", _np(blocks["mlp"]["w12"]["bias"])[i])
+            put("mlp.w3.weight", _np(blocks["mlp"]["w3"]["kernel"])[i].T)
+            put("mlp.w3.bias", _np(blocks["mlp"]["w3"]["bias"])[i])
+        else:
+            put("mlp.fc1.weight", _np(blocks["mlp"]["fc1"]["kernel"])[i].T)
+            put("mlp.fc1.bias", _np(blocks["mlp"]["fc1"]["bias"])[i])
+            put("mlp.fc2.weight", _np(blocks["mlp"]["fc2"]["kernel"])[i].T)
+            put("mlp.fc2.bias", _np(blocks["mlp"]["fc2"]["bias"])[i])
+        if "ls1" in blocks:
+            put("ls1.gamma", _np(blocks["ls1"]["gamma"])[i])
+            put("ls2.gamma", _np(blocks["ls2"]["gamma"])[i])
+    return sd
+
+
 def load_torch_checkpoint(path: str) -> dict:
     import torch
     ckpt = torch.load(path, map_location="cpu", weights_only=False)

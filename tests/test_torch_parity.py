@@ -157,3 +157,31 @@ def test_separate_qkv_import():
     p2 = convert_torch_vit_state_dict(sep, depth=2)
     for a, b_ in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_))
+
+
+def test_export_import_roundtrip():
+    """Export our params to torch naming, re-import, compare bit-exact —
+    proves a reference user can move checkpoints both ways."""
+    from apla_tpu.models.vit import init_vit_params
+    from apla_tpu.utils.pretrained import (convert_torch_vit_state_dict,
+                                           export_torch_vit_state_dict)
+    cfg = ViTConfig(img_size=32, patch_size=8, embed_dim=64, depth=2,
+                    num_heads=4, has_layerscale=True, layerscale_init=1.0,
+                    compute_dtype=jnp.float32)
+    params = init_vit_params(jax.random.PRNGKey(3), cfg)
+    sd = export_torch_vit_state_dict(params)
+    back = convert_torch_vit_state_dict(sd, depth=2, has_layerscale=True)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # exported dict is loadable by a torch module of the same architecture
+    model = TorchViT(layerscale=1.0)
+    tsd = {k: torch.from_numpy(np.ascontiguousarray(v))
+           for k, v in sd.items()}
+    remap = {}
+    for k, v in tsd.items():
+        k2 = k.replace("patch_embed.proj", "patch").replace("attn.qkv", "qkv")
+        k2 = k2.replace("attn.proj", "proj").replace("mlp.fc", "fc")
+        k2 = k2.replace("ls1.gamma", "ls1").replace("ls2.gamma", "ls2")
+        remap[k2] = v
+    missing, unexpected = model.load_state_dict(remap, strict=False)
+    assert not unexpected, unexpected
