@@ -97,28 +97,22 @@ def iou_loss(pred_ltrb, target_ltrb, eps=1e-7):
     return -jnp.log(iou + eps)[..., 0]
 
 
-def fcos_loss(level_outs, strides, gt_boxes, gt_labels, n_classes,
-              img_hw):
-    """Single-image FCOS loss with fixed-size GT buffers.
-
-    gt_boxes: [M, 4] (x1, y1, x2, y2), padded rows have label -1.
-    gt_labels: [M] int (-1 = padding).
-    Points are assigned to the smallest box containing them (per level by
-    stride range), classic FCOS.
-    """
-    total_cls, total_box, total_ctr, n_pos = 0.0, 0.0, 0.0, 0.0
-    size_ranges = [(0, 64), (64, 128), (128, 256), (256, 1e8)]
+def _fcos_loss_single(level_maps, strides, gt_boxes, gt_labels,
+                      size_ranges=((0, 64), (64, 128), (128, 256),
+                                   (256, 1e8))):
+    """Per-image FCOS loss terms.  `level_maps`: list of (cls [H,W,K],
+    box [H,W,4], ctr [H,W,1]); gt padded with label -1."""
+    total_cls = total_box = total_ctr = n_pos = 0.0
     valid_gt = gt_labels >= 0
     areas = jnp.where(valid_gt,
                       (gt_boxes[:, 2] - gt_boxes[:, 0])
                       * (gt_boxes[:, 3] - gt_boxes[:, 1]), 1e9)
-    for lvl, (cls_logits, box, ctr) in enumerate(level_outs):
-        B, H, W, K = cls_logits.shape
+    for lvl, (cls_logits, box, ctr) in enumerate(level_maps):
+        H, W, K = cls_logits.shape
         stride = strides[lvl]
         ys = (jnp.arange(H) + 0.5) * stride
         xs = (jnp.arange(W) + 0.5) * stride
         py, px = jnp.meshgrid(ys, xs, indexing="ij")      # [H, W]
-        # distances to every gt box: [H, W, M]
         l = px[..., None] - gt_boxes[None, None, :, 0]
         t = py[..., None] - gt_boxes[None, None, :, 1]
         r = gt_boxes[None, None, :, 2] - px[..., None]
@@ -139,8 +133,7 @@ def fcos_loss(level_outs, strides, gt_boxes, gt_labels, n_classes,
 
         one_hot = jax.nn.one_hot(jnp.where(tgt_label >= 0, tgt_label, 0),
                                  K) * (tgt_label >= 0)[..., None]
-        total_cls = total_cls + jnp.sum(
-            focal_loss(cls_logits[0], one_hot))
+        total_cls = total_cls + jnp.sum(focal_loss(cls_logits, one_hot))
         lr_ = jnp.stack([tgt_ltrb[..., 0], tgt_ltrb[..., 2]], -1)
         tb_ = jnp.stack([tgt_ltrb[..., 1], tgt_ltrb[..., 3]], -1)
         ctr_tgt = jnp.sqrt(
@@ -149,16 +142,44 @@ def fcos_loss(level_outs, strides, gt_boxes, gt_labels, n_classes,
                        0))
         pos = is_pos.astype(jnp.float32)
         total_box = total_box + jnp.sum(
-            iou_loss(box[0] / stride, tgt_ltrb / stride) * pos)
-        ctr_bce = -(ctr_tgt * jax.nn.log_sigmoid(ctr[0, ..., 0])
-                    + (1 - ctr_tgt) * jax.nn.log_sigmoid(-ctr[0, ..., 0]))
+            iou_loss(box / stride, tgt_ltrb / stride) * pos)
+        ctr_bce = -(ctr_tgt * jax.nn.log_sigmoid(ctr[..., 0])
+                    + (1 - ctr_tgt) * jax.nn.log_sigmoid(-ctr[..., 0]))
         total_ctr = total_ctr + jnp.sum(ctr_bce * pos)
         n_pos = n_pos + jnp.sum(pos)
+    return total_cls, total_box, total_ctr, n_pos
 
+
+def fcos_loss(level_outs, strides, gt_boxes, gt_labels, n_classes, img_hw):
+    """Single-image convenience wrapper ([1, H, W, *] maps)."""
+    maps = [(c[0], b[0], t[0]) for c, b, t in level_outs]
+    cls_l, box_l, ctr_l, n_pos = _fcos_loss_single(
+        maps, tuple(strides), gt_boxes, gt_labels)
     n_pos = jnp.maximum(n_pos, 1.0)
-    return {"cls_loss": total_cls / n_pos, "box_loss": total_box / n_pos,
-            "ctr_loss": total_ctr / n_pos,
-            "total": (total_cls + total_box + total_ctr) / n_pos}
+    return {"cls_loss": cls_l / n_pos, "box_loss": box_l / n_pos,
+            "ctr_loss": ctr_l / n_pos,
+            "total": (cls_l + box_l + ctr_l) / n_pos}
+
+
+def fcos_loss_batch(level_outs, strides, gt_boxes, gt_labels):
+    """Batched FCOS loss via vmap: level_outs [B, H, W, *] per level;
+    gt_boxes [B, M, 4]; gt_labels [B, M].  Positives normalised over the
+    whole batch (FCOS convention)."""
+    strides = tuple(strides)
+
+    def single(maps_flat, boxes, labels):
+        maps = [tuple(maps_flat[3 * i:3 * i + 3])
+                for i in range(len(maps_flat) // 3)]
+        return _fcos_loss_single(maps, strides, boxes, labels)
+
+    flat = [a for lvl in level_outs for a in lvl]
+    cls_l, box_l, ctr_l, n_pos = jax.vmap(
+        single, in_axes=(0, 0, 0))(flat, gt_boxes, gt_labels)
+    n_pos = jnp.maximum(jnp.sum(n_pos), 1.0)
+    return {"cls_loss": jnp.sum(cls_l) / n_pos,
+            "box_loss": jnp.sum(box_l) / n_pos,
+            "ctr_loss": jnp.sum(ctr_l) / n_pos,
+            "total": jnp.sum(cls_l + box_l + ctr_l) / n_pos}
 
 
 def decode_detections(level_outs, strides, score_thresh=0.05, top_k=100):
