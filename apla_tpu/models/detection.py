@@ -235,3 +235,73 @@ def nms(boxes, scores, iou_thresh=0.5):
         iou = inter / (a_i + a_r - inter + 1e-9)
         order = rest[iou <= iou_thresh]
     return np.asarray(keep, int)
+
+
+def box_iou_matrix(a, b):
+    """IoU between box sets a [N,4], b [M,4] (xyxy), numpy."""
+    a = np.asarray(a, float)
+    b = np.asarray(b, float)
+    x1 = np.maximum(a[:, None, 0], b[None, :, 0])
+    y1 = np.maximum(a[:, None, 1], b[None, :, 1])
+    x2 = np.minimum(a[:, None, 2], b[None, :, 2])
+    y2 = np.minimum(a[:, None, 3], b[None, :, 3])
+    inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    return inter / (area_a[:, None] + area_b[None, :] - inter + 1e-9)
+
+
+class DetectionAP:
+    """Mean average precision at an IoU threshold (VOC-style, all-point
+    interpolation) — the in-repo analogue of the mmdet COCO eval the
+    reference delegates to."""
+
+    def __init__(self, n_classes, iou_thresh=0.5):
+        self.n_classes = n_classes
+        self.iou_thresh = iou_thresh
+        self.preds = []   # (image_id, label, score, box)
+        self.gts = []     # (image_id, label, box)
+
+    def add_image(self, image_id, pred_boxes, pred_scores, pred_labels,
+                  gt_boxes, gt_labels):
+        for b, s, l in zip(pred_boxes, pred_scores, pred_labels):
+            self.preds.append((image_id, int(l), float(s), np.asarray(b)))
+        for b, l in zip(gt_boxes, gt_labels):
+            if int(l) >= 0:
+                self.gts.append((image_id, int(l), np.asarray(b)))
+
+    def mean_ap(self):
+        aps = []
+        for c in range(self.n_classes):
+            gts_c = [(i, b) for (i, l, b) in self.gts if l == c]
+            preds_c = sorted([(i, s, b) for (i, l, s, b) in self.preds
+                              if l == c], key=lambda t: -t[1])
+            if not gts_c:
+                continue
+            matched = set()
+            tp = np.zeros(len(preds_c))
+            fp = np.zeros(len(preds_c))
+            for k, (img, _, box) in enumerate(preds_c):
+                cands = [(j, g) for j, (gi, g) in enumerate(gts_c)
+                         if gi == img and j not in matched]
+                best_iou, best_j = 0.0, -1
+                for j, g in cands:
+                    iou = float(box_iou_matrix(box[None], g[None])[0, 0])
+                    if iou > best_iou:
+                        best_iou, best_j = iou, j
+                if best_iou >= self.iou_thresh:
+                    tp[k] = 1
+                    matched.add(best_j)
+                else:
+                    fp[k] = 1
+            tp_cum = np.cumsum(tp)
+            fp_cum = np.cumsum(fp)
+            recall = tp_cum / len(gts_c)
+            precision = tp_cum / np.maximum(tp_cum + fp_cum, 1e-9)
+            # all-point interpolation
+            ap = 0.0
+            for r in np.linspace(0, 1, 101):
+                p = precision[recall >= r].max() if (recall >= r).any() else 0
+                ap += p / 101
+            aps.append(ap)
+        return float(np.mean(aps)) if aps else 0.0

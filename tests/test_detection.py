@@ -1,6 +1,7 @@
 """Detection head tests (FCOS-style head on the Swin pyramid)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -107,3 +108,17 @@ def test_decode_returns_arrays():
                                               score_thresh=0.0, top_k=5)
     assert boxes.shape[1] == 4 if len(boxes) else True
     assert len(scores) == len(labels) == len(boxes)
+
+
+def test_detection_ap_metric():
+    from apla_tpu.models.detection import DetectionAP
+    m = DetectionAP(n_classes=2, iou_thresh=0.5)
+    gt = np.asarray([[0, 0, 10, 10], [20, 20, 30, 30]], float)
+    # perfect predictions -> mAP 1
+    m.add_image(0, gt, [0.9, 0.8], [0, 1], gt, [0, 1])
+    assert m.mean_ap() == pytest.approx(1.0, abs=0.02)
+    # all-miss predictions -> 0
+    m2 = DetectionAP(n_classes=2)
+    m2.add_image(0, np.asarray([[50, 50, 60, 60]], float), [0.9], [0],
+                 gt, [0, 1])
+    assert m2.mean_ap() == pytest.approx(0.0, abs=1e-6)
