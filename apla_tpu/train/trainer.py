@@ -114,9 +114,27 @@ class Trainer:
         batch, _ = pad_to_multiple(batch, n_devices)
         return shard_batch(batch, self.mesh)
 
+    def install_preemption_handler(self):
+        """Graceful preemption: SIGTERM/SIGINT requests a checkpoint at the
+        next step boundary (the reference has no preemption story — SURVEY
+        §5; TPU pools preempt, so this framework saves and exits cleanly)."""
+        import signal
+
+        self._preempted = False
+
+        def _handler(signum, frame):
+            self._preempted = True
+
+        try:
+            signal.signal(signal.SIGTERM, _handler)
+            signal.signal(signal.SIGINT, _handler)
+        except ValueError:
+            pass  # not the main thread (tests) — flag can be set directly
+
     def train(self):
         if self.restore_session:
             self.load_session()
+        self.install_preemption_handler()
         loader = self.wrapper.dataloaders.trainloader
         steps_per_epoch = len(loader)
         val_interval = max(int(self.val_every * steps_per_epoch), 1)
@@ -154,6 +172,13 @@ class Trainer:
                 if self.iters % val_interval == 0:
                     self.epoch_step(epoch)
                     self._last_val_iter = self.iters
+
+                if self._preempted:
+                    print(yellow("Preemption signal received — saving "
+                                 f"checkpoint at iter {self.iters}"))
+                    self.save_session(epoch, verbose=True)
+                    self.logger.finish()
+                    return
 
             # end of epoch bookkeeping
             del log_pending[:]

@@ -126,3 +126,34 @@ def test_full_finetune_mode(tmp_path):
     trainer = Trainer(wrapper)
     trainer.train()
     assert np.isfinite(trainer.best_val_target)
+
+
+def test_preemption_checkpoint(tmp_path):
+    """A preemption flag mid-training saves a resumable checkpoint and
+    returns cleanly."""
+    params = load_merged_params(PARAMS)
+    params.training_params.epochs = 50  # would run long without preemption
+    params.training_params.val_every = 100
+    params.training_params.save_dir = str(tmp_path)
+    params.dataset_params.synthetic_size = 128
+    wrapper = DefaultWrapper(params)
+    wrapper.instantiate()
+    trainer = Trainer(wrapper)
+
+    orig_step = trainer.train_step
+    calls = {"n": 0}
+
+    def counting_step(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            trainer._preempted = True  # simulate SIGTERM delivery
+        return orig_step(*a, **k)
+
+    trainer.train_step = counting_step
+    trainer.train()
+    assert calls["n"] == 3  # stopped at the step after the signal
+    assert os.path.isdir(trainer.checkpoint_path)
+    from apla_tpu.train.checkpoint import load_checkpoint
+    _, _, manifest, _, _ = load_checkpoint(
+        trainer.checkpoint_path, state_template=trainer.state)
+    assert manifest["iters"] == 3
