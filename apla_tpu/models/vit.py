@@ -161,21 +161,17 @@ def layer_norm(x, scale, bias, eps=1e-6):
 
 
 def _mlp(x, p, cfg: ViTConfig, rng, deterministic):
-    dt = x.dtype
+    from ..ops.quant import maybe_quantized_dot
     if cfg.use_swiglu:
-        x12 = jnp.dot(x, p["w12"]["kernel"].astype(dt),
-                      preferred_element_type=dt) + p["w12"]["bias"].astype(dt)
+        x12 = maybe_quantized_dot(x, p["w12"]["kernel"], p["w12"]["bias"])
         x1, x2 = jnp.split(x12, 2, axis=-1)
         hidden = jax.nn.silu(x1) * x2
-        return jnp.dot(hidden, p["w3"]["kernel"].astype(dt),
-                       preferred_element_type=dt) + p["w3"]["bias"].astype(dt)
+        return maybe_quantized_dot(hidden, p["w3"]["kernel"], p["w3"]["bias"])
     r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
-    h = jnp.dot(x, p["fc1"]["kernel"].astype(dt),
-                preferred_element_type=dt) + p["fc1"]["bias"].astype(dt)
+    h = maybe_quantized_dot(x, p["fc1"]["kernel"], p["fc1"]["bias"])
     h = jax.nn.gelu(h, approximate=False)
     h = _dropout(h, cfg.drop_rate, r1, deterministic)
-    h = jnp.dot(h, p["fc2"]["kernel"].astype(dt),
-                preferred_element_type=dt) + p["fc2"]["bias"].astype(dt)
+    h = maybe_quantized_dot(h, p["fc2"]["kernel"], p["fc2"]["bias"])
     return _dropout(h, cfg.drop_rate, r2, deterministic)
 
 
@@ -321,6 +317,10 @@ def vit_features(params, x, cfg: ViTConfig, trainable=None, rng=None,
         block_fn = jax.checkpoint(
             _block_forward, static_argnums=(4, 6),
             policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims)
+    elif cfg.remat == "dots_batch":
+        block_fn = jax.checkpoint(
+            _block_forward, static_argnums=(4, 6),
+            policy=jax.checkpoint_policies.checkpoint_dots)
     elif cfg.remat == "full":
         block_fn = jax.checkpoint(_block_forward, static_argnums=(4, 6))
 

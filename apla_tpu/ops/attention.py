@@ -33,9 +33,8 @@ def qkv_and_attend(x, qkv_kernel, qkv_bias, num_heads, scale=None,
     head_dim = C // num_heads
     if scale is None:
         scale = head_dim ** -0.5
-    qkv = jnp.dot(x, qkv_kernel.astype(x.dtype), preferred_element_type=x.dtype)
-    if qkv_bias is not None:
-        qkv = qkv + qkv_bias.astype(x.dtype)
+    from .quant import maybe_quantized_dot
+    qkv = maybe_quantized_dot(x, qkv_kernel, qkv_bias)
     qkv = qkv.reshape(B, N, 3, num_heads, head_dim)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, Dh]
 
