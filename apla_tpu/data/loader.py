@@ -92,14 +92,28 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_checking_stop(item) -> bool:
+            # q.put with a plain block would deadlock if the consumer
+            # abandons iteration while the queue is full (preemption exit,
+            # tests) — re-check stop while waiting so the thread and its
+            # pool always wind down
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                 for idxs in batches:
                     if stop.is_set():
                         return
                     samples = list(pool.map(self._load_sample, idxs))
-                    q.put(self.collate_fn(samples))
-            q.put(None)
+                    if not put_checking_stop(self.collate_fn(samples)):
+                        return
+            put_checking_stop(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

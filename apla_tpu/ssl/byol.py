@@ -253,8 +253,8 @@ class BYOLTrainer:
         self.restore_session = bool(tp.get("restore_session", False))
         self.model_name = tp.get("model_name", "ssl_model")
         self.save_dir = tp.get("save_dir", "checkpoints")
-        self.is_debug = False
-        self.is_dry = False
+        self.is_debug = bool(tp.get("is_debug", False))
+        self.is_dry = bool(tp.get("is_dry", False))
 
         self.mesh = wrapper.mesh
         self.vit_cfg = wrapper.vit_cfg
@@ -274,10 +274,8 @@ class BYOLTrainer:
         self.best_val_target = -np.inf
         self.best_trainable = None
         self.rng = jax.random.PRNGKey(int(tp.get("seed", 0)))
-        from ..utils.logging import RunLogger
-        self.logger = RunLogger(None if self.is_dry else self.save_dir,
-                                run_name=self.model_name,
-                                config=dict(self.parameters))
+        from ..utils.logging import make_run_logger
+        self.logger = make_run_logger(wrapper, self)
 
     # -------------------------------------------------------------- #
     def _feature_params(self, state=None):

@@ -17,11 +17,33 @@ import jax.numpy as jnp
 import optax
 
 
+# Param names that are per-feature vectors in the reference (biases, norm
+# scales, LayerScale gammas, the APLA bias slice).  Block params here are
+# STACKED on a leading [depth] axis, so a per-block bias is 2-D — ndim alone
+# cannot reproduce the reference rule; the key path can.
+_NO_WD_NAMES = frozenset({"bias", "proj_bt", "scale", "gamma"})
+
+
+def _path_leaf_name(path) -> str | None:
+    for entry in reversed(path):
+        if isinstance(entry, jax.tree_util.DictKey):
+            return str(entry.key)
+        if isinstance(entry, jax.tree_util.GetAttrKey):
+            return entry.name
+    return None
+
+
 def wd_mask(params) -> object:
-    """True for leaves that should be weight-decayed: ndim >= 2 (kernels),
-    mirroring the reference rule "no WD for biases and 1-D params"
-    (wrappers.py:204-221)."""
-    return jax.tree.map(lambda p: p.ndim >= 2, params)
+    """True for leaves that should be weight-decayed, mirroring the reference
+    rule "no WD for .bias or 1-D params" (wrappers.py:204-221).  Because block
+    params are stacked on a leading [depth] axis (LayerNorm scale -> [L, d]),
+    the mask is path-aware: leaves named bias / scale / gamma / proj_bt are
+    exempt regardless of stacked ndim; everything else decays iff ndim >= 2."""
+    def decide(path, p):
+        if _path_leaf_name(path) in _NO_WD_NAMES:
+            return False
+        return p.ndim >= 2
+    return jax.tree_util.tree_map_with_path(decide, params)
 
 
 def build_optimizer(opt_type: str, opt_params: dict, trainable_template,

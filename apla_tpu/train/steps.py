@@ -59,13 +59,18 @@ def make_train_step(vit_cfg, tx, criterion: Callable,
 
 
 def make_eval_step(vit_cfg, criterion: Callable) -> Callable:
-    """Returns eval_step(trainable, frozen, batch) -> (loss, logits)."""
+    """Returns eval_step(trainable, frozen, batch) -> (losses [B], logits).
+
+    Losses are PER-SAMPLE so the host can trim padding (short final val
+    batches are padded to the compiled shape) before averaging — a padded
+    mean would bias val_loss, which drives ReduceLROnPlateau."""
 
     def eval_step(trainable, frozen, batch):
         logits = classifier_forward(trainable, frozen, batch["image"],
                                     vit_cfg, deterministic=True)
-        loss = criterion(logits, batch["label"])
-        return loss, logits
+        losses = jax.vmap(lambda lg, lb: criterion(lg[None], lb[None]))(
+            logits, batch["label"])
+        return losses, logits
 
     return jax.jit(eval_step)
 

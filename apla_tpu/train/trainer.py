@@ -40,8 +40,10 @@ class Trainer:
         self.restore_only_model = bool(tp.get("restore_only_model", False))
         self.model_name = tp.get("model_name", "model")
         self.save_dir = tp.get("save_dir", "checkpoints")
-        self.is_debug = False
-        self.is_dry = False
+        # dry/debug arrive via training_params (main.py sets them from the
+        # CLI BEFORE construction, so the logger sees the right mode)
+        self.is_debug = bool(tp.get("is_debug", False))
+        self.is_dry = bool(tp.get("is_dry", False))
 
         self.mesh = wrapper.mesh
         self.vit_cfg = wrapper.vit_cfg
@@ -65,10 +67,8 @@ class Trainer:
         self.best_trainable = None
         self.rng = jax.random.PRNGKey(int(tp.get("seed", 0)))
 
-        run_name = self.model_name
-        self.logger = RunLogger(None if self.is_dry else self.save_dir,
-                                run_name=run_name,
-                                config=dict(self.parameters))
+        from ..utils.logging import make_run_logger
+        self.logger = make_run_logger(wrapper, self)
 
     # ------------------------------------------------------------------ #
     @property
@@ -138,7 +138,6 @@ class Trainer:
         loader = self.wrapper.dataloaders.trainloader
         steps_per_epoch = len(loader)
         val_interval = max(int(self.val_every * steps_per_epoch), 1)
-        log_pending = []  # (iters, device scalars) — fetched lazily
 
         from ..utils.profiling import StepTimer
         timer = StepTimer(sync_every=self.log_every)
@@ -180,9 +179,6 @@ class Trainer:
                     self.logger.finish()
                     return
 
-            # end of epoch bookkeeping
-            del log_pending[:]
-
         if getattr(self, "_last_val_iter", -1) != self.iters:
             self.epoch_step(self.epochs - 1)
         self.save_session(self.epochs - 1, verbose=True)
@@ -211,25 +207,26 @@ class Trainer:
     def evaluate(self, loader, prefix="val", trainable=None):
         trainable = self.state.trainable if trainable is None else trainable
         metric = self.wrapper.metric_class(self.n_classes, mode=prefix)
-        losses = []
+        loss_sum, loss_count = 0.0, 0
         bs = loader.batch_size
         for batch in loader:
             n = batch["label"].shape[0]
-            if n < bs:  # pad to the compiled shape, then trim
-                pad = {k: (np.concatenate([v, np.repeat(v[-1:], bs - n, 0)])
-                           if not isinstance(v, list) else v)
-                       for k, v in batch.items()}
-                loss, logits = self.eval_step(trainable, self.frozen,
-                                              self._device_batch(pad))
-                logits = np.asarray(logits)[:n]
-            else:
-                loss, logits = self.eval_step(trainable, self.frozen,
-                                              self._device_batch(batch))
-                logits = np.asarray(logits)
-            losses.append(float(loss))
-            metric.add_preds(logits, batch["label"])
+            if n < bs:  # pad to the compiled shape
+                batch = {k: (np.concatenate(
+                                 [v, np.repeat(v[-1:], bs - n, 0)])
+                             if not isinstance(v, list) else v)
+                         for k, v in batch.items()}
+            labels = batch["label"][:n]
+            losses, logits = self.eval_step(trainable, self.frozen,
+                                            self._device_batch(batch))
+            # _device_batch may pad further (to a mesh multiple) — always
+            # trim device outputs to the true sample count before averaging
+            logits = np.asarray(logits)[:n]
+            loss_sum += float(np.sum(np.asarray(losses)[:n]))
+            loss_count += n
+            metric.add_preds(logits, labels)
         results = metric.get_values()
-        results[f"{prefix}_loss"] = round(float(np.mean(losses)), 4)
+        results[f"{prefix}_loss"] = round(loss_sum / max(loss_count, 1), 4)
         return results
 
     # ------------------------------------------------------------------ #

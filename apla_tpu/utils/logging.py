@@ -1,5 +1,10 @@
-"""Run logging: JSONL metrics stream + optional wandb (reference logs to
-wandb rank-0 only, keyed by iters — `bases.py:477-480`, `main.py:178-199`).
+"""Run logging: JSONL metrics stream + optional wandb.
+
+Reference semantics (`src/main.py:178-199`): wandb attached on rank 0 only,
+keyed by iters, `log_params.run_name == "DEFINED_BY_MODEL_NAME"` resolves to
+the model name, `--debug` selects dryrun mode, `--offline` selects offline
+mode with a `wandb sync` of the run directory at exit
+(`src/main.py:228-238`).
 
 wandb is not installed in this environment; the JSONL file is the primary
 sink and a wandb run is attached only if the package is importable.
@@ -38,19 +43,29 @@ def gray(s):
 class RunLogger:
     def __init__(self, save_dir: str | None, run_name: str = "run",
                  use_wandb: bool = False, config: dict | None = None,
-                 project: str = "APLA"):
+                 project: str = "APLA", offline: bool = False,
+                 debug: bool = False, resume: bool = False):
         self.path = None
         if save_dir:
             os.makedirs(save_dir, exist_ok=True)
             self.path = os.path.join(save_dir, f"{run_name}.metrics.jsonl")
         self.wandb_run = None
-        if use_wandb:
+        self._offline = offline
+        if use_wandb and _is_rank0():
             try:
                 import wandb
-                self.wandb_run = wandb.init(project=project, name=run_name,
-                                            config=config or {})
+                if debug:
+                    os.environ["WANDB_MODE"] = "dryrun"
+                kwargs = dict(project=project, name=run_name,
+                              config=config or {},
+                              resume=True if resume else False)
+                if save_dir:
+                    kwargs["dir"] = save_dir
+                if offline:
+                    kwargs["mode"] = "offline"
+                self.wandb_run = wandb.init(**kwargs)
             except Exception:
-                pass
+                self.wandb_run = None
         self.t0 = time.time()
 
     def log(self, metrics: dict, step: int):
@@ -64,5 +79,49 @@ class RunLogger:
             self.wandb_run.log(metrics, step=step)
 
     def finish(self):
-        if self.wandb_run is not None:
-            self.wandb_run.finish()
+        if self.wandb_run is None:
+            return
+        run = self.wandb_run
+        self.wandb_run = None
+        run.finish()
+        if self._offline:
+            # offline-sync analog of reference main.py:228-238
+            import glob
+            import subprocess
+            base = getattr(run, "dir", None) or "."
+            root = base.split("wandb")[0] or "."
+            pattern = os.path.join(root, "wandb",
+                                   f"offline-run-*-{run.id}")
+            matches = glob.glob(pattern)
+            if matches:
+                print(cyan(f"Syncing offline wandb run: {matches[0]}"))
+                subprocess.run(["wandb", "sync", matches[0]], check=False)
+
+
+def _is_rank0() -> bool:
+    try:
+        import jax
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
+def make_run_logger(wrapper, trainer) -> RunLogger:
+    """Build the trainer's RunLogger from `log_params` (reference
+    `main.py:178-199`): run_name "DEFINED_BY_MODEL_NAME" resolves to the
+    model name; wandb on unless `log_params.use_wandb: false`; dry runs get
+    no sink directory."""
+    lp = wrapper.log_params
+    run_name = lp.get("run_name", "DEFINED_BY_MODEL_NAME")
+    if run_name == "DEFINED_BY_MODEL_NAME":
+        run_name = trainer.model_name
+    tp = wrapper.training_params
+    return RunLogger(
+        None if trainer.is_dry else trainer.save_dir,
+        run_name=run_name,
+        use_wandb=bool(lp.get("use_wandb", bool(lp))),
+        config=dict(wrapper.parameters),
+        project=lp.get("project_name", "APLA"),
+        offline=bool(tp.get("offline", False)),
+        debug=trainer.is_debug,
+        resume=bool(tp.get("restore_session", False)))

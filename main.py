@@ -94,6 +94,11 @@ def update_params_from_args(params, args):
         params.training_params.job_id = args.job_id
     if args.mixed_precision:
         params.training_params.use_mixed_precision = True
+    # dry/debug/offline flow through training_params so trainers (and their
+    # loggers) see them at construction time, not after
+    params.training_params.is_dry = args.dry
+    params.training_params.is_debug = args.debug
+    params.training_params.offline = args.offline
     if args.knn:
         assert args.test, "--test --knn should be used together"
         for ld in ("trainloader", "valloader", "testloader"):
@@ -117,10 +122,6 @@ def main(parameters, args):
     wrapper.instantiate()
 
     trainer = TrainerCls(wrapper)
-    if args.debug:
-        trainer.is_debug = True
-    if args.dry:
-        trainer.is_dry = True
 
     if args.test or args.knn:
         assert args.pretrained_path, "--test requires --pretrained_path"
