@@ -483,11 +483,22 @@ class APTOS2019(_CsvWithSeededSplit):
 
 
 class Flowers102(_SimpleCsvSet):
-    # reference datasets.py:1000-1134
+    # reference datasets.py:1000-1134; CSV labels start from 1, the parser
+    # subtracts 1 (datasets.py:1126-1135)
     n_classes = 102
     target_metric = "mean_per_class_accuracy"
     mean = (0.435, 0.38, 0.292)
     std = (0.293, 0.243, 0.27)
+
+    def get_data_as_list(self):
+        csv_file = {"train": "train.csv", "val": "val.csv",
+                    "test": "test.csv"}.get(self.mode, "all_labels.csv")
+        df = _read_csv(os.path.join(self.root_dir, csv_file))
+        return [{
+            "img_path": os.path.join(self.root_dir, "images",
+                                     row["filename"]),
+            "label": int(row["label"]) - 1,
+        } for _, row in df.iterrows()]
 
 
 class SUN397(BaseSet):
@@ -619,19 +630,77 @@ class Aircraft(BaseSet):
         } for line in lines]
 
 
-class StanfordCars(_SimpleCsvSet):
-    # reference datasets.py:1602-1656 (reference uses torchvision's parser;
-    # we use the exported csv convention train/val/test.csv)
+class StanfordCars(BaseSet):
+    """Reference datasets.py:1602-1656: torchvision devkit layout —
+    <root>/StanfordCars/stanford_cars/{devkit/cars_train_annos.mat,
+    cars_test_annos_withlabels.mat, cars_train/, cars_test/} — with the
+    reference's extra `val_imgfiles.txt` carving val out of the train split.
+    Parsed natively (scipy.io); no torchvision dependency."""
+
     n_classes = 196
     mean = (0.469, 0.459, 0.454)
     std = (0.29, 0.289, 0.297)
 
+    def _mat_samples(self, split):
+        from scipy.io import loadmat
+        base = os.path.join(self.root_dir, "stanford_cars")
+        if split == "train":
+            mat = os.path.join(base, "devkit", "cars_train_annos.mat")
+            img_dir = os.path.join(base, "cars_train")
+        else:
+            mat = os.path.join(base, "cars_test_annos_withlabels.mat")
+            img_dir = os.path.join(base, "cars_test")
+        annos = loadmat(mat, squeeze_me=True)["annotations"]
+        # torchvision semantics: target = mat class - 1
+        return [(os.path.join(img_dir, str(a["fname"])),
+                 int(a["class"]) - 1) for a in np.atleast_1d(annos)]
 
-class DTD(_SimpleCsvSet):
-    # reference datasets.py:1659-1705
+    def get_data_as_list(self):
+        train_samples = self._mat_samples("train")
+        test_samples = self._mat_samples("test")
+        val_files = {os.path.join(self.root_dir, p) for p in
+                     read_file_to_list(os.path.join(self.root_dir,
+                                                    "val_imgfiles.txt"))}
+        if getattr(self, "train_val", False):
+            selected = (train_samples if self.mode == "train"
+                        else test_samples)
+        elif self.mode == "train":
+            selected = [s for s in train_samples if s[0] not in val_files]
+        elif self.mode in ("val", "eval"):
+            selected = [s for s in train_samples if s[0] in val_files]
+        elif self.mode == "test":
+            selected = test_samples
+        else:  # 'all'
+            selected = train_samples + test_samples
+        return [{"img_path": p, "label": t} for p, t in selected]
+
+
+class DTD(BaseSet):
+    """Reference datasets.py:1659-1705: torchvision layout —
+    <root>/DTD/dtd/dtd/{labels/{train,val,test}1.txt, images/<cls>/<file>}.
+    Split files hold `class/filename.jpg` lines; labels come from the sorted
+    class set (torchvision DTD semantics), partition 1."""
+
     n_classes = 47
     mean = (0.531, 0.474, 0.425)
     std = (0.265, 0.255, 0.263)
+    partition = 1
+
+    def _split_entries(self, split):
+        data_dir = os.path.join(self.root_dir, "dtd", "dtd")
+        lines = read_file_to_list(os.path.join(
+            data_dir, "labels", f"{split}{self.partition}.txt"))
+        return [(os.path.join(data_dir, "images", ln.strip()),
+                 ln.strip().split("/")[0]) for ln in lines if ln.strip()]
+
+    def get_data_as_list(self):
+        splits = (("train", "val", "test") if self.mode == "all"
+                  else ({"train": ("train",), "val": ("val",),
+                         "eval": ("val",), "test": ("test",)}[self.mode]))
+        entries = [e for s in splits for e in self._split_entries(s)]
+        classes = sorted({c for _, c in entries})
+        to_int = {c: i for i, c in enumerate(classes)}
+        return [{"img_path": p, "label": to_int[c]} for p, c in entries]
 
 
 class StanfordDogs(_SimpleCsvSet):
@@ -641,12 +710,45 @@ class StanfordDogs(_SimpleCsvSet):
     std = (0.259, 0.253, 0.258)
 
 
-class OxfordIII_Pet(_SimpleCsvSet):
-    # reference datasets.py:1862-1921
+class OxfordIII_Pet(BaseSet):
+    """Reference datasets.py:1862-1921: torchvision layout —
+    <root>/OxfordIII_Pet/oxford-iiit-pet/{images/<id>.jpg,
+    annotations/{trainval,test}.txt} (lines `image_id label ...`, label is
+    1-based) — with `val_imgfiles.txt` carving val out of trainval."""
+
     n_classes = 37
     target_metric = "mean_per_class_accuracy"
     mean = (0.482, 0.449, 0.395)
     std = (0.265, 0.26, 0.268)
+
+    def _split_samples(self, split):
+        base = os.path.join(self.root_dir, "oxford-iiit-pet")
+        lines = read_file_to_list(
+            os.path.join(base, "annotations", f"{split}.txt"))
+        samples = []
+        for ln in lines:
+            if not ln.strip() or ln.startswith("#"):
+                continue
+            image_id, label = ln.split()[:2]
+            samples.append((os.path.join(base, "images", image_id + ".jpg"),
+                            int(label) - 1))
+        return samples
+
+    def get_data_as_list(self):
+        trainval = self._split_samples("trainval")
+        test = self._split_samples("test")
+        val_files = {os.path.join(self.root_dir, p) for p in
+                     read_file_to_list(os.path.join(self.root_dir,
+                                                    "val_imgfiles.txt"))}
+        if self.mode == "train":
+            selected = [s for s in trainval if s[0] not in val_files]
+        elif self.mode in ("val", "eval"):
+            selected = [s for s in trainval if s[0] in val_files]
+        elif self.mode == "test":
+            selected = test
+        else:  # 'all'
+            selected = trainval + test
+        return [{"img_path": p, "label": t} for p, t in selected]
 
 
 class CUB_200_2011(_SimpleCsvSet):
@@ -696,10 +798,6 @@ class Caltech_256(Caltech_101):
     # reference datasets.py:2026-2033
     n_classes = 257
     images_dirname = "256_ObjectCategories"
-
-    def get_data_as_list(self):
-        data = super().get_data_as_list()
-        return data
 
 
 class MIT_Indoor(_SimpleCsvSet):

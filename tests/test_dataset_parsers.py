@@ -11,7 +11,8 @@ import pytest
 from PIL import Image
 
 from apla_tpu.data.datasets import (
-    CIFAR_10, Caltech_101, ImageNet, Pneumonia, VTAB_dtd)
+    CIFAR_10, Caltech_101, DTD, Flowers102, ImageNet, OxfordIII_Pet,
+    Pneumonia, StanfordCars, VTAB_dtd)
 from apla_tpu.data.loader import DataLoader
 
 TRANSFORMS = {
@@ -88,6 +89,104 @@ def test_imagenet_layout(tmp_path):
     ds = ImageNet(params, mode="train")
     assert len(ds) == 4
     assert {r["label"] for r in ds.data} == {0, 1}
+
+
+def test_flowers102_labels_are_one_based(tmp_path):
+    """Reference datasets.py:1126-1135 subtracts 1 from the CSV labels."""
+    root = tmp_path / "Flowers102"
+    os.makedirs(root / "images")
+    rows = ["filename,label"]
+    for i in range(4):
+        _png(str(root / "images" / f"f{i}.jpg"), i * 50)
+        rows.append(f"f{i}.jpg,{i + 1}")  # labels start at 1 on disk
+    for split in ("train", "val", "test"):
+        (root / f"{split}.csv").write_text("\n".join(rows) + "\n")
+    ds = Flowers102({"data_location": str(tmp_path), **TRANSFORMS},
+                    mode="train")
+    assert [r["label"] for r in ds.data] == [0, 1, 2, 3]
+
+
+def test_stanford_cars_devkit_layout(tmp_path):
+    """Reference datasets.py:1602-1656: torchvision devkit .mat layout with
+    val_imgfiles.txt carving val out of train."""
+    from scipy.io import savemat
+
+    root = tmp_path / "StanfordCars"
+    base = root / "stanford_cars"
+    os.makedirs(base / "devkit")
+
+    def save_annos(path, img_dir, n, off=0):
+        dt = np.dtype([("fname", object), ("bbox_x1", object),
+                       ("class", object)])
+        a = np.empty((n,), dtype=dt)
+        for i in range(n):
+            fname = f"{i + off:05d}.jpg"
+            a[i] = (fname, 1, (i % 3) + 1)  # 1-based classes on disk
+            _png(str(base / img_dir / fname), i * 20)
+        savemat(str(path), {"annotations": a})
+
+    save_annos(base / "devkit" / "cars_train_annos.mat", "cars_train", 6)
+    save_annos(base / "cars_test_annos_withlabels.mat", "cars_test", 4,
+               off=100)
+    (root / "val_imgfiles.txt").write_text(
+        "stanford_cars/cars_train/00000.jpg\n"
+        "stanford_cars/cars_train/00001.jpg\n")
+
+    params = {"data_location": str(tmp_path), **TRANSFORMS}
+    train = StanfordCars(params, mode="train")
+    val = StanfordCars(params, mode="val")
+    test = StanfordCars(params, mode="test")
+    assert len(train) == 4 and len(val) == 2 and len(test) == 4
+    assert {r["label"] for r in train.data} <= {0, 1, 2}  # -1 applied
+    assert train[0]["image"].shape == (16, 16, 3)
+    # train_val mode folds val back into train (reference :1631-1636)
+    tv = StanfordCars({**params, "train_val": True}, mode="train")
+    assert len(tv) == 6
+
+
+def test_dtd_torchvision_layout(tmp_path):
+    """Reference datasets.py:1659-1705: dtd/dtd/labels/{split}1.txt with
+    class/filename lines; labels from the sorted class set."""
+    root = tmp_path / "DTD"
+    data = root / "dtd" / "dtd"
+    os.makedirs(data / "labels")
+    entries = {"train": ["banded/banded_0001.jpg", "dotted/dotted_0001.jpg"],
+               "val": ["banded/banded_0002.jpg"],
+               "test": ["dotted/dotted_0002.jpg", "banded/banded_0003.jpg"]}
+    for split, lines in entries.items():
+        (data / "labels" / f"{split}1.txt").write_text("\n".join(lines) + "\n")
+        for ln in lines:
+            _png(str(data / "images" / ln), 77)
+    params = {"data_location": str(tmp_path), **TRANSFORMS}
+    train = DTD(params, mode="train")
+    test = DTD(params, mode="test")
+    assert len(train) == 2 and len(test) == 2
+    assert [r["label"] for r in train.data] == [0, 1]  # banded=0, dotted=1
+    assert train[0]["image"].shape == (16, 16, 3)
+
+
+def test_oxford_pet_torchvision_layout(tmp_path):
+    """Reference datasets.py:1862-1921: oxford-iiit-pet annotations files
+    (1-based labels) + val_imgfiles.txt."""
+    root = tmp_path / "OxfordIII_Pet"
+    base = root / "oxford-iiit-pet"
+    os.makedirs(base / "annotations")
+    trainval = [("Abyssinian_1", 1), ("Abyssinian_2", 1), ("bengal_1", 2)]
+    test = [("Abyssinian_3", 1), ("bengal_2", 2)]
+    for split, items in (("trainval", trainval), ("test", test)):
+        (base / "annotations" / f"{split}.txt").write_text(
+            "".join(f"{n} {l} {l} 1\n" for n, l in items))
+        for n, _ in items:
+            _png(str(base / "images" / f"{n}.jpg"), 99)
+    (root / "val_imgfiles.txt").write_text(
+        "oxford-iiit-pet/images/Abyssinian_2.jpg\n")
+    params = {"data_location": str(tmp_path), **TRANSFORMS}
+    train = OxfordIII_Pet(params, mode="train")
+    val = OxfordIII_Pet(params, mode="val")
+    tst = OxfordIII_Pet(params, mode="test")
+    assert len(train) == 2 and len(val) == 1 and len(tst) == 2
+    assert {r["label"] for r in train.data} == {0, 1}  # -1 applied
+    assert val.data[0]["img_path"].endswith("Abyssinian_2.jpg")
 
 
 def test_simple_csv_layout(tmp_path):
