@@ -90,11 +90,16 @@ def maybe_quantized_dot(x, kernel_or_quant, bias=None):
     return y
 
 
-def quantize_frozen_backbone(frozen: dict) -> dict:
+def quantize_frozen_backbone(frozen: dict, which=("qkv", "fc1", "fc2",
+                                                  "w12", "w3")) -> dict:
     """Quantize the large frozen kernels of a ViT backbone pytree in place
     (returns a new tree): qkv / mlp kernels -> {'w_int8','scale'}.  The
     frozen full proj kernel stays bf16/f32 — the APLA scatter writes
     trainable bf16 columns into it.  LayerNorms/biases/embeddings stay float.
+
+    `which` selects the kernels to quantize by name — per-shape int8 wins
+    depend on K (see experiments/r2_perf_study.jsonl), so callers can
+    quantize only where the MXU actually gains.
     """
     import jax as _jax
 
@@ -108,10 +113,12 @@ def quantize_frozen_backbone(frozen: dict) -> dict:
         w_i8, scales = _jax.vmap(lambda w: quantize_weight(w))(kernel)
         return {"w_int8": w_i8, "scale": scales}
 
-    blocks["attn"]["qkv"]["kernel"] = quant_stack(
-        blocks["attn"]["qkv"]["kernel"])
+    which = set(which)
+    if "qkv" in which:
+        blocks["attn"]["qkv"]["kernel"] = quant_stack(
+            blocks["attn"]["qkv"]["kernel"])
     mlp = blocks["mlp"]
     for name in ("fc1", "fc2", "w12", "w3"):
-        if name in mlp:
+        if name in mlp and name in which:
             mlp[name]["kernel"] = quant_stack(mlp[name]["kernel"])
     return frozen

@@ -7,9 +7,10 @@ inheriting Resize/Normalize from the dataset config.
 
 from __future__ import annotations
 
+import os
 from copy import deepcopy
 
-from ..utils.config import EDict
+from ..utils.config import EDict, load_json
 
 
 def _global_crop(size=224, scale=(0.4, 1.0), blur_p=1.0, solarize=False):
@@ -64,9 +65,64 @@ STRATEGIES = {
 }
 
 
+def apply_strategy_json(parameters: EDict, strategy: dict) -> EDict:
+    """Apply a reference-format `augmentation_strategy.json` dict
+    (reference wrappers.py:343-379): for every `transforms` key present in
+    dataset_params, rebuild it as a per-crop list following
+    `repetition_strategy.order` x `n_augmentations`, inheriting the
+    `general_args.inherit` keys (Resize/Normalize) from the original def."""
+    general = strategy.get("general_args", {})
+    if not general.get("overwrite_defaults", False):
+        return parameters
+    rep = strategy["repetition_strategy"]
+    transforms = strategy["transforms"]
+    params = EDict(deepcopy(dict(parameters)))
+    for key in parameters.dataset_params.keys():
+        if key not in transforms:
+            continue
+        org_def = parameters.dataset_params[key]
+        updated = []
+        for order, aug_type in enumerate(rep["order"]):
+            new_trans = deepcopy(dict(transforms[key][aug_type]))
+            for k in general.get("inherit", []):
+                if k in org_def:
+                    new_trans[k] = deepcopy(org_def[k])
+            updated.extend(deepcopy(new_trans)
+                           for _ in range(int(rep["n_augmentations"][order])))
+        params.dataset_params[key] = updated
+    return params
+
+
+def _find_strategy_file(parameters: EDict, strategy: str):
+    """External strategy file, load-if-present: an explicit
+    `dataset_params.augmentation_strategy_path`, else a JSON colocated with
+    this package (`augmentation_strategy_<name>.json` or
+    `augmentation_strategy.json`) — mirroring the reference's file colocated
+    with each SSL wrapper (wrappers.py:347-352)."""
+    explicit = parameters.dataset_params.get("augmentation_strategy_path")
+    if explicit:
+        if not os.path.isfile(explicit):
+            raise FileNotFoundError(
+                f"augmentation_strategy_path: {explicit}")
+        return explicit
+    here = os.path.dirname(os.path.abspath(__file__))
+    for name in (f"augmentation_strategy_{strategy}.json",
+                 "augmentation_strategy.json"):
+        path = os.path.join(here, name)
+        if os.path.isfile(path):
+            return path
+    return None
+
+
 def apply_augmentation_strategy(parameters: EDict, strategy: str) -> EDict:
     """Replace `dataset_params.train_transforms` with the strategy's per-crop
-    transform list (reference update_augmentation_strategy semantics)."""
+    transform list (reference update_augmentation_strategy semantics).
+
+    A user-supplied strategy file wins over the builtin dict."""
+    path = _find_strategy_file(parameters, strategy)
+    if path:
+        print(f"Using aug strategy file: {path}")
+        return apply_strategy_json(parameters, load_json(path))
     spec = STRATEGIES[strategy]
     params = EDict(deepcopy(dict(parameters)))
     base = params.dataset_params.get("train_transforms", EDict())

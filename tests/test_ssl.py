@@ -97,3 +97,51 @@ def test_byol_loss_range():
     # identical views: byol loss 0, simsiam loss -1 (two pairs of -0.5)
     assert float(byol_loss(x, y)) == pytest.approx(0.0, abs=1e-5)
     assert float(simsiam_loss(x, y)) == pytest.approx(-1.0, abs=1e-5)
+
+
+def test_custom_augmentation_strategy_file(tmp_path):
+    """A user-supplied reference-format augmentation_strategy.json overrides
+    the builtin multi-crop recipe end-to-end through a DINO wrapper
+    (reference wrappers.py:343-379)."""
+    import json
+
+    from apla_tpu.ssl.dino import DINOWrapper
+
+    crop = {
+        "RandomResizedCrop": {"apply": True, "size": 24,
+                              "scale": [0.4, 1.0]},
+        "HorizontalFlip": {"apply": True, "p": 0.5},
+    }
+    local = {
+        "RandomResizedCrop": {"apply": True, "size": 8,
+                              "scale": [0.05, 0.4]},
+    }
+    strategy = {
+        "general_args": {"overwrite_defaults": True,
+                         "inherit": ["Resize", "Normalize"]},
+        "repetition_strategy": {"n_augmentations": [1, 3],
+                                "order": ["global_1", "local"]},
+        "transforms": {"train_transforms": {"global_1": crop,
+                                            "local": local}},
+    }
+    spath = tmp_path / "strategy.json"
+    spath.write_text(json.dumps(strategy))
+
+    params = ssl_params(tmp_path)
+    params.dataset_params.augmentation_strategy_path = str(spath)
+    wrapper = DINOWrapper(params)
+
+    tt = wrapper.parameters.dataset_params.train_transforms
+    assert isinstance(tt, list) and len(tt) == 4  # 1 global + 3 local
+    assert tt[0]["RandomResizedCrop"]["size"] == 24
+    assert all(t["RandomResizedCrop"]["size"] == 8 for t in tt[1:])
+    # inherit pulled Normalize from the dataset's original train_transforms
+    assert "Normalize" in tt[0]
+
+    # the dataset yields one crop per pipeline at the declared sizes
+    wrapper.instantiate()
+    sample = wrapper.dataloaders.trainloader.dataset[0]
+    imgs = sample["image"]
+    assert isinstance(imgs, list) and len(imgs) == 4
+    assert imgs[0].shape[:2] == (24, 24)
+    assert imgs[1].shape[:2] == (8, 8)
