@@ -163,6 +163,8 @@ class Trainer:
                     rec = {"train_loss": loss, "lr": lr, "grad_norm": gnorm,
                            "images_per_sec": ips}
                     rec.update(timer.summary())
+                    from ..utils.profiling import device_memory_stats
+                    rec.update(device_memory_stats())
                     self.logger.log(rec, self.iters)
                     print(gray(f"it {self.iters:6d} ep {epoch:3d} "
                                f"loss {loss:.4f} lr {lr:.2e} "

@@ -50,3 +50,24 @@ class StepTimer:
         self.samples.clear()
         self._t_last = None
         self._count = 0
+
+
+def device_memory_stats(device=None) -> dict:
+    """Peak/current HBM usage of one device, in bytes.  Returns {} where the
+    backend doesn't expose memory_stats (CPU).  The reference's analog is
+    nvidia-smi snapshots; here it's a first-class metric — BASELINE.md's
+    memory claim (peak HBM scales with APLA rank, not model size) is
+    tracked from this."""
+    import jax
+
+    dev = device or jax.local_devices()[0]
+    try:
+        stats = dev.memory_stats() or {}
+    except Exception:
+        return {}
+    out = {}
+    if "peak_bytes_in_use" in stats:
+        out["peak_hbm_gb"] = round(stats["peak_bytes_in_use"] / 2**30, 3)
+    if "bytes_in_use" in stats:
+        out["hbm_in_use_gb"] = round(stats["bytes_in_use"] / 2**30, 3)
+    return out

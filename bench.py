@@ -4,7 +4,18 @@
 Matches BASELINE.md's target metric (images/sec/chip for ViT-B, patch 14,
 224px, APLA rank 128 supervised fine-tune — the NABirds/ImageNet apla.yml
 recipe).  Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N,
+   "e2e_img_s": N, "pipeline_efficiency": N, "peak_hbm_gb": N}
+
+- value: device-step throughput (fixed device-resident batch, the compute
+  ceiling), timed with a VALUE FETCH barrier (block_until_ready is
+  unreliable through the axon tunnel).
+- e2e_img_s: end-to-end training throughput — real DataLoader (threaded
+  host workers shipping uint8), per-step H2D transfer, device-side
+  augmentation tail fused into the jitted step (the reference's hot loop
+  includes aug workers + H2D, src/defaults/trainer.py:118-124).
+- peak_hbm_gb: device peak memory after the run (the memory half of the
+  reference's headline claim, README.md:14-16).
 
 vs_baseline is measured against 280 img/s — an A100-80GB PyTorch+xformers
 estimate for the same recipe (the reference publishes figures, not numbers;
@@ -33,7 +44,7 @@ BATCH = 64
 STEPS = 30
 
 
-def main():
+def build(device_aug_cfg=None):
     from apla_tpu.apla.core import AplaConfig
     from apla_tpu.models.classifier import init_classifier
     from apla_tpu.models.vit import VIT_BUILDERS
@@ -51,8 +62,14 @@ def main():
     tx = build_optimizer("AdamW", {"lr": 3e-5, "weight_decay": 1e-5},
                          trainable, grad_clip=1.0)
     state = TrainState.create(trainable, tx)
-    train_step = make_train_step(cfg, tx, cross_entropy)
+    step = make_train_step(cfg, tx, cross_entropy,
+                           device_aug_cfg=device_aug_cfg)
+    return step, state, frozen
 
+
+def bench_device_step():
+    """Compute ceiling: one device-resident batch reused STEPS times."""
+    step, state, frozen = build()
     rng = np.random.default_rng(0)
     batch = {
         "image": jnp.asarray(rng.standard_normal((BATCH, 224, 224, 3)),
@@ -60,27 +77,84 @@ def main():
         "label": jnp.asarray(rng.integers(0, 1000, BATCH), jnp.int32),
     }
     key = jax.random.PRNGKey(1)
-
-    # compile + tunnel warmup (first device->host transfer is slow)
-    state, m = train_step(state, frozen, batch, 3e-5, key)
+    state, m = step(state, frozen, batch, 3e-5, key)  # compile + warmup
     _ = float(m["loss"])
     for _ in range(3):
-        state, m = train_step(state, frozen, batch, 3e-5, key)
-    jax.block_until_ready(state.trainable)
-
+        state, m = step(state, frozen, batch, 3e-5, key)
+    _ = float(m["loss"])
     t0 = time.perf_counter()
     for _ in range(STEPS):
-        state, m = train_step(state, frozen, batch, 3e-5, key)
-    jax.block_until_ready(state.trainable)
+        state, m = step(state, frozen, batch, 3e-5, key)
+    _ = float(m["loss"])  # value fetch = the only reliable barrier here
     dt = time.perf_counter() - t0
+    return BATCH * STEPS / dt
 
-    ips = BATCH * STEPS / dt
-    print(json.dumps({
+
+def bench_end_to_end():
+    """Real input pipeline: DataLoader threads decode/ship uint8 256px
+    images, H2D every step, device-side augmentation inside the step."""
+    from apla_tpu.data.datasets import Synthetic
+    from apla_tpu.data.device_augs import DeviceAugConfig
+    from apla_tpu.data.loader import DataLoader
+
+    aug = DeviceAugConfig(out_size=224, crop_scale=(0.8, 1.2), hflip_p=0.5,
+                          jitter_p=0.8, brightness=0.2, contrast=0.2,
+                          saturation=0.1)
+    step, state, frozen = build(device_aug_cfg=aug)
+
+    ds = Synthetic({"synthetic_size": 512, "synthetic_img_size": 256,
+                    "synthetic_classes": 10,
+                    "train_transforms": {}, "val_transforms": {},
+                    "test_transforms": {}}, mode="train")
+    ds.raw_mode = True
+    ds.raw_size = 256
+    loader = DataLoader(ds, batch_size=BATCH, shuffle=True, drop_last=True,
+                        num_workers=8, prefetch_factor=4)
+
+    key = jax.random.PRNGKey(1)
+
+    def put(b):
+        return {"image": jnp.asarray(b["image"]),  # uint8 ships 4x smaller
+                "label": jnp.asarray(b["label"], jnp.int32)}
+
+    # compile + tunnel warmup on one batch
+    first = put(next(iter(loader)))
+    state, m = step(state, frozen, first, 3e-5, key)
+    _ = float(m["loss"])
+
+    done = 0
+    epoch = 0
+    t0 = time.perf_counter()
+    while done < STEPS:
+        loader.set_epoch(epoch)
+        for b in loader:
+            state, m = step(state, frozen, put(b), 3e-5, key)
+            done += 1
+            if done >= STEPS:
+                break
+        epoch += 1
+    _ = float(m["loss"])
+    dt = time.perf_counter() - t0
+    return BATCH * STEPS / dt
+
+
+def main():
+    from apla_tpu.utils.profiling import device_memory_stats
+
+    device_ips = bench_device_step()
+    mem = device_memory_stats()
+    e2e_ips = bench_end_to_end()
+
+    rec = {
         "metric": "vit_b_apla128_finetune_throughput",
-        "value": round(ips, 1),
+        "value": round(device_ips, 1),
         "unit": "images/sec/chip",
-        "vs_baseline": round(ips / A100_BASELINE_IPS, 2),
-    }))
+        "vs_baseline": round(device_ips / A100_BASELINE_IPS, 2),
+        "e2e_img_s": round(e2e_ips, 1),
+        "pipeline_efficiency": round(e2e_ips / device_ips, 3),
+    }
+    rec.update(mem)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,146 @@
+"""RunLogger wandb wiring (reference main.py:178-199,228-238) and the
+weight-decay mask rule (reference wrappers.py:204-221)."""
+
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class _FakeRun:
+    def __init__(self, **kw):
+        self.kw = kw
+        self.logged = []
+        self.finished = False
+        self.id = "fake123"
+        self.dir = "/tmp/fake_wandb/wandb/run"
+
+    def log(self, metrics, step=None):
+        self.logged.append((step, metrics))
+
+    def finish(self):
+        self.finished = True
+
+
+def _install_fake_wandb(monkeypatch):
+    mod = types.ModuleType("wandb")
+    mod.runs = []
+
+    def init(**kw):
+        run = _FakeRun(**kw)
+        mod.runs.append(run)
+        return run
+
+    mod.init = init
+    monkeypatch.setitem(sys.modules, "wandb", mod)
+    return mod
+
+
+def test_runlogger_attaches_wandb(tmp_path, monkeypatch):
+    from apla_tpu.utils.logging import RunLogger
+
+    mod = _install_fake_wandb(monkeypatch)
+    logger = RunLogger(str(tmp_path), run_name="r", use_wandb=True,
+                       config={"a": 1}, project="APLA", resume=True)
+    assert len(mod.runs) == 1
+    run = mod.runs[0]
+    assert run.kw["project"] == "APLA"
+    assert run.kw["name"] == "r"
+    assert run.kw["resume"] is True
+    logger.log({"loss": 0.5}, step=7)
+    assert run.logged == [(7, {"loss": 0.5})]
+    logger.finish()
+    assert run.finished
+    # JSONL stream still primary
+    assert (tmp_path / "r.metrics.jsonl").exists()
+
+
+def test_runlogger_wandb_off_by_flag(tmp_path, monkeypatch):
+    from apla_tpu.utils.logging import RunLogger
+
+    mod = _install_fake_wandb(monkeypatch)
+    RunLogger(str(tmp_path), run_name="r", use_wandb=False)
+    assert mod.runs == []
+
+
+def test_trainer_passes_log_params(tmp_path, monkeypatch):
+    """make_run_logger resolves DEFINED_BY_MODEL_NAME and project_name from
+    log_params, offline/restore flags from training_params."""
+    from apla_tpu.utils.config import EDict
+    from apla_tpu.utils.logging import make_run_logger
+
+    mod = _install_fake_wandb(monkeypatch)
+
+    class T:
+        model_name = "my_model"
+        save_dir = str(tmp_path)
+        is_dry = False
+        is_debug = False
+
+    class W:
+        log_params = EDict(project_name="PROJ",
+                           run_name="DEFINED_BY_MODEL_NAME")
+        training_params = EDict(offline=True, restore_session=False)
+        parameters = EDict()
+
+    make_run_logger(W(), T())
+    run = mod.runs[0]
+    assert run.kw["name"] == "my_model"
+    assert run.kw["project"] == "PROJ"
+    assert run.kw["mode"] == "offline"
+
+
+def test_wd_mask_exempts_stacked_vectors():
+    """Stacked block params are [L, ...]; per-block biases/norm scales/
+    LayerScale gammas/proj_bt must NOT be decayed despite ndim >= 2."""
+    from apla_tpu.train.optim import wd_mask
+
+    params = {
+        "blocks": {
+            "norm1": {"scale": jnp.ones((12, 768)),
+                      "bias": jnp.zeros((12, 768))},
+            "ls1": {"gamma": jnp.ones((12, 768))},
+            "attn": {"proj_wt": jnp.ones((12, 768, 128)),
+                     "proj_bt": jnp.ones((12, 128)),
+                     "qkv": {"kernel": jnp.ones((12, 768, 2304)),
+                             "bias": jnp.zeros((12, 2304))}},
+        },
+        "head": {"fc": {"kernel": jnp.ones((768, 10)),
+                        "bias": jnp.zeros((10,))}},
+        "cls_token": jnp.ones((1, 1, 768)),
+    }
+    mask = wd_mask(params)
+    b = mask["blocks"]
+    assert b["norm1"]["scale"] is False and b["norm1"]["bias"] is False
+    assert b["ls1"]["gamma"] is False
+    assert b["attn"]["proj_bt"] is False
+    assert b["attn"]["qkv"]["bias"] is False
+    # kernels and the APLA weight slice DO decay (reference: 2-D non-bias)
+    assert b["attn"]["proj_wt"] is True
+    assert b["attn"]["qkv"]["kernel"] is True
+    assert mask["head"]["fc"]["kernel"] is True
+    assert mask["head"]["fc"]["bias"] is False
+    assert mask["cls_token"] is True  # torch ndim!=1, not a .bias -> decayed
+
+
+def test_eval_step_per_sample_losses():
+    """eval_step returns per-sample losses so padded val batches don't bias
+    val_loss (drives ReduceLROnPlateau)."""
+    from apla_tpu.models.vit import ViTConfig
+    from apla_tpu.models.classifier import init_classifier
+    from apla_tpu.train.losses import cross_entropy
+    from apla_tpu.train.steps import make_eval_step
+
+    cfg = ViTConfig(img_size=16, patch_size=8, embed_dim=32, depth=1,
+                    num_heads=2, compute_dtype=jnp.float32)
+    trainable, frozen = init_classifier(jax.random.PRNGKey(0), cfg,
+                                        n_classes=4)
+    step = make_eval_step(cfg, cross_entropy)
+    batch = {"image": jnp.zeros((6, 16, 16, 3)),
+             "label": jnp.arange(6, dtype=jnp.int32) % 4}
+    losses, logits = step(trainable, frozen, batch)
+    assert losses.shape == (6,)
+    assert logits.shape == (6, 4)
+    assert np.all(np.isfinite(np.asarray(losses)))
