@@ -61,8 +61,17 @@ class ViTConfig:
     # Rematerialisation policy for the block body under autodiff:
     # 'dots' saves matmul outputs and recomputes elementwise chains in the
     # backward pass — measured +10% train throughput on v5e (HBM-traffic
-    # bound); 'full' recomputes everything; None stores all residuals.
+    # bound); 'dots_attn' additionally saves the softmaxed attention
+    # weights (batched einsums are not covered by the dots policy, so
+    # backward otherwise recomputes QK^T + softmax); 'full' recomputes
+    # everything; None stores all residuals.
     remat: Any = "dots"
+    # Tanh-approximate GELU (the flax default).  The exact erf GELU costs
+    # 15.4 ms of the 128.5 ms ViT-B b64 train step on v5e (measured,
+    # experiments/r2_step_ablations.jsonl) — transcendental-bound on the
+    # VPU in both forward and dgelu.  Reference parity (torch nn.GELU) is
+    # exact erf: set False for bit-conservative runs/import validation.
+    gelu_tanh: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -169,7 +178,7 @@ def _mlp(x, p, cfg: ViTConfig, rng, deterministic):
         return maybe_quantized_dot(hidden, p["w3"]["kernel"], p["w3"]["bias"])
     r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
     h = maybe_quantized_dot(x, p["fc1"]["kernel"], p["fc1"]["bias"])
-    h = jax.nn.gelu(h, approximate=False)
+    h = jax.nn.gelu(h, approximate=cfg.gelu_tanh)
     h = _dropout(h, cfg.drop_rate, r1, deterministic)
     h = maybe_quantized_dot(h, p["fc2"]["kernel"], p["fc2"]["bias"])
     return _dropout(h, cfg.drop_rate, r2, deterministic)
@@ -317,6 +326,13 @@ def vit_features(params, x, cfg: ViTConfig, trainable=None, rng=None,
         block_fn = jax.checkpoint(
             _block_forward, static_argnums=(4, 6),
             policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims)
+    elif cfg.remat == "dots_attn":
+        block_fn = jax.checkpoint(
+            _block_forward, static_argnums=(4, 6),
+            policy=jax.checkpoint_policies.save_from_both_policies(
+                jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
+                jax.checkpoint_policies.save_only_these_names(
+                    "attn_weights")))
     elif cfg.remat == "dots_batch":
         block_fn = jax.checkpoint(
             _block_forward, static_argnums=(4, 6),

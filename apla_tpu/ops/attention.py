@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from .apla_proj import apla_proj
 
@@ -50,6 +51,10 @@ def qkv_and_attend(x, qkv_kernel, qkv_bias, num_heads, scale=None,
     logits = jnp.einsum("bnhd,bmhd->bhnm", q, k,
                         preferred_element_type=acc) * scale
     attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+    # named for the 'dots_attn' remat policy: saving the softmaxed weights
+    # skips the QK^T + softmax recompute in backward (the batched einsums
+    # are NOT covered by checkpoint_dots_with_no_batch_dims)
+    attn = checkpoint_name(attn, "attn_weights")
     attn = _dropout(attn, attn_drop, rng, deterministic)
     out = jnp.einsum("bhnm,bmhd->bnhd", attn, v,
                      preferred_element_type=x.dtype)

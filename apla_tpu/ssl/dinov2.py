@@ -536,6 +536,8 @@ class DINOv2Wrapper(DINOWrapper):
             # kernel path is opt-in (`is_memory_efficient: true`), not the
             # default as in the reference.
             use_flash=bool(sp.get("is_memory_efficient", False)),
+            gelu_tanh=bool(sp.get("gelu_tanh", False)),
+            remat=sp.get("remat", "dots"),
         )
 
     def init_model(self, seed: int = 0):

@@ -161,6 +161,11 @@ class DefaultWrapper:
             num_register_tokens=int(tp.get("num_register_tokens", 0)),
             compute_dtype=jnp.bfloat16 if use_mp else jnp.float32,
             use_flash=bool(tp.get("is_memory_efficient", False)),
+            # TPU perf knobs (see BASELINE.md round-2 step anatomy):
+            # tanh-approx GELU (flax default; exact erf costs ~12% step
+            # time) and the remat policy
+            gelu_tanh=bool(tp.get("gelu_tanh", False)),
+            remat=tp.get("remat", "dots"),
         )
 
     def build_apla_config(self):

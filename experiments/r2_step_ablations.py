@@ -159,44 +159,53 @@ def ln_noop(x, scale, bias, eps=1e-6):
     return (x.astype(jnp.float32) * scale + bias).astype(x.dtype)
 
 
-def main():
+VARIANTS = ["baseline", "no_attn", "softmax_bf16", "no_ln", "gelu_tanh",
+            "flash_jax_384"]
+
+
+def run_variant(name):
+    """Apply the patch BEFORE any tracing: jax.checkpoint caches the traced
+    jaxpr keyed on the stable _block_forward object, so a patch applied
+    after a first trace in the same process is silently ignored (this is
+    also why round 1's in-process ablations read as 'free')."""
     import apla_tpu.models.vit as vit_mod
     import apla_tpu.ops.attention as attn_mod
 
-    emit({"study": "E", "devices": str(jax.devices())})
-
-    orig_attend = attn_mod.qkv_and_attend
-    orig_ln = vit_mod.layer_norm
     orig_gelu = jax.nn.gelu
+    if name == "no_attn":
+        attn_mod.qkv_and_attend = attend_noop
+    elif name == "softmax_bf16":
+        attn_mod.qkv_and_attend = attend_softmax_bf16
+    elif name == "no_ln":
+        vit_mod.layer_norm = ln_noop
+    elif name == "gelu_tanh":
+        jax.nn.gelu = lambda x, approximate=False: orig_gelu(
+            x, approximate=True)
+    elif name == "flash_jax_384":
+        attn_mod.qkv_and_attend = make_attend_flashjax(384)
 
-    variants = []
-    variants.append(("baseline", {}))
-    variants.append(("no_attn", {"attend": attend_noop}))
-    variants.append(("softmax_bf16", {"attend": attend_softmax_bf16}))
-    variants.append(("no_ln", {"ln": ln_noop}))
-    variants.append(("gelu_tanh", {"gelu": True}))
-    variants.append(("flash_jax_384", {"attend": make_attend_flashjax(384)}))
+    try:
+        dt, loss0 = build_and_time()
+        emit({"study": "E", "variant": name, "ms": round(dt * 1e3, 2),
+              "img_s": round(BATCH / dt, 1), "loss0": round(loss0, 4)})
+    except Exception as e:  # noqa: BLE001
+        emit({"study": "E", "variant": name, "error": repr(e)[:400]})
 
-    for name, patch in variants:
-        try:
-            if "attend" in patch:
-                attn_mod.qkv_and_attend = patch["attend"]
-            if "ln" in patch:
-                vit_mod.layer_norm = patch["ln"]
-            if patch.get("gelu"):
-                jax.nn.gelu = lambda x, approximate=False: orig_gelu(
-                    x, approximate=True)
-            dt, loss0 = build_and_time()
-            emit({"study": "E", "variant": name, "ms": round(dt * 1e3, 2),
-                  "img_s": round(BATCH / dt, 1), "loss0": round(loss0, 4)})
-        except Exception as e:  # noqa: BLE001
-            emit({"study": "E", "variant": name, "error": repr(e)[:400]})
-        finally:
-            attn_mod.qkv_and_attend = orig_attend
-            vit_mod.layer_norm = orig_ln
-            jax.nn.gelu = orig_gelu
+
+def main():
+    # one subprocess per variant: fresh trace caches AND one TPU client
+    # (no jax.devices() here — the parent must NOT create a TPU client)
+    import subprocess
+    emit({"study": "E", "subprocess_per_variant": True})
+    here = os.path.abspath(__file__)
+    root = os.path.dirname(os.path.dirname(here))
+    for name in VARIANTS:
+        subprocess.run([sys.executable, here, name], cwd=root)
     emit({"study": "E", "done": True})
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1:
+        run_variant(sys.argv[1])
+    else:
+        main()
