@@ -323,9 +323,14 @@ def vit_features(params, x, cfg: ViTConfig, trainable=None, rng=None,
 
     block_fn = _block_forward
     if cfg.remat == "dots":
+        # dots + the flash-attention kernel output ('attn_out', a
+        # pallas_call — not a dot, so the dots policy alone would re-run
+        # the whole kernel in backward); no-op when use_flash is off
         block_fn = jax.checkpoint(
             _block_forward, static_argnums=(4, 6),
-            policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims)
+            policy=jax.checkpoint_policies.save_from_both_policies(
+                jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
+                jax.checkpoint_policies.save_only_these_names("attn_out")))
     elif cfg.remat == "dots_attn":
         block_fn = jax.checkpoint(
             _block_forward, static_argnums=(4, 6),

@@ -42,6 +42,9 @@ def qkv_and_attend(x, qkv_kernel, qkv_bias, num_heads, scale=None,
     if use_flash and attn_drop == 0.0:
         from .flash_attention import flash_mha
         out = flash_mha(q, k, v, scale=scale)  # [B, N, H, Dh]
+        # saved by the 'dots' remat policies: a pallas_call is not a dot,
+        # so without the name the whole kernel would re-run in backward
+        out = checkpoint_name(out, "attn_out")
         return out.reshape(B, N, C)
 
     # logits materialise as [B, H, N, N]; f32 is the safe default, bf16

@@ -117,7 +117,9 @@ def _call_fwd(q, k, v, scale, n_real, heads_per_block=8):
     )(q, k, v)
 
 
-def _call_bwd(q, k, v, do, scale, n_real, heads_per_block=8):
+def _call_bwd(q, k, v, do, scale, n_real, heads_per_block=2):
+    # bwd holds s/p/dp (f32 [HB, Np, Np]) live simultaneously — HB=2 keeps
+    # the working set ~6 MB; HB=8 overflows the 16 MB VMEM
     BH, Np, D = q.shape
     HB = _pick_hb(BH, heads_per_block)
     kern = functools.partial(_bwd_kernel, scale=scale, n_real=n_real)

@@ -55,7 +55,12 @@ def build(device_aug_cfg=None):
 
     cfg = VIT_BUILDERS["vit_base"](
         img_size=224, patch_size=14, has_layerscale=True,
-        layerscale_init=1.0, drop_path_rate=0.0)
+        layerscale_init=1.0, drop_path_rate=0.0,
+        # tanh-approximate GELU (the flax/JAX-ecosystem default): the
+        # exact-erf variant costs 15.4 ms of the 128.5 ms step on v5e
+        # (BASELINE.md round-2 anatomy); exact is ViTConfig's default for
+        # torch-import parity, the TPU recipe opts in here
+        gelu_tanh=True)
     trainable, frozen = init_classifier(
         jax.random.PRNGKey(0), cfg, n_classes=1000,
         apla_cfg=AplaConfig(partial_size=128))
