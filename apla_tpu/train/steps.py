@@ -20,18 +20,22 @@ from .train_state import TrainState
 
 
 def make_train_step(vit_cfg, tx, criterion: Callable,
-                    device_aug_cfg=None) -> Callable:
+                    device_aug_cfg=None, accum_steps: int = 1) -> Callable:
     """Returns train_step(state, frozen, batch, lr, rng) -> (state, metrics).
 
     `frozen` is passed as an argument (not closed over) so the same compiled
     step serves any frozen-weight set and shardings stay explicit.
     `device_aug_cfg`: run the augmentation tail on device (batch['image']
     arrives as resized uint8) — fused by XLA into the step.
+    `accum_steps`: split the batch into this many microbatches and run them
+    through a `lax.scan`, averaging grads before ONE optimizer update —
+    numerically the same update as the full batch, but per-image step cost
+    on v5e RISES with batch (b64 1.77 ms/img vs b32 1.42, BASELINE.md
+    round-2 sweep), so scanning microbatches is strictly faster for the
+    same recipe semantics.
     """
 
-    def train_step(state: TrainState, frozen, batch, lr, rng):
-        step_rng = jax.random.fold_in(rng, state.step)
-        images = batch["image"]
+    def fwd_bwd(trainable, frozen, images, labels, step_rng):
         if device_aug_cfg is not None:
             from ..data.device_augs import device_augment
             step_rng, aug_rng = jax.random.split(step_rng)
@@ -42,11 +46,43 @@ def make_train_step(vit_cfg, tx, criterion: Callable,
             logits = classifier_forward(
                 trainable, frozen, images, vit_cfg,
                 rng=step_rng, deterministic=False)
-            loss = criterion(logits, batch["label"])
+            loss = criterion(logits, labels)
             return loss, logits
 
-        (loss, logits), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.trainable)
+        return jax.value_and_grad(loss_fn, has_aux=True)(trainable)
+
+    def train_step(state: TrainState, frozen, batch, lr, rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+        images, labels = batch["image"], batch["label"]
+
+        if accum_steps == 1:
+            (loss, logits), grads = fwd_bwd(state.trainable, frozen,
+                                            images, labels, step_rng)
+        else:
+            B = images.shape[0]
+            assert B % accum_steps == 0, (B, accum_steps)
+            mb = B // accum_steps
+            im = images.reshape((accum_steps, mb) + images.shape[1:])
+            lb = labels.reshape((accum_steps, mb) + labels.shape[1:])
+            rngs = jax.random.split(step_rng, accum_steps)
+
+            def body(acc, xs):
+                im_i, lb_i, rng_i = xs
+                (loss_i, logits_i), g_i = fwd_bwd(state.trainable, frozen,
+                                                  im_i, lb_i, rng_i)
+                acc_loss, acc_g = acc
+                acc_g = jax.tree.map(jnp.add, acc_g, g_i)
+                return (acc_loss + loss_i, acc_g), logits_i
+
+            zero_g = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.trainable)
+            (loss_sum, grads), logits_mb = jax.lax.scan(
+                body, (jnp.zeros((), jnp.float32), zero_g),
+                (im, lb, rngs))
+            loss = loss_sum / accum_steps
+            grads = jax.tree.map(lambda g: g / accum_steps, grads)
+            logits = logits_mb.reshape((B,) + logits_mb.shape[2:])
+
         opt_state = set_lr(state.opt_state, lr)
         updates, opt_state = tx.update(grads, opt_state, state.trainable)
         trainable = optax.apply_updates(state.trainable, updates)

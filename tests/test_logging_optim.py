@@ -144,3 +144,42 @@ def test_eval_step_per_sample_losses():
     assert losses.shape == (6,)
     assert logits.shape == (6, 4)
     assert np.all(np.isfinite(np.asarray(losses)))
+
+
+def test_accum_steps_matches_full_batch():
+    """accum_steps=2 (lax.scan over microbatches) produces the same update
+    as the full-batch step (deterministic path, equal micro sizes)."""
+    from apla_tpu.models.vit import ViTConfig
+    from apla_tpu.models.classifier import init_classifier
+    from apla_tpu.train.losses import cross_entropy
+    from apla_tpu.train.optim import build_optimizer
+    from apla_tpu.train.steps import make_train_step
+    from apla_tpu.train.train_state import TrainState
+
+    cfg = ViTConfig(img_size=16, patch_size=8, embed_dim=32, depth=2,
+                    num_heads=2, compute_dtype=jnp.float32)
+    trainable, frozen = init_classifier(jax.random.PRNGKey(0), cfg,
+                                        n_classes=4)
+    batch = {
+        "image": jnp.asarray(
+            np.random.default_rng(0).standard_normal((8, 16, 16, 3)),
+            jnp.float32),
+        "label": jnp.asarray(np.arange(8) % 4, jnp.int32),
+    }
+    rng = jax.random.PRNGKey(1)
+
+    outs = {}
+    for accum in (1, 2, 4):
+        # fresh optimizer per run: the donated step consumes opt_state,
+        # including the inject_hyperparams scalars a shared tx would reuse
+        tx = build_optimizer("SGD", {"lr": 0.1, "weight_decay": 0.0},
+                             trainable)
+        state = TrainState.create(jax.tree.map(jnp.copy, trainable), tx)
+        step = make_train_step(cfg, tx, cross_entropy, accum_steps=accum)
+        state, m = step(state, frozen, batch, 0.1, rng)
+        outs[accum] = (float(m["loss"]),
+                       np.asarray(state.trainable["fc"]["kernel"]))
+    np.testing.assert_allclose(outs[1][0], outs[2][0], rtol=2e-5)
+    np.testing.assert_allclose(outs[1][1], outs[2][1], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(outs[1][1], outs[4][1], rtol=1e-4, atol=1e-6)
+    assert outs[2][1].shape == outs[1][1].shape
