@@ -52,6 +52,27 @@ class StepTimer:
         self._count = 0
 
 
+def compiled_memory_analysis(jitted_fn, *args, **kwargs) -> dict:
+    """Compile-time HBM footprint of a jitted function (XLA
+    `memory_analysis`): argument + output − aliased(donated) + temp
+    (activations/workspace).  Deterministic and available even where the
+    runtime doesn't expose `memory_stats` (e.g. through the axon tunnel,
+    which returns None)."""
+    try:
+        ma = jitted_fn.lower(*args, **kwargs).compile().memory_analysis()
+        if ma is None:
+            return {}
+        total = (ma.argument_size_in_bytes + ma.output_size_in_bytes
+                 - ma.alias_size_in_bytes + ma.temp_size_in_bytes)
+        return {
+            "hbm_args_gb": round(ma.argument_size_in_bytes / 2**30, 3),
+            "hbm_temp_gb": round(ma.temp_size_in_bytes / 2**30, 3),
+            "hbm_total_gb": round(total / 2**30, 3),
+        }
+    except Exception:
+        return {}
+
+
 def device_memory_stats(device=None) -> dict:
     """Peak/current HBM usage of one device, in bytes.  Returns {} where the
     backend doesn't expose memory_stats (CPU).  The reference's analog is

@@ -49,7 +49,7 @@ def run_one(name):
                 "full_ft": None}[name]
     cfg = VIT_BUILDERS["vit_base"](
         img_size=224, patch_size=14, has_layerscale=True,
-        layerscale_init=1.0, drop_path_rate=0.0)
+        layerscale_init=1.0, drop_path_rate=0.0, gelu_tanh=True)
     trainable, frozen = init_classifier(
         jax.random.PRNGKey(0), cfg, n_classes=1000, apla_cfg=apla_cfg)
     tx = build_optimizer("AdamW", {"lr": 3e-5, "weight_decay": 1e-5},
@@ -67,6 +67,9 @@ def run_one(name):
         "label": jnp.asarray(rng.integers(0, 1000, BATCH), jnp.int32),
     }
     key = jax.random.PRNGKey(1)
+    from apla_tpu.utils.profiling import compiled_memory_analysis
+    mem_analysis = compiled_memory_analysis(step, state, frozen, batch,
+                                            3e-5, key)
     state, m = step(state, frozen, batch, 3e-5, key)
     _ = float(m["loss"])
     for _ in range(3):
@@ -81,6 +84,7 @@ def run_one(name):
     rec = {"config": name, "trainable_params": int(n_train),
            "ms_per_step": round(dt * 1e3, 1),
            "img_s": round(BATCH / dt, 1)}
+    rec.update(mem_analysis)
     rec.update(device_memory_stats())
     rec["t"] = round(time.time())
     with open(OUT, "a") as f:
