@@ -3,6 +3,7 @@
 import os
 import sys
 
+import numpy as np
 import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -65,3 +66,30 @@ def test_wd_zero_is_respected():
     params = load_merged_params(PARAMS)
     params = cli.update_params_from_args(params, args)
     assert params.optimization_params.default.optimizer.params.weight_decay == 0
+
+
+def test_yaml_perf_knobs_flow_to_vit_config(tmp_path):
+    """transformers_params.gelu_tanh/remat and training_params.accum_steps
+    reach the model config and the trainer step."""
+    from apla_tpu.utils.config import load_merged_params
+    from apla_tpu.wrapper import DefaultWrapper
+
+    params = load_merged_params(PARAMS)
+    params.model_params.transformers_params.gelu_tanh = True
+    params.model_params.transformers_params.remat = "dots_batch"
+    params.training_params.accum_steps = 2
+    params.training_params.save_dir = str(tmp_path)
+    w = DefaultWrapper(params)
+    w.instantiate()
+    assert w.vit_cfg.gelu_tanh is True
+    assert w.vit_cfg.remat == "dots_batch"
+
+    from apla_tpu.train.trainer import Trainer
+    t = Trainer(w)
+    # two training steps with accumulation: runs, loss finite
+    loader = w.dataloaders.trainloader
+    batch = next(iter(loader))
+    dbatch = t._device_batch(batch)
+    state, m = t.train_step(t.state, t.frozen, dbatch, 1e-3, t.rng)
+    assert np.isfinite(float(m["loss"]))
+    assert m["logits"].shape[0] == dbatch["label"].shape[0]
