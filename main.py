@@ -133,6 +133,14 @@ def main(parameters, args):
 
 
 if __name__ == "__main__":
+    import jax
+
+    # persistent compile cache: remote/TPU compiles are expensive; cached
+    # recompiles are seconds.  Harmless on CPU.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
     from apla_tpu.utils.config import load_merged_params
 
     args = parse_arguments()
