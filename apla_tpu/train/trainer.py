@@ -142,6 +142,11 @@ class Trainer:
 
         from ..utils.profiling import StepTimer
         timer = StepTimer(sync_every=self.log_every)
+        # opt-in device profiling (SURVEY §5: the reference has none; here
+        # `training_params.profile_dir` captures an xplane trace of steps
+        # 10..20 for tensorboard/xprof — gated, some backends lack support)
+        profile_dir = self.wrapper.training_params.get("profile_dir")
+        profiling = False
         print(cyan(f"Training {self.model_name}: {self.epochs} epochs x "
                    f"{steps_per_epoch} steps, mesh={self.mesh.shape}"))
         t_start = time.time()
@@ -156,6 +161,19 @@ class Trainer:
                 images_seen += batch["label"].shape[0]
                 self.iters += 1
                 timer.tick(sync_value=m["loss"])
+
+                if profile_dir and self.iters == 10 and not profiling:
+                    try:
+                        jax.profiler.start_trace(profile_dir)
+                        profiling = True
+                    except Exception as e:
+                        print(yellow(f"profiler unavailable: {e}"))
+                        profile_dir = None
+                elif profiling and self.iters == 20:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    profile_dir = None
+                    print(gray("profiler trace written"))
 
                 if self.iters % self.log_every == 0:
                     loss = float(m["loss"])
