@@ -40,13 +40,14 @@ import jax.numpy as jnp
 import numpy as np
 
 A100_BASELINE_IPS = 280.0
-# The recipe batch (64) with accum_steps=4: per-image step cost RISES with
+# The recipe batch (64) with accum_steps=8: per-image step cost RISES with
 # batch on v5e (BASELINE.md round-2 sweep), so the b64 update is computed
-# as a lax.scan over four b16 microbatches with ONE optimizer update —
-# numerically the same recipe update, measured 822.5 img/s vs 566.5 for
-# the monolithic b64 step.
+# as a lax.scan over eight b8 microbatches with ONE optimizer update —
+# numerically the same recipe update, measured 867.5 img/s vs 566.5 for
+# the monolithic b64 step (accum sweep: 4 -> 822.5, 8 -> 867.5 peak,
+# 16 -> 748.6).
 BATCH = int(os.environ.get("BENCH_BATCH", 64))
-ACCUM = int(os.environ.get("BENCH_ACCUM", 4))
+ACCUM = int(os.environ.get("BENCH_ACCUM", 8))
 STEPS = 40
 
 
