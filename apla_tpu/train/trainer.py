@@ -153,9 +153,21 @@ class Trainer:
         images_seen = 0
         for epoch in range(self.epoch0, self.epochs):
             loader.set_epoch(epoch)
-            for batch in loader:
+            # 1-deep device prefetch: ship batch N+1 to HBM while step N
+            # computes (device_put is async) — keeps H2D off the critical
+            # path on real co-located TPU hosts
+            batch_it = iter(loader)
+            try:
+                batch = next(batch_it)
+            except StopIteration:
+                continue
+            dbatch = self._device_batch(batch)
+            pending = True
+            while pending:
+                nxt = next(batch_it, None)
+                pending = nxt is not None
+                next_dbatch = self._device_batch(nxt) if pending else None
                 lr = self.scheduler.lr(self.iters)
-                dbatch = self._device_batch(batch)
                 self.state, m = self.train_step(
                     self.state, self.frozen, dbatch, lr, self.rng)
                 images_seen += batch["label"].shape[0]
@@ -199,6 +211,8 @@ class Trainer:
                     self.save_session(epoch, verbose=True)
                     self.logger.finish()
                     return
+
+                batch, dbatch = nxt, next_dbatch
 
         if getattr(self, "_last_val_iter", -1) != self.iters:
             self.epoch_step(self.epochs - 1)
