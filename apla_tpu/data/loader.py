@@ -47,6 +47,18 @@ def default_collate(samples):
     return out
 
 
+def device_prefetch(loader, put_fn, depth: int = 1):
+    """Yield (host_batch, device_batch) with `depth` batches shipped to the
+    device ahead of consumption — `put_fn` (device_put/shard) is async in
+    JAX, so the H2D transfer of batch N+1 overlaps step N's compute."""
+    buf = []
+    for b in loader:
+        buf.append((b, put_fn(b)))
+        if len(buf) > depth:
+            yield buf.pop(0)
+    yield from buf
+
+
 class DataLoader:
     def __init__(self, dataset, batch_size=32, shuffle=False, drop_last=False,
                  num_workers=8, prefetch_factor=4, seed=0, collate_fn=None,

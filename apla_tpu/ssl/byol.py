@@ -315,13 +315,13 @@ class BYOLTrainer:
                    f"{steps_per_epoch} steps"))
         t0 = time.time()
         images_seen = 0
+        from ..data.loader import device_prefetch
         for epoch in range(self.epoch0, self.epochs):
             loader.set_epoch(epoch)
             self.epoch = epoch
-            for batch in loader:
+            for batch, views in device_prefetch(loader, self._device_views):
                 lr = self.scheduler.lr(self.iters)
                 mom = self.momentum_at(self.iters)
-                views = self._device_views(batch)
                 self.state, m = self.train_step(
                     self.state, self.frozen, views, lr, mom, self.rng)
                 images_seen += batch["label"].shape[0]

@@ -668,12 +668,13 @@ class Dinov2Trainer(BYOLTrainer):
             self.epoch = epoch
             freeze = self.freeze_last_for and (epoch + 1) <= self.freeze_last_for
             step_fn = self._get_step(bool(freeze))
-            for batch in loader:
+            from ..data.loader import device_prefetch
+            for batch, dbatch in device_prefetch(loader,
+                                                 self._device_batch):
                 lr = self.wrapper.lr_schedule[self.iters]
                 wd = self.wrapper.wd_schedule[self.iters]
                 mom = self.wrapper.momentum_schedule_tbl[self.iters]
                 t_temp = self.wrapper.teacher_temp_schedule[self.iters]
-                dbatch = self._device_batch(batch)
                 self.state, m = step_fn(self.state, self.frozen, dbatch,
                                         lr, wd, mom, t_temp, self.rng)
                 self.iters += 1

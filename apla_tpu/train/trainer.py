@@ -151,22 +151,13 @@ class Trainer:
                    f"{steps_per_epoch} steps, mesh={self.mesh.shape}"))
         t_start = time.time()
         images_seen = 0
+        from ..data.loader import device_prefetch
         for epoch in range(self.epoch0, self.epochs):
             loader.set_epoch(epoch)
-            # 1-deep device prefetch: ship batch N+1 to HBM while step N
-            # computes (device_put is async) — keeps H2D off the critical
-            # path on real co-located TPU hosts
-            batch_it = iter(loader)
-            try:
-                batch = next(batch_it)
-            except StopIteration:
-                continue
-            dbatch = self._device_batch(batch)
-            pending = True
-            while pending:
-                nxt = next(batch_it, None)
-                pending = nxt is not None
-                next_dbatch = self._device_batch(nxt) if pending else None
+            # 1-deep device prefetch: batch N+1 ships to HBM while step N
+            # computes — H2D off the critical path
+            for batch, dbatch in device_prefetch(loader,
+                                                 self._device_batch):
                 lr = self.scheduler.lr(self.iters)
                 self.state, m = self.train_step(
                     self.state, self.frozen, dbatch, lr, self.rng)
@@ -211,8 +202,6 @@ class Trainer:
                     self.save_session(epoch, verbose=True)
                     self.logger.finish()
                     return
-
-                batch, dbatch = nxt, next_dbatch
 
         if getattr(self, "_last_val_iter", -1) != self.iters:
             self.epoch_step(self.epochs - 1)
