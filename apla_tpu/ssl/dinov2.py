@@ -163,23 +163,34 @@ class MaskingGenerator:
 
 def make_ibot_collate(n_global_crops, n_local_crops, mask_ratio_tuple,
                       mask_probability, n_tokens, mask_generator,
-                      n_masked_max=None):
+                      n_masked_max=None, raw_mode=False):
     """Static-shape collate (reference `collate_data_and_cast`):
-    returns stacked crops + fixed-size mask index buffers."""
+    returns stacked crops + fixed-size mask index buffers.
+
+    `raw_mode`: samples carry ONE resized uint8 image (device-side
+    multi-crop, data/device_augs.device_multicrop); the collate ships
+    `raw_images` instead of host-built crops — mask buffers are identical
+    (they depend only on B, n_global and the global token grid)."""
     if n_masked_max is None:
         n_masked_max = int(math.ceil(
             n_tokens * mask_ratio_tuple[1]))  # per sample worst case
 
     def collate(samples_list):
         B = len(samples_list)
-        global_crops = np.stack(
-            [s["image"][i] for i in range(n_global_crops)
-             for s in samples_list]).astype(np.float32)
-        local_crops = (np.stack(
-            [s["image"][i]
-             for i in range(n_global_crops, n_global_crops + n_local_crops)
-             for s in samples_list]).astype(np.float32)
-            if n_local_crops else None)
+        if raw_mode:
+            raw_images = np.stack([s["image"] for s in samples_list])
+            global_crops = local_crops = None
+        else:
+            raw_images = None
+            global_crops = np.stack(
+                [s["image"][i] for i in range(n_global_crops)
+                 for s in samples_list]).astype(np.float32)
+            local_crops = (np.stack(
+                [s["image"][i]
+                 for i in range(n_global_crops,
+                                n_global_crops + n_local_crops)
+                 for s in samples_list]).astype(np.float32)
+                if n_local_crops else None)
         labels = np.asarray([s["label"] for s in samples_list])
 
         BG = n_global_crops * B
@@ -209,7 +220,7 @@ def make_ibot_collate(n_global_crops, n_local_crops, mask_ratio_tuple,
         masks_weight = np.zeros(upper, dtype=np.float32)
         masks_weight[:n_masked] = weights_full.flatten()[flat_idx][:upper]
 
-        return {
+        out = {
             "collated_global_crops": global_crops,
             "collated_local_crops": local_crops,
             "collated_masks": masks,
@@ -219,6 +230,10 @@ def make_ibot_collate(n_global_crops, n_local_crops, mask_ratio_tuple,
             "n_masked_patches": np.asarray([min(n_masked, upper)], np.int32),
             "label": labels,
         }
+        if raw_mode:
+            out["raw_images"] = raw_images
+            del out["collated_global_crops"], out["collated_local_crops"]
+        return out
 
     return collate
 
@@ -306,8 +321,13 @@ class DINOv2TrainState:
 
 
 def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
-                           n_local: int, freeze_last_layer: bool):
-    """cfg: model_params.dinov2 subtree (dino/ibot weights, centering)."""
+                           n_local: int, freeze_last_layer: bool,
+                           device_crop_cfgs=None):
+    """cfg: model_params.dinov2 subtree (dino/ibot weights, centering).
+
+    `device_crop_cfgs`: list of DeviceAugConfig (one per crop) — the batch
+    then carries `raw_images` (uint8) and ALL crops are generated on
+    device inside this step (data/device_augs.device_multicrop)."""
     dino_w = float(cfg.dino.loss_weight)
     koleo_w = float(cfg.dino.koleo_loss_weight)
     ibot_w = float(cfg.ibot.loss_weight)
@@ -320,13 +340,20 @@ def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
 
     def train_step(state: DINOv2TrainState, frozen, batch, lr, wd, momentum,
                    teacher_temp, rng):
-        g_crops = batch["collated_global_crops"]       # [2B, H, W, C]
-        l_crops = batch.get("collated_local_crops")    # [LB, h, w, C] | None
+        step_rng = jax.random.fold_in(rng, state.step)
+        if device_crop_cfgs is not None:
+            from ..data.device_augs import device_multicrop
+            step_rng, crop_rng = jax.random.split(step_rng)
+            g_crops, l_crops = device_multicrop(
+                batch["raw_images"], crop_rng, device_crop_cfgs, n_global,
+                compute_dtype=vit_cfg.compute_dtype)
+        else:
+            g_crops = batch["collated_global_crops"]    # [2B, H, W, C]
+            l_crops = batch.get("collated_local_crops")  # [LB, h, w, C]
         masks = batch["collated_masks"]                # [2B, N] bool
         mask_idx = batch["mask_indices_list"]          # [U] int32
         masks_weight = batch["masks_weight"]           # [U]
         mask_valid = batch["mask_valid"]               # [U]
-        step_rng = jax.random.fold_in(rng, state.step)
         r_g, r_l = jax.random.split(step_rng)
         n_images_global = g_crops.shape[0]
 
@@ -506,10 +533,30 @@ class DINOv2Wrapper(DINOWrapper):
         ibot = self.model_params.dinov2.ibot
         gen = MaskingGenerator((grid, grid),
                                max_num_patches=int(0.5 * n_tokens))
+
+        # device-side multi-crop: host ships ONE resized uint8 image per
+        # sample; all 2+n crops are generated inside the jitted step
+        # (data/device_augs.device_multicrop) — the host-PIL multi-crop
+        # pipeline (10 pipelines/image) otherwise bottlenecks TPU rates
+        self.ssl_device_crop_cfgs = None
+        raw_mode = bool(self.dataset_params.get("device_augment"))
+        if raw_mode:
+            from ..data.device_augs import crop_cfgs_from_strategy
+            trainset = loaders.trainloader.dataset
+            trainset.raw_mode = True
+            trainset.raw_size = max(
+                int(self.dataset_params.get("device_raw_size", 0)) or
+                int(img_size * 8 / 7), img_size)
+            self.ssl_device_crop_cfgs = crop_cfgs_from_strategy(
+                STRATEGIES["dinov2"], trainset.mean, trainset.std,
+                g_size=self.crops_params.global_crops_size,
+                l_size=self.crops_params.local_crops_size)
+
         loaders.trainloader.collate_fn = make_ibot_collate(
             self.crops_params.n_global_crops, self.crops_params.n_local_crops,
             tuple(ibot.mask_ratio_min_max),
-            float(ibot.mask_sample_probability), n_tokens, gen)
+            float(ibot.mask_sample_probability), n_tokens, gen,
+            raw_mode=raw_mode)
         return loaders
 
     def build_vit_config(self):
@@ -643,7 +690,9 @@ class Dinov2Trainer(BYOLTrainer):
             self._steps[freeze] = make_dinov2_train_step(
                 self.vit_cfg, self.wrapper.tx,
                 self.wrapper.model_params.dinov2, self.n_global,
-                self.n_local, freeze_last_layer=freeze)
+                self.n_local, freeze_last_layer=freeze,
+                device_crop_cfgs=getattr(self.wrapper,
+                                         "ssl_device_crop_cfgs", None))
         return self._steps[freeze]
 
     def _device_batch(self, batch):
