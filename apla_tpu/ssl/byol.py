@@ -73,6 +73,7 @@ def simsiam_loss(preds, targets):
 class BYOLWrapper(DefaultWrapper):
     is_supervised = False
     use_momentum = True  # False => SimSiam
+    strategy_name = "byol"
 
     def __init__(self, parameters, use_momentum=None):
         if use_momentum is not None:
@@ -80,7 +81,35 @@ class BYOLWrapper(DefaultWrapper):
         super().__init__(parameters)
 
     def update_augmentation_strategy(self, parameters):
-        return apply_augmentation_strategy(parameters, "byol")
+        return apply_augmentation_strategy(parameters, self.strategy_name)
+
+    def init_dataloaders(self):
+        loaders = super().init_dataloaders()
+        self._setup_device_multicrop(loaders)
+        return loaders
+
+    def _setup_device_multicrop(self, loaders):
+        """`dataset_params.device_augment`: host ships ONE resized uint8
+        image; every crop of the multicrop strategy is generated inside
+        the jitted step (data/device_augs.device_multicrop) — the host-PIL
+        multi-pipeline otherwise bottlenecks TPU rates (measured 43.5 vs
+        2475 img/s for the 10-crop dinov2 recipe, BASELINE.md)."""
+        from .multicrop import STRATEGIES
+        self.ssl_device_crop_cfgs = None
+        if not self.dataset_params.get("device_augment"):
+            return
+        from ..data.device_augs import crop_cfgs_from_strategy
+        spec = STRATEGIES[self.strategy_name]
+        trainset = loaders.trainloader.dataset
+        g = int(self.dataset_params.get("ssl_global_size")
+                or spec["global_size"])
+        l = self.dataset_params.get("ssl_local_size") or spec["local_size"]
+        trainset.raw_mode = True
+        trainset.raw_size = max(
+            int(self.dataset_params.get("device_raw_size", 0))
+            or int(g * 8 / 7), g)
+        self.ssl_device_crop_cfgs = crop_cfgs_from_strategy(
+            spec, trainset.mean, trainset.std, g_size=g, l_size=l)
 
     def init_model(self, seed: int = 0):
         from ..models.classifier import init_classifier
@@ -161,11 +190,19 @@ def _encode(backbone_trainable, frozen, images, vit_cfg, rng, deterministic):
                         deterministic=deterministic)
 
 
-def make_byol_train_step(vit_cfg, tx, use_momentum: bool):
+def make_byol_train_step(vit_cfg, tx, use_momentum: bool,
+                         device_crop_cfgs=None):
     loss_fn_pair = byol_loss if use_momentum else simsiam_loss
 
     def train_step(state: SSLTrainState, frozen, views, lr, momentum, rng):
         step_rng = jax.random.fold_in(rng, state.step)
+        if device_crop_cfgs is not None:
+            # `views` is the raw uint8 batch; build both views on device
+            from ..data.device_augs import device_augment
+            step_rng, crop_rng = jax.random.split(step_rng)
+            views = [device_augment(views, jax.random.fold_in(crop_rng, i),
+                                    cfg, compute_dtype=vit_cfg.compute_dtype)
+                     for i, cfg in enumerate(device_crop_cfgs)]
         rngs = jax.random.split(step_rng, len(views))
 
         def loss_fn(trainable):
@@ -267,8 +304,9 @@ class BYOLTrainer:
         self.use_momentum = (wrapper.use_momentum if use_momentum is None
                              else use_momentum)
 
-        self.train_step = make_byol_train_step(self.vit_cfg, wrapper.tx,
-                                               self.use_momentum)
+        self.train_step = make_byol_train_step(
+            self.vit_cfg, wrapper.tx, self.use_momentum,
+            device_crop_cfgs=getattr(wrapper, "ssl_device_crop_cfgs", None))
         self.iters = 0
         self.epoch0 = 0
         self.best_val_target = -np.inf
@@ -295,7 +333,10 @@ class BYOLTrainer:
     def _device_views(self, batch):
         from ..parallel.mesh import shard_batch
         views = batch["image"]
-        assert isinstance(views, list), "SSL loader must emit view lists"
+        if not isinstance(views, list):
+            # device-multicrop path: one raw uint8 batch; crops are built
+            # inside the jitted step
+            return shard_batch(views, self.mesh)
         return [shard_batch(v, self.mesh) for v in views]
 
     def momentum_at(self, it):

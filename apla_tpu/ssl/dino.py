@@ -27,7 +27,6 @@ from ..train.optim import build_optimizer, set_lr
 from ..train.schedules import cosine_with_warmup_table
 from .byol import BYOLTrainer, BYOLWrapper, _encode
 from .heads import dino_head_forward, init_dino_head
-from .multicrop import apply_augmentation_strategy
 
 
 @struct.dataclass
@@ -75,9 +74,8 @@ def dino_loss(student_out, teacher_out, center, teacher_temp,
 class DINOWrapper(BYOLWrapper):
     is_supervised = False
     use_momentum = True
-
-    def update_augmentation_strategy(self, parameters):
-        return apply_augmentation_strategy(parameters, "dino")
+    strategy_name = "dino"  # drives both the host strategy and the
+    #                         device-multicrop configs (BYOLWrapper hook)
 
     def init_model(self, seed: int = 0):
         from ..models.classifier import init_classifier
@@ -149,13 +147,22 @@ class DINOWrapper(BYOLWrapper):
 
 def make_dino_train_step(vit_cfg, tx, n_global: int, n_local: int,
                          student_temp=0.1, center_momentum=0.9,
-                         freeze_last_layer: bool = False):
+                         freeze_last_layer: bool = False,
+                         device_crop_cfgs=None):
     """Jitted DINO step.  `views` = (global_stack [G*B,H,W,C],
-    local_stack [L*B,h,w,C] or None)."""
+    local_stack [L*B,h,w,C] or None).  With `device_crop_cfgs`,
+    `global_stack` is the raw uint8 batch and all crops are generated on
+    device (data/device_augs.device_multicrop)."""
 
     def train_step(state: DINOTrainState, frozen, global_stack, local_stack,
                    lr, wd, momentum, teacher_temp, rng):
         step_rng = jax.random.fold_in(rng, state.step)
+        if device_crop_cfgs is not None:
+            from ..data.device_augs import device_multicrop
+            step_rng, crop_rng = jax.random.split(step_rng)
+            global_stack, local_stack = device_multicrop(
+                global_stack, crop_rng, device_crop_cfgs, n_global,
+                compute_dtype=vit_cfg.compute_dtype)
         r_g, r_l = jax.random.split(step_rng)
 
         def loss_fn(trainable):
@@ -228,12 +235,17 @@ class DINOTrainer(BYOLTrainer):
         if freeze not in self._steps:
             self._steps[freeze] = make_dino_train_step(
                 self.vit_cfg, self.wrapper.tx, self.n_global, self.n_local,
-                freeze_last_layer=freeze)
+                freeze_last_layer=freeze,
+                device_crop_cfgs=getattr(self.wrapper,
+                                         "ssl_device_crop_cfgs", None))
         return self._steps[freeze]
 
     def _stack_views(self, batch):
         from ..parallel.mesh import shard_batch
         views = batch["image"]
+        if not isinstance(views, list):
+            # device-multicrop path: raw uint8 batch, crops built in-step
+            return shard_batch(views, self.mesh), None
         global_stack = np.concatenate(views[:self.n_global], axis=0)
         local_views = views[self.n_global:]
         local_stack = (np.concatenate(local_views, axis=0)

@@ -41,7 +41,7 @@ from ..utils.config import EDict
 from .byol import BYOLTrainer
 from .dino import DINOWrapper
 from .heads import dino_head_forward, init_dino_head
-from .multicrop import STRATEGIES, apply_augmentation_strategy
+from .multicrop import STRATEGIES
 
 
 # --------------------------------------------------------------------------- #
@@ -505,11 +505,9 @@ def _encode_tokens(backbone_trainable, frozen, images, vit_cfg, rng,
 # --------------------------------------------------------------------------- #
 
 class DINOv2Wrapper(DINOWrapper):
+    strategy_name = "dinov2"
     is_supervised = False
     use_momentum = True
-
-    def update_augmentation_strategy(self, parameters):
-        return apply_augmentation_strategy(parameters, "dinov2")
 
     def set_crops_params(self):
         spec = STRATEGIES["dinov2"]
@@ -534,23 +532,10 @@ class DINOv2Wrapper(DINOWrapper):
         gen = MaskingGenerator((grid, grid),
                                max_num_patches=int(0.5 * n_tokens))
 
-        # device-side multi-crop: host ships ONE resized uint8 image per
-        # sample; all 2+n crops are generated inside the jitted step
-        # (data/device_augs.device_multicrop) — the host-PIL multi-crop
-        # pipeline (10 pipelines/image) otherwise bottlenecks TPU rates
-        self.ssl_device_crop_cfgs = None
-        raw_mode = bool(self.dataset_params.get("device_augment"))
-        if raw_mode:
-            from ..data.device_augs import crop_cfgs_from_strategy
-            trainset = loaders.trainloader.dataset
-            trainset.raw_mode = True
-            trainset.raw_size = max(
-                int(self.dataset_params.get("device_raw_size", 0)) or
-                int(img_size * 8 / 7), img_size)
-            self.ssl_device_crop_cfgs = crop_cfgs_from_strategy(
-                STRATEGIES["dinov2"], trainset.mean, trainset.std,
-                g_size=self.crops_params.global_crops_size,
-                l_size=self.crops_params.local_crops_size)
+        # device-side multi-crop set up by the BYOLWrapper hook
+        # (_setup_device_multicrop, strategy_name='dinov2'); here only the
+        # collate switches to shipping raw_images
+        raw_mode = getattr(self, "ssl_device_crop_cfgs", None) is not None
 
         loaders.trainloader.collate_fn = make_ibot_collate(
             self.crops_params.n_global_crops, self.crops_params.n_local_crops,

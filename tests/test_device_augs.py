@@ -129,3 +129,53 @@ def test_dinov2_device_augment_end_to_end(tmp_path):
     state, m = step(trainer.state, trainer.frozen, dbatch,
                     1e-4, 0.04, 0.994, 0.04, trainer.rng)
     assert np.isfinite(float(m["loss"]))
+
+
+def _ssl_raw_params(tmp_path):
+    import os
+    from apla_tpu.utils.config import load_merged_params
+    params_path = os.path.join(os.path.dirname(__file__), "..", "params",
+                               "synthetic", "vit_tiny", "apla.yml")
+    params = load_merged_params(params_path)
+    params.training_params.epochs = 1
+    params.training_params.is_dry = True
+    params.training_params.save_dir = str(tmp_path)
+    params.dataset_params.synthetic_size = 16
+    params.dataset_params.device_augment = True
+    params.dataset_params.ssl_global_size = 32
+    params.dataset_params.ssl_local_size = 16
+    for ld in ("trainloader", "valloader", "testloader"):
+        params.dataloader_params[ld].batch_size = 8
+    return params
+
+
+def test_byol_device_multicrop_step(tmp_path):
+    from apla_tpu.ssl.byol import BYOLTrainer, BYOLWrapper
+
+    wrapper = BYOLWrapper(_ssl_raw_params(tmp_path), use_momentum=True)
+    wrapper.instantiate()
+    assert len(wrapper.ssl_device_crop_cfgs) == 2  # BYOL: 2 global views
+    trainer = BYOLTrainer(wrapper)
+    batch = next(iter(wrapper.dataloaders.trainloader))
+    assert not isinstance(batch["image"], list)  # single raw uint8 batch
+    assert batch["image"].dtype == np.uint8
+    views = trainer._device_views(batch)
+    state, m = trainer.train_step(trainer.state, trainer.frozen, views,
+                                  1e-3, 0.99, trainer.rng)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_dino_device_multicrop_step(tmp_path):
+    from apla_tpu.ssl.dino import DINOTrainer, DINOWrapper
+
+    wrapper = DINOWrapper(_ssl_raw_params(tmp_path))
+    wrapper.instantiate()
+    assert len(wrapper.ssl_device_crop_cfgs) == 10  # 2 global + 8 local
+    trainer = DINOTrainer(wrapper)
+    batch = next(iter(wrapper.dataloaders.trainloader))
+    g, l = trainer._stack_views(batch)
+    assert l is None  # crops built in-step on the raw batch
+    step = trainer._get_step(True)
+    state, m = step(trainer.state, trainer.frozen, g, l,
+                    1e-4, 1e-5, 0.99, 0.04, trainer.rng)
+    assert np.isfinite(float(m["loss"]))
