@@ -97,12 +97,35 @@ class BaseSet:
     raw_mode = False
     raw_size = None
 
+    def _load_raw_fast(self, record):
+        """Native decode+resize for JPEG files in raw_mode (GIL-free
+        libjpeg with DCT-domain scaling, native/jpeg_dec.cpp); None ->
+        caller falls back to the PIL path."""
+        path = record.get("img_path")
+        if (not path or not self.raw_size or self.img_channels != 3
+                or not path.lower().endswith((".jpg", ".jpeg"))):
+            return None
+        # load_image prefers a .png twin when present — mirror that
+        if os.path.exists(".".join(path.split(".")[:-1]) + ".png"):
+            return None
+        try:
+            from ..native import decode_jpeg
+            with open(path, "rb") as f:
+                data = f.read()
+            return decode_jpeg(data, out_size=int(self.raw_size))
+        except Exception:
+            return None
+
     def __getitem__(self, idx, rng=None):
         """Returns {'image': HWC float32 (or list for SSL multi-aug; uint8 in
         raw_mode), 'label': int or float vector}."""
         if rng is None:
             rng = np.random.default_rng()
         record = self.data[idx]
+        if self.raw_mode:
+            arr = self._load_raw_fast(record)
+            if arr is not None:
+                return {"image": arr, "label": record["label"]}
         img = self.load_image(record)
         if self.raw_mode:
             if self.raw_size and img.size != (self.raw_size, self.raw_size):

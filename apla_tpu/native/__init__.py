@@ -103,3 +103,77 @@ def hflip(img: np.ndarray) -> np.ndarray:
     h, w, c = img.shape
     L.hflip_u8(img, h, w, c)
     return img
+
+
+# --------------------------------------------------------------------------- #
+# native JPEG decode (jpeg_dec.cpp, links system libjpeg): decode at the
+# nearest DCT scale then bilinear to the exact target — the raw_mode /
+# device-augment pipeline decodes a 2048px photo to 256px doing ~2% of the
+# full IDCT work, GIL-free in loader threads.  Falls back to PIL if libjpeg
+# or a compiler is unavailable.
+# --------------------------------------------------------------------------- #
+
+_JPEG_SRC = os.path.join(_HERE, "jpeg_dec.cpp")
+_JPEG_SO = os.path.join(_HERE, "libjpeg_dec.so")
+_jpeg_lib = None
+_jpeg_tried = False
+
+
+def _load_jpeg():
+    global _jpeg_lib, _jpeg_tried
+    with _lock:
+        if _jpeg_lib is not None or _jpeg_tried:
+            return _jpeg_lib
+        _jpeg_tried = True
+        try:
+            if not (os.path.exists(_JPEG_SO) and
+                    os.path.getmtime(_JPEG_SO) >=
+                    os.path.getmtime(_JPEG_SRC)):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", _JPEG_SRC,
+                     "-o", _JPEG_SO, "-ljpeg"],
+                    check=True, capture_output=True, timeout=120)
+            L = ctypes.CDLL(_JPEG_SO)
+            u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+            ip = ctypes.POINTER(ctypes.c_int)
+            L.jpeg_decode_resize.argtypes = [
+                u8p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+                u8p, ctypes.c_long, ip, ip]
+            L.jpeg_decode_resize.restype = ctypes.c_int
+            _jpeg_lib = L
+        except Exception:
+            _jpeg_lib = None
+        return _jpeg_lib
+
+
+def jpeg_available() -> bool:
+    return _load_jpeg() is not None
+
+
+def decode_jpeg(data: bytes, out_size: int | None = None) -> "np.ndarray | None":
+    """Decode a JPEG byte string to RGB uint8 HWC; `out_size` resizes to
+    [out_size, out_size, 3] (DCT-scaled decode + bilinear).  Returns None
+    on decode failure (caller falls back to PIL)."""
+    L = _load_jpeg()
+    if L is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    if out_size:
+        out = np.empty((out_size, out_size, 3), np.uint8)
+        oh, ow = ctypes.c_int(), ctypes.c_int()
+        rc = L.jpeg_decode_resize(buf, buf.size, out_size, out_size,
+                                  out, out.size, ctypes.byref(oh),
+                                  ctypes.byref(ow))
+        return out if rc == 0 else None
+    # full-size: decode header first via a generous buffer is wasteful;
+    # probe dims by decoding into a resizable path: use PIL-free two-pass
+    oh, ow = ctypes.c_int(), ctypes.c_int()
+    # pass a tiny target query: decode at full size into a max buffer
+    # (16Mpx cap)
+    cap = 16_000_000 * 3
+    out = np.empty((cap,), np.uint8)
+    rc = L.jpeg_decode_resize(buf, buf.size, 0, 0, out, out.size,
+                              ctypes.byref(oh), ctypes.byref(ow))
+    if rc != 0:
+        return None
+    return out[:oh.value * ow.value * 3].reshape(oh.value, ow.value, 3).copy()

@@ -59,3 +59,55 @@ def test_fused_crop_resize_normalize():
 def test_hflip():
     a = img()
     np.testing.assert_array_equal(native.hflip(a), a[:, ::-1])
+
+
+def test_native_jpeg_decode_matches_pil():
+    import io
+    from PIL import Image
+    from apla_tpu.native import decode_jpeg, jpeg_available
+    if not jpeg_available():
+        import pytest
+        pytest.skip("no libjpeg / compiler")
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (240, 320, 3), dtype=np.uint8)
+    b = io.BytesIO()
+    Image.fromarray(img).save(b, "JPEG", quality=95)
+    data = b.getvalue()
+    full = decode_jpeg(data)
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert full.shape == pil.shape
+    # same libjpeg underneath -> identical full-size decode
+    assert int(np.abs(full.astype(int) - pil.astype(int)).max()) <= 1
+    small = decode_jpeg(data, out_size=96)
+    assert small.shape == (96, 96, 3) and small.dtype == np.uint8
+
+
+def test_raw_mode_uses_native_jpeg(tmp_path):
+    from PIL import Image
+    from apla_tpu.data.datasets import Pneumonia
+    from apla_tpu.native import jpeg_available
+    if not jpeg_available():
+        import pytest
+        pytest.skip("no libjpeg / compiler")
+    root = tmp_path / "Pneumonia"
+    (root / "images").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    rows = ["filename,label"]
+    for i in range(3):
+        arr = rng.integers(0, 255, (200, 260, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(root / "images" / f"x{i}.jpg", "JPEG")
+        rows.append(f"x{i}.jpg,{i % 2}")
+    for split in ("train", "val", "test"):
+        (root / f"{split}.csv").write_text("\n".join(rows) + "\n")
+    t = {"Resize": {"apply": True, "height": 64, "width": 64},
+         "Normalize": True}
+    ds = Pneumonia({"data_location": str(tmp_path),
+                    "train_transforms": t, "val_transforms": t,
+                    "test_transforms": t}, mode="train")
+    ds.raw_mode = True
+    ds.raw_size = 128
+    s = ds[0]
+    assert s["image"].shape == (128, 128, 3)
+    assert s["image"].dtype == np.uint8
+    # fast path actually engaged
+    assert ds._load_raw_fast(ds.data[0]) is not None
