@@ -447,7 +447,9 @@ class BYOLTrainer:
             best_val_target=(None if self.best_val_target == -np.inf
                              else float(self.best_val_target)),
             aux_state=self._aux_state(),
-            extra={"scheduler": self.scheduler.state_dict()})
+            extra={"scheduler": self.scheduler.state_dict()},
+            async_save=bool(self.wrapper.training_params.get(
+                "async_checkpoint", False)))
 
     def load_session(self):
         from ..train.checkpoint import load_checkpoint

@@ -13,6 +13,7 @@ from __future__ import annotations
 import json
 import os
 import pickle
+import threading
 
 import jax
 import numpy as np
@@ -23,15 +24,32 @@ def _to_host(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+_async_lock = threading.Lock()   # serialise overlapping async saves
+_async_thread: threading.Thread | None = None
+
+
+def wait_for_async_save() -> None:
+    """Block until a pending async checkpoint write finishes (call before
+    process exit / before reading the checkpoint back)."""
+    t = _async_thread
+    if t is not None and t.is_alive():
+        t.join()
+
+
 def save_checkpoint(path: str, *, state, frozen=None, epoch: int = 0,
                     parameters: dict | None = None,
                     best_val_target: float | None = None,
                     best_trainable=None, extra: dict | None = None,
-                    aux_state: dict | None = None) -> None:
+                    aux_state: dict | None = None,
+                    async_save: bool = False) -> None:
     """`aux_state`: extra pytrees to persist (SSL teacher, centering buffers,
     BN stats — the reference stores the whole model state_dict, which covers
-    these implicitly)."""
-    os.makedirs(path, exist_ok=True)
+    these implicitly).
+
+    `async_save`: gather to host synchronously (cheap — checkpoint size
+    scales with APLA rank) but serialise+write on a background thread so
+    the train loop never stalls on disk.  `wait_for_async_save()` joins."""
+    global _async_thread
     payload = {
         "trainable": _to_host(state.trainable),
         "opt_state": _to_host(state.opt_state),
@@ -40,11 +58,7 @@ def save_checkpoint(path: str, *, state, frozen=None, epoch: int = 0,
         payload["aux_state"] = _to_host(aux_state)
     if best_trainable is not None:
         payload["best_trainable"] = _to_host(best_trainable)
-    with open(os.path.join(path, "state.msgpack"), "wb") as f:
-        f.write(serialization.to_bytes(payload))
-    if frozen is not None:
-        with open(os.path.join(path, "frozen.msgpack"), "wb") as f:
-            f.write(serialization.to_bytes(_to_host(frozen)))
+    frozen_host = _to_host(frozen) if frozen is not None else None
     manifest = {
         "iters": int(state.step),
         "epoch": int(epoch),
@@ -53,12 +67,30 @@ def save_checkpoint(path: str, *, state, frozen=None, epoch: int = 0,
     }
     if extra:
         manifest.update(extra)
-    with open(os.path.join(path, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=2)
-    if parameters is not None:
-        # full config embedded, like the reference (bases.py:462)
-        with open(os.path.join(path, "parameters.pkl"), "wb") as f:
-            pickle.dump(dict(parameters), f)
+    params_copy = dict(parameters) if parameters is not None else None
+
+    def write():
+        with _async_lock:
+            os.makedirs(path, exist_ok=True)
+            with open(os.path.join(path, "state.msgpack"), "wb") as f:
+                f.write(serialization.to_bytes(payload))
+            if frozen_host is not None:
+                with open(os.path.join(path, "frozen.msgpack"), "wb") as f:
+                    f.write(serialization.to_bytes(frozen_host))
+            with open(os.path.join(path, "manifest.json"), "w") as f:
+                json.dump(manifest, f, indent=2)
+            if params_copy is not None:
+                # full config embedded, like the reference (bases.py:462)
+                with open(os.path.join(path, "parameters.pkl"), "wb") as f:
+                    pickle.dump(params_copy, f)
+
+    if async_save:
+        wait_for_async_save()  # never queue more than one
+        _async_thread = threading.Thread(target=write, daemon=True)
+        _async_thread.start()
+    else:
+        wait_for_async_save()
+        write()
 
 
 def load_checkpoint(path: str, *, state_template, frozen_template=None,
@@ -66,6 +98,7 @@ def load_checkpoint(path: str, *, state_template, frozen_template=None,
     """Restore (state, frozen, manifest[, aux via manifest key]).  Templates
     give the pytree structure (msgpack is structure-free, reference
     `load_state_dict` analogue)."""
+    wait_for_async_save()  # a pending async write must land first
     with open(os.path.join(path, "state.msgpack"), "rb") as f:
         raw = f.read()
     template = {

@@ -78,6 +78,8 @@ class Trainer:
 
     def load_session(self):
         """Resume from the last checkpoint (reference bases.py:405-434)."""
+        from .checkpoint import wait_for_async_save
+        wait_for_async_save()
         path = self.checkpoint_path
         if not os.path.isdir(path):
             print(yellow(f"restore_session: no checkpoint at {path}"))
@@ -105,7 +107,9 @@ class Trainer:
             best_val_target=(None if self.best_val_target == -np.inf
                              else self.best_val_target),
             best_trainable=self.best_trainable,
-            extra={"scheduler": self.scheduler.state_dict()})
+            extra={"scheduler": self.scheduler.state_dict()},
+            async_save=bool(self.wrapper.training_params.get(
+                "async_checkpoint", False)))
         if verbose:
             print(gray(f"Checkpoint saved to {self.checkpoint_path}"))
 
@@ -206,6 +210,8 @@ class Trainer:
         if getattr(self, "_last_val_iter", -1) != self.iters:
             self.epoch_step(self.epochs - 1)
         self.save_session(self.epochs - 1, verbose=True)
+        from .checkpoint import wait_for_async_save
+        wait_for_async_save()
         self.logger.finish()
 
     # ------------------------------------------------------------------ #

@@ -183,3 +183,31 @@ def test_accum_steps_matches_full_batch():
     np.testing.assert_allclose(outs[1][1], outs[2][1], rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(outs[1][1], outs[4][1], rtol=1e-4, atol=1e-6)
     assert outs[2][1].shape == outs[1][1].shape
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """async_save writes on a background thread; load waits for it."""
+    from apla_tpu.models.vit import ViTConfig
+    from apla_tpu.models.classifier import init_classifier
+    from apla_tpu.train.checkpoint import (load_checkpoint, save_checkpoint,
+                                           wait_for_async_save)
+    from apla_tpu.train.optim import build_optimizer
+    from apla_tpu.train.train_state import TrainState
+
+    cfg = ViTConfig(img_size=16, patch_size=8, embed_dim=32, depth=1,
+                    num_heads=2, compute_dtype=jnp.float32)
+    trainable, frozen = init_classifier(jax.random.PRNGKey(0), cfg,
+                                        n_classes=4)
+    tx = build_optimizer("SGD", {"lr": 0.1}, trainable)
+    state = TrainState.create(trainable, tx)
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, state=state, frozen=frozen, epoch=3,
+                    async_save=True)
+    # load_checkpoint joins the pending write internally
+    st2, fr2, manifest, _, _ = load_checkpoint(
+        path, state_template=state, frozen_template=frozen)
+    assert manifest["epoch"] == 3
+    np.testing.assert_array_equal(
+        np.asarray(st2.trainable["fc"]["kernel"]),
+        np.asarray(state.trainable["fc"]["kernel"]))
+    wait_for_async_save()  # idempotent
