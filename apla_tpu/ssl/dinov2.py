@@ -257,10 +257,16 @@ def sinkhorn_knopp_teacher(t_out, teacher_temp, n_iterations=3,
     else:
         B = Q.shape[1]
     K = Q.shape[0]
+    def safe_div(q, s):
+        # guard EXACT zeros only (padded rows/cols): clamping small-but-
+        # real sums (e.g. ~1e-19 at temp 0.07) breaks the normalisation —
+        # cost a 0.15 abs divergence vs the reference before round 2
+        return q / jnp.where(s == 0.0, 1.0, s)
+
     Q = Q / jnp.sum(Q)
     for _ in range(n_iterations):
-        Q = Q / jnp.maximum(jnp.sum(Q, axis=1, keepdims=True), 1e-12) / K
-        Q = Q / jnp.maximum(jnp.sum(Q, axis=0, keepdims=True), 1e-12) / B
+        Q = safe_div(Q, jnp.sum(Q, axis=1, keepdims=True)) / K
+        Q = safe_div(Q, jnp.sum(Q, axis=0, keepdims=True)) / B
         if sample_mask is not None:
             Q = Q * sample_mask[None, :]
     return (Q * B).T
