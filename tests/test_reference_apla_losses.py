@@ -147,3 +147,46 @@ def test_koleo_loss_parity_vs_reference(ref_src):
     loss_ours = koleo_loss(jnp.asarray(x.numpy()))
     np.testing.assert_allclose(float(loss_ours), float(loss_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_ibot_patch_loss_parity_vs_reference(ref_src):
+    iBOTPatchLoss = _load_ref_file(
+        "self_supervised/dinov2/loss/ibot_patch_loss.py",
+        "ref_ibot_loss").iBOTPatchLoss
+
+    import jax.numpy as jnp
+    from apla_tpu.ssl.dinov2 import ibot_patch_loss
+
+    torch.manual_seed(0)
+    B, N, D = 4, 16, 32  # 4 global-crop images, 16 patches, 32 prototypes
+    masks = torch.rand(B, N) < 0.4
+    U = int(masks.sum())
+    s_masked = torch.randn(U, D)
+    t_masked_sm = torch.softmax(torch.randn(U, D), dim=-1)
+
+    ref = iBOTPatchLoss(patch_out_dim=D, student_temp=0.1)
+    # reference derives per-patch weights 1/row_count gathered at masked
+    # positions; replicate for our call
+    w = ((1 / masks.sum(-1).clamp(min=1.0))
+         .unsqueeze(-1).expand_as(masks)[masks])
+    loss_ref = ref.forward_masked(s_masked, t_masked_sm, masks,
+                                  masks_weight=w)
+    loss_ours = ibot_patch_loss(
+        jnp.asarray(s_masked.numpy()), jnp.asarray(t_masked_sm.numpy()),
+        jnp.asarray(w.numpy()), n_images=B, student_temp=0.1)
+    np.testing.assert_allclose(float(loss_ours), float(loss_ref),
+                               rtol=1e-5)
+
+
+def test_cosine_scheduler_parity_vs_reference(ref_src):
+    ref_mod = _load_ref_file("self_supervised/dinov2/dinov2_utils.py",
+                             "ref_dinov2_utils")
+    from apla_tpu.ssl.dinov2 import CosineScheduler
+
+    kw = dict(base_value=1e-3, final_value=1e-6, total_iters=100,
+              warmup_iters=10, start_warmup_value=0, freeze_iters=5)
+    ref = ref_mod.CosineScheduler(**kw)
+    ours = CosineScheduler(**kw)
+    for it in (0, 3, 7, 12, 50, 99, 120):
+        np.testing.assert_allclose(float(ours[it]), float(ref[it]),
+                                   rtol=1e-6, err_msg=f"iter {it}")
