@@ -125,3 +125,70 @@ def test_forward_parity_vs_reference_vit_base_layerscale(ref_vit_module):
         ref = model(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
     ours = np.asarray(vit_features(params, jnp.asarray(x), cfg))
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
+def _load_ref_pkg_module(fullname, ref_src):
+    """Import a reference submodule while BYPASSING parent-package
+    __init__ chains (they pull dataset/torchvision code): synthesise the
+    parent packages with only __path__ set."""
+    import importlib
+    import os
+    parts = fullname.split(".")
+    for i in range(1, len(parts)):
+        pname = ".".join(parts[:i])
+        if pname not in sys.modules:
+            pkg = types.ModuleType(pname)
+            pkg.__path__ = [os.path.join(ref_src, *parts[:i])]
+            sys.modules[pname] = pkg
+    return importlib.import_module(fullname)
+
+
+@pytest.mark.slow
+def test_forward_parity_vs_reference_dinov2_vit(ref_vit_module):
+    """The DINOv2-style trunk (register tokens, iBOT mask token) vs the
+    reference's own DinoVisionTransformer (dinov2_vits.py, xformers
+    fallback path)."""
+    import jax.numpy as jnp
+
+    from apla_tpu.models.vit import ViTConfig, vit_features
+
+    # block.py imports the reference's `apla` package at module scope
+    sys.path.insert(0, REF_SRC)
+    try:
+        ref_mod = _load_ref_pkg_module(
+            "self_supervised.dinov2.dinov2_vits", REF_SRC)
+    finally:
+        sys.path.remove(REF_SRC)
+
+    torch.manual_seed(0)
+    model = ref_mod.vit_small(patch_size=16, num_register_tokens=4,
+                              img_size=224)
+    model.eval()
+
+    sd = model.state_dict()
+    # the reference wraps blocks in chunks ('blocks.0.N.'); flatten, and
+    # no LayerScale params exist at the default init_values=None
+    sd = {k.replace("blocks.0.", "blocks."): v for k, v in sd.items()}
+    has_ls = any(".ls1." in k or ".gamma" in k for k in sd)
+    params = convert_torch_vit_state_dict(sd, depth=12,
+                                          has_layerscale=has_ls)
+    assert "register_tokens" in params
+    cfg = ViTConfig(img_size=224, patch_size=16, embed_dim=384, depth=12,
+                    num_heads=6, num_register_tokens=4,
+                    has_layerscale=has_ls, compute_dtype=jnp.float32)
+
+    x = np.random.default_rng(2).standard_normal((2, 224, 224, 3)) \
+        .astype(np.float32)
+    with torch.no_grad():
+        out = model.forward_features(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ref_cls = out["x_norm_clstoken"].numpy()
+    ref_patches = out["x_norm_patchtokens"].numpy()
+
+    tokens = np.asarray(vit_features(params, jnp.asarray(x), cfg,
+                                     return_all_tokens=True))
+    ours_cls = tokens[:, 0]
+    ours_patches = tokens[:, 1 + cfg.num_register_tokens:]
+    np.testing.assert_allclose(ours_cls, ref_cls, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(ours_patches, ref_patches,
+                               rtol=2e-4, atol=2e-4)
