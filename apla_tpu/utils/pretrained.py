@@ -33,6 +33,12 @@ def convert_torch_vit_state_dict(sd: dict, depth: int, use_swiglu=False,
     (unstacked -> stacked blocks)."""
     sd = {k.removeprefix("module.").removeprefix("backbone."): v
           for k, v in sd.items()}
+    # dinov2 chunked-block layout ('blocks.<chunk>.<i>....', reference
+    # dinov2_vits.py BlockChunk) -> flat 'blocks.<i>....'
+    if any(k.startswith("blocks.0.0.") for k in sd):
+        import re
+        sd = {re.sub(r"^blocks\.\d+\.(\d+\.)", r"blocks.\1", k): v
+              for k, v in sd.items()}
     params = {
         "cls_token": _np(sd["cls_token"]),
         "pos_embed": _np(sd["pos_embed"]),
