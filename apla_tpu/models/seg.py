@@ -122,3 +122,27 @@ def mean_iou(pred, labels, n_classes: int, ignore_index: int = 255):
             continue
         ious.append((p & t).sum() / union)
     return float(np.mean(ious)) if ious else 0.0
+
+
+def make_seg_train_step(vit_cfg, tx):
+    """Jitted segmentation train step (fwd + per-pixel CE + update) over the
+    (trainable, frozen) split — the first-class analogue of the supervised
+    `make_train_step` for the SETR-PUP side-car.  Returns
+    step(trainable, opt_state, frozen, batch) -> (trainable, opt_state,
+    metrics)."""
+    import optax
+
+    def step(trainable, opt_state, frozen, batch):
+        images, labels = batch["image"], batch["label"]
+
+        def loss_fn(t):
+            logits = segmenter_forward(t, frozen, images, vit_cfg)
+            return segmentation_loss(logits, labels)
+
+        loss, grads = jax.value_and_grad(loss_fn)(trainable)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, {
+            "loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    return jax.jit(step, donate_argnums=(0, 1))
