@@ -305,3 +305,37 @@ class DetectionAP:
                 ap += p / 101
             aps.append(ap)
         return float(np.mean(aps)) if aps else 0.0
+
+
+def make_detection_train_step(swin_cfg, tx, strides=(4, 8)):
+    """Jitted detection train step: APLA-Swin backbone -> lateral 1x1s ->
+    FCOS head -> batched FCOS loss -> optimizer update.  The first-class
+    analogue of `make_train_step` for the detection side-car (the reference
+    only ships mmdet drop-in backbones; the head/loss here are this
+    framework's own).
+
+    `trainable` = {"backbone": swin trainable, "head": fcos head,
+    "laterals": [conv params]}; batch = {"image" [B,H,W,3],
+    "boxes" [B,M,4] (padded with -1 rows), "labels" [B,M]}."""
+    import optax
+
+    from .swin import swin_features
+
+    def step(trainable, opt_state, frozen, batch):
+        def loss_fn(t):
+            feats = swin_features(frozen, batch["image"], swin_cfg,
+                                  trainable=t["backbone"])
+            outs = fcos_head_forward(feats, t["head"], t["laterals"])
+            losses = fcos_loss_batch(outs, strides, batch["boxes"],
+                                     batch["labels"])
+            return losses["total"], losses
+
+        (loss, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(trainable)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        metrics = dict(losses)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return trainable, opt_state, metrics
+
+    return jax.jit(step, donate_argnums=(0, 1))

@@ -132,8 +132,10 @@ def _shift_mask(H, W, window, shift) -> np.ndarray:
                   slice(-shift, None)):
             img[:, h, w, :] = cnt
             cnt += 1
-    wins = _window_partition(jnp.asarray(img), window)
-    wins = np.asarray(wins).reshape(-1, window * window)
+    # pure numpy (host-side constant): routing through jnp would produce
+    # tracers when the trunk is jitted and break np.asarray below
+    wins = img.reshape(1, H // window, window, W // window, window, 1)
+    wins = wins.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window * window)
     mask = wins[:, None, :] - wins[:, :, None]
     return np.where(mask != 0, -1e9, 0.0).astype(np.float32)
 

@@ -122,3 +122,32 @@ def test_detection_ap_metric():
     m2.add_image(0, np.asarray([[50, 50, 60, 60]], float), [0.9], [0],
                  gt, [0, 1])
     assert m2.mean_ap() == pytest.approx(0.0, abs=1e-6)
+
+
+def test_make_detection_train_step_decreases_loss():
+    from apla_tpu.models.detection import (_conv_init,
+                                           make_detection_train_step)
+    import optax
+
+    params = init_swin_params(jax.random.PRNGKey(0), CFG)
+    bb_t, frozen = build_apla_swin(params)
+    head = init_fcos_head(jax.random.PRNGKey(1), 32, 3, channels=16,
+                          n_levels=2)
+    laterals = [_conv_init(jax.random.PRNGKey(5), 1, 32, 32),
+                _conv_init(jax.random.PRNGKey(6), 1, 64, 32)]
+    trainable = {"backbone": bb_t, "head": head, "laterals": laterals}
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(trainable)
+    batch = {
+        "image": jnp.ones((2, 56, 56, 3)),
+        "boxes": jnp.asarray([[[4.0, 4.0, 40.0, 40.0]],
+                              [[8.0, 8.0, 30.0, 30.0]]]),
+        "labels": jnp.asarray([[0], [1]]),
+    }
+    step = make_detection_train_step(CFG, tx, strides=(4, 8))
+    losses = []
+    for _ in range(6):
+        trainable, opt_state, m = step(trainable, opt_state, frozen, batch)
+        losses.append(float(m["total"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
