@@ -30,6 +30,51 @@ def make_mesh(n_data: int | None = None, n_model: int = 1,
     return Mesh(mesh_devices, ("data", "model"))
 
 
+def fsdp_sharding_tree(mesh: Mesh, tree, axis: str = "data",
+                       min_size: int = 2 ** 16):
+    """Per-leaf NamedShardings that shard each large param leaf over `axis`
+    (ZeRO-3 / FSDP-style, the GSPMD way: annotate the placement, XLA inserts
+    the all-gathers next to each layer's use inside the scan and
+    reduce-scatters any grads).
+
+    Under APLA the frozen backbone dominates memory while gradients exist
+    only for the tiny trainable slices — sharding the frozen pytree over the
+    data axis cuts per-chip HBM by the mesh size with no extra gradient
+    collectives.  Rule: shard the largest dim divisible by the axis size
+    (skipping tiny leaves, which stay replicated).
+    """
+    n = mesh.shape[axis]
+
+    def leaf_sharding(x):
+        if n == 1 or x.size < min_size:
+            return NamedSharding(mesh, P())
+        # largest divisible dim (prefer trailing dims on ties: contiguous
+        # shards, and the leading dim of stacked block params is the scanned
+        # depth axis which must stay whole)
+        dims = sorted(range(x.ndim), key=lambda i: (x.shape[i], i))
+        for i in reversed(dims):
+            if i > 0 and x.shape[i] % n == 0:
+                spec = [None] * x.ndim
+                spec[i] = axis
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(leaf_sharding, tree)
+
+
+def shard_params(tree, mesh: Mesh, policy: str = "replicated",
+                 axis: str = "data"):
+    """Place a param pytree on the mesh under a sharding policy:
+    'replicated' (default; every chip holds a full copy) or 'fsdp'
+    (large leaves sharded over the data axis, see `fsdp_sharding_tree`)."""
+    if policy == "fsdp":
+        sh = fsdp_sharding_tree(mesh, tree, axis=axis)
+        return jax.tree.map(jax.device_put, tree, sh)
+    if policy != "replicated":
+        raise ValueError(f"unknown param_sharding policy: {policy!r}")
+    return jax.device_put(tree, replicated_sharding(mesh))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading (batch) dim sharded over the data axis."""
     return NamedSharding(mesh, P("data"))

@@ -109,7 +109,11 @@ class DINOWrapper(BYOLWrapper):
         repl = replicated_sharding(self.mesh)
         self.trainable = jax.device_put(trainable, repl)
         self.teacher = jax.device_put(teacher, repl)
-        self.frozen = jax.device_put(bb_frozen, repl)
+        from ..parallel.mesh import shard_params
+        self.frozen = shard_params(
+            bb_frozen, self.mesh,
+            policy=self.system_params.get("param_sharding",
+                                          "replicated"))
 
     def init_optimization(self):
         opt = self.optimization_params.default

@@ -328,12 +328,20 @@ class DINOv2TrainState:
 
 def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
                            n_local: int, freeze_last_layer: bool,
-                           device_crop_cfgs=None):
+                           device_crop_cfgs=None, accum_steps: int = 1):
     """cfg: model_params.dinov2 subtree (dino/ibot weights, centering).
 
     `device_crop_cfgs`: list of DeviceAugConfig (one per crop) — the batch
     then carries `raw_images` (uint8) and ALL crops are generated on
-    device inside this step (data/device_augs.device_multicrop)."""
+    device inside this step (data/device_augs.device_multicrop).
+
+    `accum_steps`: the TEACHER (no-grad) runs on the full batch, so
+    centering / Sinkhorn statistics keep exact full-batch reference
+    semantics; the STUDENT forward+backward runs as a `lax.scan` over
+    microbatches with iBOT mask indices rebased per micro, accumulating
+    grads before ONE optimizer/EMA update.  Only KoLeo sees smaller
+    chunks (it is computed per micro — the same batch-decoupling the
+    reference's per-rank KoLeo has under DDP, koleo_loss.py:15-45)."""
     dino_w = float(cfg.dino.loss_weight)
     koleo_w = float(cfg.dino.koleo_loss_weight)
     ibot_w = float(cfg.ibot.loss_weight)
@@ -404,19 +412,20 @@ def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
         t_ibot_sm = jax.lax.stop_gradient(t_ibot_sm)
 
         # ---------------- student ----------------
-        def loss_fn(trainable):
+        def student_loss(trainable, g_c, l_c, masks_c, t_dino_c, m_idx,
+                         t_ibot_c, m_weight, m_valid, rg, rl, n_imgs_g):
             s_bb = trainable.get("backbone")
-            s_tokens_g = _encode_tokens(s_bb, frozen, g_crops, vit_cfg, r_g,
-                                        False, masks=masks)
+            s_tokens_g = _encode_tokens(s_bb, frozen, g_c, vit_cfg, rg,
+                                        False, masks=masks_c)
             s_cls_g = s_tokens_g[:, 0]
             s_patches_g = s_tokens_g[:, 1 + vit_cfg.num_register_tokens:]
             head_in = [s_cls_g]
             if n_local:
-                s_cls_l = _encode_tokens(s_bb, frozen, l_crops, vit_cfg, r_l,
+                s_cls_l = _encode_tokens(s_bb, frozen, l_c, vit_cfg, rl,
                                          False)[:, 0]
                 head_in.append(s_cls_l)
             s_masked = s_patches_g.reshape(
-                -1, s_patches_g.shape[-1])[mask_idx]
+                -1, s_patches_g.shape[-1])[m_idx]
             if not separate_head:
                 head_in.append(s_masked)
                 sizes = [h.shape[0] for h in head_in]
@@ -441,7 +450,7 @@ def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
             losses = {}
             total = 0.0
             if do_dino:
-                t_list = list(jnp.split(t_dino_sm, n_global))
+                t_list = list(jnp.split(t_dino_c, n_global))
                 if n_local:
                     s_local_chunks = list(jnp.split(s_cls_l_out, n_local))
                     dino_local = dinov2_dino_loss(
@@ -450,7 +459,7 @@ def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
                     losses["dino_local_crops_loss"] = dino_local
                     total = total + dino_w * dino_local
                 dino_global = dinov2_dino_loss(
-                    [s_cls_g_out], [t_dino_sm], student_temp=student_temp) \
+                    [s_cls_g_out], [t_dino_c], student_temp=student_temp) \
                     * 2 / loss_term_denom
                 losses["dino_global_crops_loss"] = dino_global
                 total = total + dino_w * dino_global
@@ -462,15 +471,99 @@ def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
                     total = total + kl
             if do_ibot:
                 il = ibot_patch_loss(
-                    s_masked_out, t_ibot_sm, masks_weight * mask_valid,
-                    n_images=n_images_global, student_temp=student_temp) \
+                    s_masked_out, t_ibot_c, m_weight * m_valid,
+                    n_images=n_imgs_g, student_temp=student_temp) \
                     * 2 * (1.0 / n_global)
                 losses["ibot_loss"] = il / 2
                 total = total + ibot_w * il
+            total = jnp.asarray(total, jnp.float32)
+            losses = {k: jnp.asarray(v, jnp.float32)
+                      for k, v in losses.items()}
             return total, losses
 
-        (loss, loss_dict), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.trainable)
+        if accum_steps == 1:
+            (loss, loss_dict), grads = jax.value_and_grad(
+                student_loss, has_aux=True)(
+                state.trainable, g_crops, l_crops, masks, t_dino_sm,
+                mask_idx, t_ibot_sm, masks_weight, mask_valid, r_g, r_l,
+                n_images_global)
+        else:
+            B = g_crops.shape[0] // n_global
+            assert B % accum_steps == 0, (B, accum_steps)
+            mb = B // accum_steps
+
+            def micro_split(x, n_crops):
+                # crop-major [n_crops*B, ...] -> [accum, n_crops*mb, ...]
+                x = x.reshape((n_crops, accum_steps, mb) + x.shape[1:])
+                x = jnp.moveaxis(x, 1, 0)
+                return x.reshape((accum_steps, n_crops * mb) + x.shape[3:])
+
+            g_m = micro_split(g_crops, n_global)
+            l_m = micro_split(l_crops, n_local) if n_local else None
+            masks_m = micro_split(masks, n_global)
+            t_dino_m = micro_split(t_dino_sm, n_global)
+
+            # rebase the flat iBOT mask indices into each micro's local
+            # [n_global*mb*n_tok] patch space; foreign entries keep weight 0
+            # (they gather an arbitrary in-range row that the loss ignores)
+            n_tok = masks.shape[1]
+            rows, cols = mask_idx // n_tok, mask_idx % n_tok
+            gi, bi = rows // B, rows % B
+            owner = bi // mb                               # [U]
+            local_flat = (gi * mb + (bi % mb)) * n_tok + cols
+            idx_m, t_ibot_m, w_m, valid_m = [], [], [], []
+            for m in range(accum_steps):
+                order = jnp.argsort(jnp.where(owner == m, 0, 1),
+                                    stable=True)
+                idx_m.append(local_flat[order])
+                t_ibot_m.append(t_ibot_sm[order])
+                w_m.append(jnp.where(owner == m, masks_weight, 0.0)[order])
+                valid_m.append(jnp.where(owner == m, mask_valid, 0.0)[order])
+            idx_m, t_ibot_m, w_m, valid_m = (
+                jnp.stack(idx_m), jnp.stack(t_ibot_m), jnp.stack(w_m),
+                jnp.stack(valid_m))
+            rg_m = jax.random.split(r_g, accum_steps)
+            rl_m = jax.random.split(r_l, accum_steps)
+
+            zero_ld = {}
+            if do_dino:
+                if n_local:
+                    zero_ld["dino_local_crops_loss"] = 0
+                zero_ld["dino_global_crops_loss"] = 0
+                if do_koleo:
+                    zero_ld["koleo_loss"] = 0
+            if do_ibot:
+                zero_ld["ibot_loss"] = 0
+            zero_ld = {k: jnp.zeros((), jnp.float32) for k in zero_ld}
+            zero_g = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.trainable)
+
+            def body(acc, xs):
+                acc_loss, acc_ld, acc_g = acc
+                if n_local:
+                    (g_i, masks_i, t_dino_i, idx_i, t_ibot_i, w_i, valid_i,
+                     rg_i, rl_i, l_i) = xs
+                else:
+                    (g_i, masks_i, t_dino_i, idx_i, t_ibot_i, w_i, valid_i,
+                     rg_i, rl_i) = xs
+                    l_i = None
+                (loss_i, ld_i), g_i_grad = jax.value_and_grad(
+                    student_loss, has_aux=True)(
+                    state.trainable, g_i, l_i, masks_i, t_dino_i, idx_i,
+                    t_ibot_i, w_i, valid_i, rg_i, rl_i, n_global * mb)
+                return (acc_loss + loss_i,
+                        jax.tree.map(jnp.add, acc_ld, ld_i),
+                        jax.tree.map(jnp.add, acc_g, g_i_grad)), None
+
+            xs = (g_m, masks_m, t_dino_m, idx_m, t_ibot_m, w_m, valid_m,
+                  rg_m, rl_m)
+            if n_local:
+                xs = xs + (l_m,)
+            (loss_sum, ld_sum, grads), _ = jax.lax.scan(
+                body, (jnp.zeros((), jnp.float32), zero_ld, zero_g), xs)
+            loss = loss_sum / accum_steps
+            loss_dict = {k: v / accum_steps for k, v in ld_sum.items()}
+            grads = jax.tree.map(lambda g: g / accum_steps, grads)
         if freeze_last_layer:
             grads = jax.tree_util.tree_map_with_path(
                 lambda path, g: (jnp.zeros_like(g)
@@ -626,7 +719,11 @@ class DINOv2Wrapper(DINOWrapper):
         repl = replicated_sharding(self.mesh)
         self.trainable = jax.device_put(trainable, repl)
         self.teacher = jax.device_put(teacher, repl)
-        self.frozen = jax.device_put(bb_frozen, repl)
+        from ..parallel.mesh import shard_params
+        self.frozen = shard_params(
+            bb_frozen, self.mesh,
+            policy=self.system_params.get("param_sharding",
+                                          "replicated"))
         self.n_prototypes = int(dino.head_n_prototypes)
         self.ibot_prototypes = (int(d2.ibot.head_n_prototypes)
                                 if d2.ibot.get("separate_head", False)
@@ -683,7 +780,9 @@ class Dinov2Trainer(BYOLTrainer):
                 self.wrapper.model_params.dinov2, self.n_global,
                 self.n_local, freeze_last_layer=freeze,
                 device_crop_cfgs=getattr(self.wrapper,
-                                         "ssl_device_crop_cfgs", None))
+                                         "ssl_device_crop_cfgs", None),
+                accum_steps=int(self.wrapper.training_params.get(
+                    "accum_steps", 1)))
         return self._steps[freeze]
 
     def _device_batch(self, batch):

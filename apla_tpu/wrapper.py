@@ -200,10 +200,18 @@ class DefaultWrapper:
             frozen = quantize_frozen_backbone(frozen)
             print("Quantized frozen backbone kernels to int8 (W8A8)")
 
-        # replicate over the mesh
-        repl = replicated_sharding(self.mesh)
-        self.trainable = jax.device_put(trainable, repl)
-        self.frozen = jax.device_put(frozen, repl)
+        # place over the mesh: trainable always replicated (tiny under
+        # APLA; XLA psums its grads), frozen per the sharding policy —
+        # 'fsdp' shards the frozen backbone over the data axis, cutting
+        # per-chip HBM by the mesh size (ZeRO-3-style; see parallel/mesh.py)
+        from .parallel.mesh import shard_params
+        policy = self.system_params.get("param_sharding", "replicated")
+        self.trainable = jax.device_put(trainable,
+                                        replicated_sharding(self.mesh))
+        self.frozen = shard_params(frozen, self.mesh, policy=policy)
+        if policy != "replicated":
+            print(f"Frozen params placed with policy '{policy}' over "
+                  f"mesh {dict(self.mesh.shape)}")
         n_train = count_params(self.trainable)
         n_total = n_train + count_params(self.frozen)
         print(f"Model: {self.model_params.backbone_type} "

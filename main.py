@@ -20,6 +20,9 @@ def parse_arguments():
     p.add_argument("--params_path", type=str, required=True)
     # train args (reference main.py:20-38)
     p.add_argument("--n_devices", type=int, help="mesh data-axis size")
+    p.add_argument("--param_sharding", type=str,
+                   choices=["replicated", "fsdp"],
+                   help="frozen-param placement policy over the mesh")
     p.add_argument("--batch_size", type=int)
     p.add_argument("--val_every", type=float)
     p.add_argument("--log_every", type=int)
@@ -79,6 +82,8 @@ def update_params_from_args(params, args):
         params.model_params.transformers_params.attn_drop_rate = args.adr
     if args.n_devices:
         params.system_params.n_devices = args.n_devices
+    if args.param_sharding:
+        params.system_params.param_sharding = args.param_sharding
     if args.model_name:
         params.training_params.model_name = args.model_name
     if args.save_dir:

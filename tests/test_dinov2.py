@@ -114,3 +114,74 @@ def test_dinov2_separate_ibot_head_and_full_mode(tmp_path):
                        0.04, trainer.rng)
     assert np.isfinite(float(m["loss"]))
     assert "ibot_loss" in m and np.isfinite(float(m["ibot_loss"]))
+
+
+def test_dinov2_accum_matches_monolithic(tmp_path):
+    """accum_steps for the SSL step: teacher/centering statistics run on the
+    full batch, so with KoLeo off (the only batch-coupled student term) the
+    accumulated update must match the monolithic one numerically."""
+    from apla_tpu.ssl.dinov2 import Dinov2Trainer, DINOv2Wrapper
+
+    shared_batch = {}
+
+    def run(accum):
+        params = load_merged_params(PARAMS)
+        params.training_params.epochs = 1
+        params.training_params.val_every = 10
+        params.training_params.save_dir = str(tmp_path / f"a{accum}")
+        params.training_params.accum_steps = accum
+        params.training_params.use_mixed_precision = False
+        params.dataset_params.synthetic_size = 8
+        for ld in ("trainloader", "valloader", "testloader"):
+            params.dataloader_params[ld].batch_size = 8
+            params.dataloader_params[ld].shuffle = False
+        params.model_params.dinov2.dino.koleo_loss_weight = 0.0
+        wrapper = DINOv2Wrapper(params)
+        wrapper.instantiate(seed=0)
+        trainer = Dinov2Trainer(wrapper)
+        # ONE collated batch for both runs: the collate draws the iBOT mask
+        # layout from an unseeded RNG, so a fresh batch per run would
+        # (correctly) change ibot_loss for reasons unrelated to accum
+        if not shared_batch:
+            shared_batch["b"] = next(iter(wrapper.dataloaders.trainloader))
+        step_fn = trainer._get_step(True)
+        state, m = step_fn(trainer.state, trainer.frozen,
+                           trainer._device_batch(shared_batch["b"]), 1e-4,
+                           1e-5, 0.99, 0.04, jax.random.PRNGKey(3))
+        return state, m
+
+    s1, m1 = run(1)
+    s4, m4 = run(4)
+    np.testing.assert_allclose(float(m1["loss"]), float(m4["loss"]),
+                               rtol=2e-4)
+    np.testing.assert_allclose(
+        float(m1["ibot_loss"]), float(m4["ibot_loss"]), rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s1.dino_center), np.asarray(s4.dino_center), rtol=1e-5)
+    w1 = np.asarray(s1.trainable["backbone"]["blocks"]["proj_wt"])
+    w4 = np.asarray(s4.trainable["backbone"]["blocks"]["proj_wt"])
+    np.testing.assert_allclose(w1, w4, rtol=1e-4, atol=2e-6)
+
+
+def test_dinov2_accum_with_koleo_runs(tmp_path):
+    """KoLeo on + accum: per-micro KoLeo (per-rank semantics) — step must
+    run with finite losses."""
+    from apla_tpu.ssl.dinov2 import Dinov2Trainer, DINOv2Wrapper
+    params = load_merged_params(PARAMS)
+    params.training_params.epochs = 1
+    params.training_params.val_every = 10
+    params.training_params.save_dir = str(tmp_path)
+    params.training_params.accum_steps = 2
+    params.dataset_params.synthetic_size = 8
+    for ld in ("trainloader", "valloader", "testloader"):
+        params.dataloader_params[ld].batch_size = 4
+    wrapper = DINOv2Wrapper(params)
+    wrapper.instantiate()
+    trainer = Dinov2Trainer(wrapper)
+    batch = next(iter(wrapper.dataloaders.trainloader))
+    step_fn = trainer._get_step(False)
+    state, m = step_fn(trainer.state, trainer.frozen,
+                       trainer._device_batch(batch), 1e-4, 1e-5, 0.99,
+                       0.04, trainer.rng)
+    assert np.isfinite(float(m["loss"]))
+    assert np.isfinite(float(m["koleo_loss"]))

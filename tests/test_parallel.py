@@ -21,7 +21,8 @@ CFG = ViTConfig(img_size=32, patch_size=8, embed_dim=64, depth=2, num_heads=4,
                 compute_dtype=jnp.float32)
 
 
-def _run_steps(n_devices, n_steps=3):
+def _run_steps(n_devices, n_steps=3, param_sharding="replicated"):
+    from apla_tpu.parallel.mesh import shard_params
     mesh = make_mesh(n_data=n_devices, devices=jax.devices()[:n_devices])
     trainable, frozen = init_classifier(
         jax.random.PRNGKey(0), CFG, n_classes=10,
@@ -30,7 +31,7 @@ def _run_steps(n_devices, n_steps=3):
                          trainable, grad_clip=1.0)
     state = jax.device_put(TrainState.create(trainable, tx),
                            replicated_sharding(mesh))
-    frozen = jax.device_put(frozen, replicated_sharding(mesh))
+    frozen = shard_params(frozen, mesh, policy=param_sharding)
     step = make_train_step(CFG, tx, cross_entropy)
     rng = np.random.default_rng(0)
     losses = []
@@ -51,6 +52,33 @@ def test_dp_invariance_1_vs_8():
     l8, w8 = _run_steps(8)
     np.testing.assert_allclose(l1, l8, rtol=1e-5)
     np.testing.assert_allclose(w1, w8, rtol=1e-5, atol=1e-7)
+
+
+def test_fsdp_frozen_sharding_matches_replicated():
+    """'fsdp' placement (frozen leaves sharded over the data axis) must be
+    bit-compatible with replicated execution — XLA's inserted all-gathers
+    change data movement, not math."""
+    l_rep, w_rep = _run_steps(8)
+    l_fsdp, w_fsdp = _run_steps(8, param_sharding="fsdp")
+    np.testing.assert_allclose(l_rep, l_fsdp, rtol=1e-5)
+    np.testing.assert_allclose(w_rep, w_fsdp, rtol=1e-5, atol=1e-7)
+
+
+def test_fsdp_sharding_tree_shards_large_leaves():
+    from apla_tpu.parallel.mesh import fsdp_sharding_tree
+    mesh = make_mesh(n_data=8)
+    tree = {
+        "big": jnp.zeros((2, 64, 1024)),     # sharded (dim 2: 1024 % 8 == 0)
+        "stacked": jnp.zeros((12, 768, 64)),  # sharded on dim 1, not depth
+        "tiny": jnp.zeros((64,)),            # replicated (below min_size)
+        "odd": jnp.zeros((3, 333, 333)),     # replicated (no divisible dim)
+    }
+    sh = fsdp_sharding_tree(mesh, tree, min_size=1024)
+    from jax.sharding import PartitionSpec as P
+    assert sh["big"].spec == P(None, None, "data")
+    assert sh["stacked"].spec == P(None, "data", None)
+    assert sh["tiny"].spec == P()
+    assert sh["odd"].spec == P()
 
 
 def test_uneven_batch_padding():
