@@ -185,3 +185,31 @@ def test_dinov2_accum_with_koleo_runs(tmp_path):
                        0.04, trainer.rng)
     assert np.isfinite(float(m["loss"]))
     assert np.isfinite(float(m["koleo_loss"]))
+
+
+def test_dinov2_fsdp_param_sharding(tmp_path):
+    """param_sharding='fsdp' through the SSL wrapper: the DINOv2 step must
+    run with the frozen backbone sharded over the data axis."""
+    from jax.sharding import PartitionSpec as P
+    from apla_tpu.ssl.dinov2 import Dinov2Trainer, DINOv2Wrapper
+    params = load_merged_params(PARAMS)
+    params.training_params.epochs = 1
+    params.training_params.val_every = 10
+    params.training_params.save_dir = str(tmp_path)
+    params.dataset_params.synthetic_size = 8
+    params.system_params.param_sharding = "fsdp"
+    for ld in ("trainloader", "valloader", "testloader"):
+        params.dataloader_params[ld].batch_size = 8
+    wrapper = DINOv2Wrapper(params)
+    wrapper.instantiate()
+    # at least one frozen leaf actually sharded
+    specs = [leaf.sharding.spec
+             for leaf in jax.tree.leaves(wrapper.frozen)]
+    assert any(s != P() for s in specs)
+    trainer = Dinov2Trainer(wrapper)
+    batch = next(iter(wrapper.dataloaders.trainloader))
+    step_fn = trainer._get_step(True)
+    state, m = step_fn(trainer.state, trainer.frozen,
+                       trainer._device_batch(batch), 1e-4, 1e-5, 0.99,
+                       0.04, trainer.rng)
+    assert np.isfinite(float(m["loss"]))
