@@ -163,17 +163,24 @@ class MaskingGenerator:
 
 def make_ibot_collate(n_global_crops, n_local_crops, mask_ratio_tuple,
                       mask_probability, n_tokens, mask_generator,
-                      n_masked_max=None, raw_mode=False):
+                      n_masked_max=None, raw_mode=False, seed=None):
     """Static-shape collate (reference `collate_data_and_cast`):
     returns stacked crops + fixed-size mask index buffers.
 
     `raw_mode`: samples carry ONE resized uint8 image (device-side
     multi-crop, data/device_augs.device_multicrop); the collate ships
     `raw_images` instead of host-built crops — mask buffers are identical
-    (they depend only on B, n_global and the global token grid)."""
+    (they depend only on B, n_global and the global token grid).
+
+    `seed`: deterministic mask layouts — the per-call RNG derives from
+    (seed, call counter).  The reference draws masks from the global RNG
+    (dinov2_utils.py collate_data_and_cast), which makes pre-training
+    runs irreproducible; the loader calls the collate from ONE producer
+    thread in batch order, so the counter is race-free and stable."""
     if n_masked_max is None:
         n_masked_max = int(math.ceil(
             n_tokens * mask_ratio_tuple[1]))  # per sample worst case
+    call_counter = [0]
 
     def collate(samples_list):
         B = len(samples_list)
@@ -194,7 +201,11 @@ def make_ibot_collate(n_global_crops, n_local_crops, mask_ratio_tuple,
         labels = np.asarray([s["label"] for s in samples_list])
 
         BG = n_global_crops * B
-        rng = np.random.default_rng()
+        if seed is None:
+            rng = np.random.default_rng()
+        else:
+            rng = np.random.default_rng((seed, call_counter[0]))
+            call_counter[0] += 1
         n_samples_masked = int(BG * mask_probability)
         probs = np.linspace(*mask_ratio_tuple, n_samples_masked + 1)
         masks_list = []
@@ -203,8 +214,9 @@ def make_ibot_collate(n_global_crops, n_local_crops, mask_ratio_tuple,
             masks_list.append(mask_generator(n_mask, rng=rng).flatten())
         for _ in range(n_samples_masked, BG):
             masks_list.append(np.zeros(n_tokens, dtype=bool))
-        pyrandom.shuffle(masks_list)
-        masks = np.stack(masks_list)                     # [BG, N]
+        order = rng.permutation(BG) if seed is not None \
+            else np.array(pyrandom.sample(range(BG), BG))
+        masks = np.stack([masks_list[i] for i in order])  # [BG, N]
 
         # fixed-size masked-index buffer: upperbound = BG * n_masked_max
         upper = BG * n_masked_max
@@ -640,7 +652,8 @@ class DINOv2Wrapper(DINOWrapper):
             self.crops_params.n_global_crops, self.crops_params.n_local_crops,
             tuple(ibot.mask_ratio_min_max),
             float(ibot.mask_sample_probability), n_tokens, gen,
-            raw_mode=raw_mode)
+            raw_mode=raw_mode,
+            seed=int(self.training_params.get("seed", 0)))
         return loaders
 
     def build_vit_config(self):

@@ -213,3 +213,24 @@ def test_dinov2_fsdp_param_sharding(tmp_path):
                        trainer._device_batch(batch), 1e-4, 1e-5, 0.99,
                        0.04, trainer.rng)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_ibot_collate_seeded_deterministic():
+    from apla_tpu.ssl.dinov2 import MaskingGenerator, make_ibot_collate
+    gen = MaskingGenerator((4, 4), max_num_patches=8)
+
+    def mk():
+        return make_ibot_collate(
+            n_global_crops=2, n_local_crops=4, mask_ratio_tuple=(0.1, 0.5),
+            mask_probability=0.5, n_tokens=16, mask_generator=gen, seed=7)
+
+    samples = [{"image": [np.zeros((32, 32, 3), np.float32)] * 6,
+                "label": i} for i in range(4)]
+    c1, c2 = mk(), mk()
+    b1a, b1b = c1(samples), c1(samples)     # successive calls differ
+    b2a = c2(samples)                        # fresh collate replays exactly
+    assert not np.array_equal(b1a["collated_masks"], b1b["collated_masks"])
+    np.testing.assert_array_equal(b1a["collated_masks"],
+                                  b2a["collated_masks"])
+    np.testing.assert_array_equal(b1a["mask_indices_list"],
+                                  b2a["mask_indices_list"])
