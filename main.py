@@ -20,6 +20,8 @@ def parse_arguments():
     p.add_argument("--params_path", type=str, required=True)
     # train args (reference main.py:20-38)
     p.add_argument("--n_devices", type=int, help="mesh data-axis size")
+    p.add_argument("--gpu", type=str,
+                   help="reference-compat alias: comma list of device ids ('0,1') -> mesh data-axis size")
     p.add_argument("--param_sharding", type=str,
                    choices=["replicated", "fsdp"],
                    help="frozen-param placement policy over the mesh")
@@ -82,6 +84,9 @@ def update_params_from_args(params, args):
         params.model_params.transformers_params.attn_drop_rate = args.adr
     if args.n_devices:
         params.system_params.n_devices = args.n_devices
+    elif args.gpu:  # reference --gpu "0,1,..." (main.py:113-116)
+        params.system_params.n_devices = len(
+            [g for g in str(args.gpu).split(",") if g.strip()])
     if args.param_sharding:
         params.system_params.param_sharding = args.param_sharding
     if args.model_name:

@@ -93,3 +93,19 @@ def test_yaml_perf_knobs_flow_to_vit_config(tmp_path):
     state, m = t.train_step(t.state, t.frozen, dbatch, 1e-3, t.rng)
     assert np.isfinite(float(m["loss"]))
     assert m["logits"].shape[0] == dbatch["label"].shape[0]
+
+
+def test_gpu_alias_and_param_sharding():
+    """--gpu '0,1' (reference compat) maps to n_devices=2; --param_sharding
+    flows to system_params."""
+    args = parse(["--params_path", PARAMS, "--gpu", "0,1"])
+    params = load_merged_params(PARAMS)
+    params = cli.update_params_from_args(params, args)
+    assert params.system_params.n_devices == 2
+
+    args = parse(["--params_path", PARAMS, "--n_devices", "4",
+                  "--gpu", "0,1", "--param_sharding", "fsdp"])
+    params = load_merged_params(PARAMS)
+    params = cli.update_params_from_args(params, args)
+    assert params.system_params.n_devices == 4  # explicit flag wins
+    assert params.system_params.param_sharding == "fsdp"
