@@ -523,16 +523,20 @@ def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
             gi, bi = rows // B, rows % B
             owner = bi // mb                               # [U]
             local_flat = (gi * mb + (bi % mb)) * n_tok + cols
-            idx_m, t_ibot_m, w_m, valid_m = [], [], [], []
+            idx_m, order_m, w_m, valid_m = [], [], [], []
             for m in range(accum_steps):
                 order = jnp.argsort(jnp.where(owner == m, 0, 1),
                                     stable=True)
+                # the teacher-prototype rows t_ibot_sm[order] are gathered
+                # INSIDE the scan body — stacking permuted copies here
+                # would materialise accum x [U, n_prototypes] (GBs at the
+                # 65536-proto recipe)
+                order_m.append(order)
                 idx_m.append(local_flat[order])
-                t_ibot_m.append(t_ibot_sm[order])
                 w_m.append(jnp.where(owner == m, masks_weight, 0.0)[order])
                 valid_m.append(jnp.where(owner == m, mask_valid, 0.0)[order])
-            idx_m, t_ibot_m, w_m, valid_m = (
-                jnp.stack(idx_m), jnp.stack(t_ibot_m), jnp.stack(w_m),
+            idx_m, order_m, w_m, valid_m = (
+                jnp.stack(idx_m), jnp.stack(order_m), jnp.stack(w_m),
                 jnp.stack(valid_m))
             rg_m = jax.random.split(r_g, accum_steps)
             rl_m = jax.random.split(r_l, accum_steps)
@@ -553,12 +557,13 @@ def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
             def body(acc, xs):
                 acc_loss, acc_ld, acc_g = acc
                 if n_local:
-                    (g_i, masks_i, t_dino_i, idx_i, t_ibot_i, w_i, valid_i,
+                    (g_i, masks_i, t_dino_i, idx_i, order_i, w_i, valid_i,
                      rg_i, rl_i, l_i) = xs
                 else:
-                    (g_i, masks_i, t_dino_i, idx_i, t_ibot_i, w_i, valid_i,
+                    (g_i, masks_i, t_dino_i, idx_i, order_i, w_i, valid_i,
                      rg_i, rl_i) = xs
                     l_i = None
+                t_ibot_i = jax.lax.stop_gradient(t_ibot_sm[order_i])
                 (loss_i, ld_i), g_i_grad = jax.value_and_grad(
                     student_loss, has_aux=True)(
                     state.trainable, g_i, l_i, masks_i, t_dino_i, idx_i,
@@ -567,7 +572,7 @@ def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
                         jax.tree.map(jnp.add, acc_ld, ld_i),
                         jax.tree.map(jnp.add, acc_g, g_i_grad)), None
 
-            xs = (g_m, masks_m, t_dino_m, idx_m, t_ibot_m, w_m, valid_m,
+            xs = (g_m, masks_m, t_dino_m, idx_m, order_m, w_m, valid_m,
                   rg_m, rl_m)
             if n_local:
                 xs = xs + (l_m,)
