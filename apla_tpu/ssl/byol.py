@@ -195,7 +195,11 @@ def _encode(backbone_trainable, frozen, images, vit_cfg, rng, deterministic):
 
 
 def make_byol_train_step(vit_cfg, tx, use_momentum: bool,
-                         device_crop_cfgs=None):
+                         device_crop_cfgs=None, accum_steps: int = 1):
+    """`accum_steps`: scan the whole per-batch computation over microbatches
+    with one optimizer/EMA update at the end.  BatchNorm statistics in the
+    BYOL heads are then per-micro — the same batch decoupling the
+    reference's per-rank (non-synced) BatchNorm1d has under DDP."""
     loss_fn_pair = byol_loss if use_momentum else simsiam_loss
 
     def train_step(state: SSLTrainState, frozen, views, lr, momentum, rng):
@@ -209,44 +213,76 @@ def make_byol_train_step(vit_cfg, tx, use_momentum: bool,
                      for i, cfg in enumerate(device_crop_cfgs)]
         rngs = jax.random.split(step_rng, len(views))
 
-        def loss_fn(trainable):
-            ms = state.model_state["student"]
-            new_head_s, new_pred_s = ms["head"], ms["predictor"]
-            preds = []
-            for v, view in enumerate(views):
-                emb = _encode(trainable.get("backbone"), frozen, view,
-                              vit_cfg, rngs[v], deterministic=False)
-                proj, new_head_s = byol_head_forward(
-                    emb, trainable["head"], ms["head"], train=True)
-                pred, new_pred_s = prediction_mlp_forward(
-                    proj, trainable["predictor"], ms["predictor"], train=True)
-                preds.append(pred)
+        def make_loss_fn(mviews, mrngs, model_state):
+            def loss_fn(trainable):
+                ms = model_state["student"]
+                new_head_s, new_pred_s = ms["head"], ms["predictor"]
+                preds = []
+                for v, view in enumerate(mviews):
+                    emb = _encode(trainable.get("backbone"), frozen, view,
+                                  vit_cfg, mrngs[v], deterministic=False)
+                    proj, new_head_s = byol_head_forward(
+                        emb, trainable["head"], ms["head"], train=True)
+                    pred, new_pred_s = prediction_mlp_forward(
+                        proj, trainable["predictor"], ms["predictor"],
+                        train=True)
+                    preds.append(pred)
 
-            # target branch: teacher (BYOL) or student itself (SimSiam),
-            # views reversed, no gradients (reference models.py:152-156)
-            targets = []
-            t_head_s = state.model_state["teacher"]["head"]
-            if use_momentum:
-                t_bb = jax.lax.stop_gradient(state.teacher["backbone"])
-                t_head = jax.lax.stop_gradient(state.teacher["head"])
-            else:
-                t_bb = jax.lax.stop_gradient(trainable.get("backbone"))
-                t_head = jax.lax.stop_gradient(trainable["head"])
-            for view in views[::-1]:
-                emb = _encode(t_bb, frozen, view, vit_cfg, None,
-                              deterministic=True)
-                proj, t_head_s = byol_head_forward(emb, t_head,
-                                                   t_head_s, train=True)
-                targets.append(jax.lax.stop_gradient(proj))
+                # target branch: teacher (BYOL) or student itself (SimSiam),
+                # views reversed, no gradients (reference models.py:152-156)
+                targets = []
+                t_head_s = model_state["teacher"]["head"]
+                if use_momentum:
+                    t_bb = jax.lax.stop_gradient(state.teacher["backbone"])
+                    t_head = jax.lax.stop_gradient(state.teacher["head"])
+                else:
+                    t_bb = jax.lax.stop_gradient(trainable.get("backbone"))
+                    t_head = jax.lax.stop_gradient(trainable["head"])
+                for view in mviews[::-1]:
+                    emb = _encode(t_bb, frozen, view, vit_cfg, None,
+                                  deterministic=True)
+                    proj, t_head_s = byol_head_forward(emb, t_head,
+                                                       t_head_s, train=True)
+                    targets.append(jax.lax.stop_gradient(proj))
 
-            loss = loss_fn_pair(preds, targets)
-            new_ms = {"student": {"head": new_head_s,
-                                  "predictor": new_pred_s},
-                      "teacher": {"head": t_head_s}}
-            return loss, new_ms
+                loss = loss_fn_pair(preds, targets)
+                new_ms = {"student": {"head": new_head_s,
+                                      "predictor": new_pred_s},
+                          "teacher": {"head": t_head_s}}
+                return loss, new_ms
+            return loss_fn
 
-        (loss, new_model_state), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.trainable)
+        if accum_steps == 1:
+            (loss, new_model_state), grads = jax.value_and_grad(
+                make_loss_fn(views, rngs, state.model_state),
+                has_aux=True)(state.trainable)
+        else:
+            B = views[0].shape[0]
+            assert B % accum_steps == 0, (B, accum_steps)
+            mb = B // accum_steps
+            views_m = tuple(v.reshape((accum_steps, mb) + v.shape[1:])
+                            for v in views)
+            # [accum, n_views, 2] per-micro per-view keys
+            rngs_m = jnp.stack([jax.random.split(r, accum_steps)
+                                for r in rngs], axis=1)
+            zero_g = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.trainable)
+
+            def body(carry, xs):
+                acc_loss, acc_g, ms = carry
+                vs, rs = xs
+                (loss_i, new_ms), g_i = jax.value_and_grad(
+                    make_loss_fn(list(vs), list(rs), ms),
+                    has_aux=True)(state.trainable)
+                return (acc_loss + loss_i,
+                        jax.tree.map(jnp.add, acc_g, g_i), new_ms), None
+
+            (loss_sum, grads, new_model_state), _ = jax.lax.scan(
+                body, (jnp.zeros((), jnp.float32), zero_g,
+                       state.model_state), (views_m, rngs_m))
+            loss = loss_sum / accum_steps
+            grads = jax.tree.map(lambda g: g / accum_steps, grads)
+
         opt_state = set_lr(state.opt_state, lr)
         updates, opt_state = tx.update(grads, opt_state, state.trainable)
         trainable = optax.apply_updates(state.trainable, updates)
@@ -310,7 +346,8 @@ class BYOLTrainer:
 
         self.train_step = make_byol_train_step(
             self.vit_cfg, wrapper.tx, self.use_momentum,
-            device_crop_cfgs=getattr(wrapper, "ssl_device_crop_cfgs", None))
+            device_crop_cfgs=getattr(wrapper, "ssl_device_crop_cfgs", None),
+            accum_steps=int(tp.get("accum_steps", 1)))
         self.iters = 0
         self.epoch0 = 0
         self.best_val_target = -np.inf

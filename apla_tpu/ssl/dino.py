@@ -152,11 +152,16 @@ class DINOWrapper(BYOLWrapper):
 def make_dino_train_step(vit_cfg, tx, n_global: int, n_local: int,
                          student_temp=0.1, center_momentum=0.9,
                          freeze_last_layer: bool = False,
-                         device_crop_cfgs=None):
+                         device_crop_cfgs=None, accum_steps: int = 1):
     """Jitted DINO step.  `views` = (global_stack [G*B,H,W,C],
     local_stack [L*B,h,w,C] or None).  With `device_crop_cfgs`,
     `global_stack` is the raw uint8 batch and all crops are generated on
-    device (data/device_augs.device_multicrop)."""
+    device (data/device_augs.device_multicrop).
+
+    `accum_steps`: the teacher (no grad) runs on the full batch — the
+    centering EMA keeps exact full-batch reference semantics — while the
+    student fwd+bwd scans over microbatches, accumulating grads before one
+    optimizer/EMA update."""
 
     def train_step(state: DINOTrainState, frozen, global_stack, local_stack,
                    lr, wd, momentum, teacher_temp, rng):
@@ -169,35 +174,85 @@ def make_dino_train_step(vit_cfg, tx, n_global: int, n_local: int,
                 compute_dtype=vit_cfg.compute_dtype)
         r_g, r_l = jax.random.split(step_rng)
 
-        def loss_fn(trainable):
+        # teacher: globals only, full batch, no grad (reference
+        # models.py:178-182); centering EMA over the full batch
+        t_bb = jax.lax.stop_gradient(state.teacher.get("backbone"))
+        t_head = jax.lax.stop_gradient(state.teacher["head"])
+        emb_t = _encode(t_bb, frozen, global_stack, vit_cfg, None,
+                        deterministic=True)
+        t_out = jax.lax.stop_gradient(dino_head_forward(emb_t, t_head))
+        t_chunks = list(jnp.split(t_out, n_global))
+        t_sm = [jax.lax.stop_gradient(
+                    jax.nn.softmax((t - state.center) / teacher_temp, -1))
+                for t in t_chunks]
+        batch_center = jnp.mean(t_out, axis=0, keepdims=True)
+        new_center = jax.lax.stop_gradient(
+            state.center * center_momentum
+            + batch_center * (1 - center_momentum))
+
+        def student_loss(trainable, g_c, l_c, t_sm_c, rg, rl):
             # student: one fixed-shape forward per resolution
-            emb_g = _encode(trainable.get("backbone"), frozen, global_stack,
-                            vit_cfg, r_g, deterministic=False)
+            emb_g = _encode(trainable.get("backbone"), frozen, g_c,
+                            vit_cfg, rg, deterministic=False)
             outs = dino_head_forward(emb_g, trainable["head"])
             student_out = list(jnp.split(outs, n_global))
-            if local_stack is not None:
-                emb_l = _encode(trainable.get("backbone"), frozen,
-                                local_stack, vit_cfg, r_l,
-                                deterministic=False)
+            if l_c is not None:
+                emb_l = _encode(trainable.get("backbone"), frozen, l_c,
+                                vit_cfg, rl, deterministic=False)
                 outs_l = dino_head_forward(emb_l, trainable["head"])
                 student_out += list(jnp.split(outs_l, n_local))
+            total, n_terms = 0.0, 0
+            for iq, q in enumerate(t_sm_c):
+                for v, s in enumerate(student_out):
+                    if v == iq:
+                        continue  # same-view pairs skipped
+                    logp = jax.nn.log_softmax(s / student_temp, axis=-1)
+                    total = total + jnp.mean(jnp.sum(-q * logp, axis=-1))
+                    n_terms += 1
+            return jnp.asarray(total / n_terms, jnp.float32)
 
-            # teacher: globals only, no grad (reference models.py:178-182)
-            t_bb = jax.lax.stop_gradient(state.teacher.get("backbone"))
-            t_head = jax.lax.stop_gradient(state.teacher["head"])
-            emb_t = _encode(t_bb, frozen, global_stack, vit_cfg, None,
-                            deterministic=True)
-            t_out = dino_head_forward(emb_t, t_head)
-            teacher_out = list(jnp.split(jax.lax.stop_gradient(t_out),
-                                         n_global))
+        if accum_steps == 1:
+            loss, grads = jax.value_and_grad(student_loss)(
+                state.trainable, global_stack, local_stack, t_sm, r_g, r_l)
+        else:
+            B = global_stack.shape[0] // n_global
+            assert B % accum_steps == 0, (B, accum_steps)
+            mb = B // accum_steps
 
-            loss, new_center = dino_loss(
-                student_out, teacher_out, state.center, teacher_temp,
-                student_temp=student_temp, center_momentum=center_momentum)
-            return loss, new_center
+            def micro_split(x, n_crops):
+                x = x.reshape((n_crops, accum_steps, mb) + x.shape[1:])
+                x = jnp.moveaxis(x, 1, 0)
+                return x.reshape((accum_steps, n_crops * mb) + x.shape[3:])
 
-        (loss, new_center), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.trainable)
+            g_m = micro_split(global_stack, n_global)
+            l_m = (micro_split(local_stack, n_local)
+                   if local_stack is not None else None)
+            t_sm_m = [t.reshape((accum_steps, mb) + t.shape[1:])
+                      for t in t_sm]
+            rg_m = jax.random.split(r_g, accum_steps)
+            rl_m = jax.random.split(r_l, accum_steps)
+            zero_g = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.trainable)
+
+            def body(acc, xs):
+                acc_loss, acc_g = acc
+                if l_m is not None:
+                    g_i, ts_i, rg_i, rl_i, l_i = xs
+                else:
+                    g_i, ts_i, rg_i, rl_i = xs
+                    l_i = None
+                loss_i, g_i_grad = jax.value_and_grad(student_loss)(
+                    state.trainable, g_i, l_i, list(ts_i), rg_i, rl_i)
+                return (acc_loss + loss_i,
+                        jax.tree.map(jnp.add, acc_g, g_i_grad)), None
+
+            xs = (g_m, tuple(t_sm_m), rg_m, rl_m)
+            if l_m is not None:
+                xs = xs + (l_m,)
+            (loss_sum, grads), _ = jax.lax.scan(
+                body, (jnp.zeros((), jnp.float32), zero_g), xs)
+            loss = loss_sum / accum_steps
+            grads = jax.tree.map(lambda g: g / accum_steps, grads)
         if freeze_last_layer:
             # cancel last-layer grads (reference DINO/trainer.py:84-89)
             grads = jax.tree_util.tree_map_with_path(
@@ -241,7 +296,9 @@ class DINOTrainer(BYOLTrainer):
                 self.vit_cfg, self.wrapper.tx, self.n_global, self.n_local,
                 freeze_last_layer=freeze,
                 device_crop_cfgs=getattr(self.wrapper,
-                                         "ssl_device_crop_cfgs", None))
+                                         "ssl_device_crop_cfgs", None),
+                accum_steps=int(self.wrapper.training_params.get(
+                    "accum_steps", 1)))
         return self._steps[freeze]
 
     def _stack_views(self, batch):

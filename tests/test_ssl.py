@@ -145,3 +145,52 @@ def test_custom_augmentation_strategy_file(tmp_path):
     assert isinstance(imgs, list) and len(imgs) == 4
     assert imgs[0].shape[:2] == (24, 24)
     assert imgs[1].shape[:2] == (8, 8)
+
+
+def test_byol_accum_trains(tmp_path):
+    """BYOL with accum_steps: scan over microbatches (per-micro BN = the
+    reference's per-rank BatchNorm semantics) — trains with finite loss and
+    a moving EMA teacher."""
+    from apla_tpu.ssl.byol import BYOLTrainer, BYOLWrapper
+    params = ssl_params(tmp_path)
+    params.training_params.accum_steps = 4
+    wrapper = BYOLWrapper(params, use_momentum=True)
+    wrapper.instantiate()
+    trainer = BYOLTrainer(wrapper)
+    t_before = np.asarray(wrapper.state.teacher["head"]["fc0"]["kernel"])
+    trainer.train()
+    assert np.isfinite(float(trainer.best_val_target))
+    t_after = np.asarray(trainer.state.teacher["head"]["fc0"]["kernel"])
+    assert np.abs(t_after - t_before).max() > 0
+
+
+def test_dino_accum_matches_monolithic(tmp_path):
+    """DINO v1 accum: teacher/centering run full-batch, student terms are
+    per-image means — the accumulated update must equal the monolithic one
+    (f32, no dropout)."""
+    from apla_tpu.ssl.dino import DINOTrainer, DINOWrapper
+
+    def run(accum):
+        params = ssl_params(tmp_path / f"d{accum}")
+        params.training_params.accum_steps = accum
+        params.training_params.use_mixed_precision = False
+        params.dataloader_params.trainloader.shuffle = False
+        wrapper = DINOWrapper(params)
+        wrapper.instantiate(seed=0)
+        trainer = DINOTrainer(wrapper)
+        batch = next(iter(wrapper.dataloaders.trainloader))
+        g, l = trainer._stack_views(batch)
+        step_fn = trainer._get_step(True)
+        state, m = step_fn(trainer.state, trainer.frozen, g, l, 1e-4, 1e-5,
+                           0.99, 0.04, jax.random.PRNGKey(5))
+        return state, m
+
+    s1, m1 = run(1)
+    s4, m4 = run(4)
+    np.testing.assert_allclose(float(m1["loss"]), float(m4["loss"]),
+                               rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(s1.center), np.asarray(s4.center),
+                               rtol=1e-6)
+    w1 = np.asarray(s1.trainable["backbone"]["blocks"]["proj_wt"])
+    w4 = np.asarray(s4.trainable["backbone"]["blocks"]["proj_wt"])
+    np.testing.assert_allclose(w1, w4, rtol=1e-4, atol=2e-6)
