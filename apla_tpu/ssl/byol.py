@@ -152,6 +152,16 @@ class BYOLWrapper(DefaultWrapper):
                 bb_frozen["backbone"] = f2["backbone"]
             teacher["backbone"] = deepcopy(trainable["backbone"])
 
+        # transfer learning: adopt a previous run's checkpoint into the
+        # online encoder, then copy to the target (reference
+        # BYOL/wrappers.py:22-30)
+        tl_path = self.transfer_learning_params.get("pretrained_path")
+        if tl_path:
+            from ..train.checkpoint import transfer_into
+            trainable, bb_frozen = transfer_into(trainable, bb_frozen,
+                                                 tl_path, where="byol")
+            teacher["backbone"] = deepcopy(trainable["backbone"])
+
         repl = replicated_sharding(self.mesh)
         self.trainable = jax.device_put(trainable, repl)
         self.teacher = jax.device_put(teacher, repl)

@@ -102,6 +102,14 @@ class DINOWrapper(BYOLWrapper):
             trainable["backbone"] = t2.get("backbone", {})
             if "backbone" in f2:
                 bb_frozen["backbone"] = f2["backbone"]
+        # transfer learning: adopt a previous run's checkpoint into
+        # the student before the teacher copy (reference
+        # DINO/wrappers.py pretrained_path block)
+        tl_path = self.transfer_learning_params.get("pretrained_path")
+        if tl_path:
+            from ..train.checkpoint import transfer_into
+            trainable, bb_frozen = transfer_into(
+                trainable, bb_frozen, tl_path, where="dino")
         teacher = deepcopy(trainable)
         self.proj_size = proj_size
         self.dino_args = dino_args

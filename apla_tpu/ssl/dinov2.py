@@ -733,6 +733,14 @@ class DINOv2Wrapper(DINOWrapper):
                     f2["backbone"]["mask_token"] = \
                         bb_frozen["backbone"]["mask_token"]
                 bb_frozen["backbone"] = f2["backbone"]
+        # transfer learning: adopt a previous run's checkpoint into
+        # the student before the teacher copy (reference
+        # DINOV2/wrappers.py pretrained_path block)
+        tl_path = self.transfer_learning_params.get("pretrained_path")
+        if tl_path:
+            from ..train.checkpoint import transfer_into
+            trainable, bb_frozen = transfer_into(
+                trainable, bb_frozen, tl_path, where="dinov2")
         teacher = deepcopy(trainable)
         repl = replicated_sharding(self.mesh)
         self.trainable = jax.device_put(trainable, repl)

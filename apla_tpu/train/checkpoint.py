@@ -137,3 +137,75 @@ def load_parameters(path: str) -> dict | None:
         return None
     with open(p, "rb") as f:
         return pickle.load(f)
+
+
+def load_transfer_checkpoint(path: str):
+    """Structure-free read of a checkpoint dir for transfer learning
+    (reference `load_from_pretrained`, pretrained_loader.py:24-39, driven
+    by `transfer_learning_params.pretrained_path` at wrapper init).
+    Returns (trainable, frozen_or_None) as plain dict pytrees (numpy);
+    prefers the best-model weights when the checkpoint carries them."""
+    wait_for_async_save()
+    with open(os.path.join(path, "state.msgpack"), "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    trainable = payload.get("best_trainable") or payload["trainable"]
+    frozen = None
+    fpath = os.path.join(path, "frozen.msgpack")
+    if os.path.exists(fpath):
+        with open(fpath, "rb") as f:
+            frozen = serialization.msgpack_restore(f.read())
+    return trainable, frozen
+
+
+def adopt_pytree(template, loaded, where="checkpoint"):
+    """Strict adoption: `loaded` must match `template`'s structure and leaf
+    shapes (the reference loads with strict=True, wrappers.py:177-179)."""
+    ts = jax.tree.structure(template)
+    ls = jax.tree.structure(loaded)
+    if ts != ls:
+        raise ValueError(
+            f"transfer {where}: structure mismatch\n  model: {ts}\n"
+            f"  loaded: {ls}")
+
+    def pick(t, l):
+        l = np.asarray(l)
+        t_shape = tuple(np.shape(t))
+        if l.shape != t_shape:
+            raise ValueError(
+                f"transfer {where}: leaf shape mismatch {l.shape} vs "
+                f"{t_shape}")
+        return l
+    return jax.tree.map(pick, template, loaded)
+
+
+def transfer_into(trainable, frozen, path: str, where="wrapper"):
+    """Load a transfer checkpoint into (trainable, frozen).  Full strict
+    adoption when the trainable structures match (supervised -> supervised);
+    otherwise the 'backbone' subtrees transfer (SSL pre-train ->
+    supervised fine-tune and vice versa — the reference's commented
+    backbone-only path, pretrained_loader.py:33)."""
+    t_ck, f_ck = load_transfer_checkpoint(path)
+    try:
+        trainable = adopt_pytree(trainable, t_ck, where=f"{where}.trainable")
+        scope = "full"
+    except ValueError:
+        if "backbone" not in trainable or "backbone" not in t_ck:
+            raise
+        trainable = dict(trainable)
+        trainable["backbone"] = adopt_pytree(
+            trainable["backbone"], t_ck["backbone"],
+            where=f"{where}.backbone")
+        scope = "backbone-only"
+    if f_ck is not None and frozen is not None:
+        try:
+            frozen = adopt_pytree(frozen, f_ck, where=f"{where}.frozen")
+        except ValueError:
+            if "backbone" in frozen and "backbone" in f_ck:
+                frozen = dict(frozen)
+                frozen["backbone"] = adopt_pytree(
+                    frozen["backbone"], f_ck["backbone"],
+                    where=f"{where}.frozen.backbone")
+            else:
+                raise
+    print(f"Transfer-loaded {scope} weights from {path}")
+    return trainable, frozen

@@ -192,6 +192,13 @@ class DefaultWrapper:
             from .utils.pretrained import maybe_load_pretrained_backbone
             trainable, frozen = maybe_load_pretrained_backbone(
                 trainable, frozen, self.model_params, self.vit_cfg)
+        # transfer learning: strict checkpoint adoption at wrapper init
+        # (reference wrappers.py:177-179 load_from_pretrained)
+        tl_path = self.transfer_learning_params.get("pretrained_path")
+        if tl_path:
+            from .train.checkpoint import transfer_into
+            trainable, frozen = transfer_into(trainable, frozen, tl_path,
+                                              where="supervised")
         # optional W8A8 quantization of the frozen backbone (APLA's frozen
         # weights take no gradients, so int8 costs nothing downstream;
         # measured int8 matmul = 1.54x bf16 on v5e)

@@ -194,3 +194,46 @@ def test_dino_accum_matches_monolithic(tmp_path):
     w1 = np.asarray(s1.trainable["backbone"]["blocks"]["proj_wt"])
     w4 = np.asarray(s4.trainable["backbone"]["blocks"]["proj_wt"])
     np.testing.assert_allclose(w1, w4, rtol=1e-4, atol=2e-6)
+
+
+def test_transfer_learning_pretrained_path(tmp_path):
+    """transfer_learning_params.pretrained_path (reference
+    wrappers.py:177-179, BYOL/wrappers.py:22-30): supervised checkpoints
+    adopt fully into a supervised wrapper and backbone-only into an SSL
+    wrapper; teacher starts from the adopted student."""
+    from apla_tpu.train.checkpoint import save_checkpoint
+    from apla_tpu.wrapper import DefaultWrapper
+
+    params = load_merged_params(PARAMS)
+    params.training_params.save_dir = str(tmp_path)
+    w1 = DefaultWrapper(params)
+    w1.instantiate(seed=0)
+    ck = str(tmp_path / "ck")
+    save_checkpoint(ck, state=w1.state, frozen=w1.frozen, epoch=0,
+                    parameters=dict(params))
+
+    # supervised -> supervised: full strict adoption (different init seed)
+    params2 = load_merged_params(PARAMS)
+    params2.training_params.save_dir = str(tmp_path)
+    params2.transfer_learning_params = {"pretrained_path": ck}
+    w2 = DefaultWrapper(params2)
+    w2.instantiate(seed=1)
+    np.testing.assert_array_equal(
+        np.asarray(w2.state.trainable["backbone"]["blocks"]["proj_wt"]),
+        np.asarray(w1.state.trainable["backbone"]["blocks"]["proj_wt"]))
+    np.testing.assert_array_equal(
+        np.asarray(w2.state.trainable["fc"]["kernel"]),
+        np.asarray(w1.state.trainable["fc"]["kernel"]))
+
+    # supervised -> DINO: backbone-only adoption; teacher copies student
+    from apla_tpu.ssl.dino import DINOWrapper
+    params3 = ssl_params(tmp_path / "ssl")
+    params3.transfer_learning_params = {"pretrained_path": ck}
+    w3 = DINOWrapper(params3)
+    w3.instantiate(seed=2)
+    np.testing.assert_array_equal(
+        np.asarray(w3.state.trainable["backbone"]["blocks"]["proj_wt"]),
+        np.asarray(w1.state.trainable["backbone"]["blocks"]["proj_wt"]))
+    np.testing.assert_array_equal(
+        np.asarray(w3.state.teacher["backbone"]["blocks"]["proj_wt"]),
+        np.asarray(w1.state.trainable["backbone"]["blocks"]["proj_wt"]))
