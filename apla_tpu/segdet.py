@@ -1,0 +1,231 @@
+"""Runnable segmentation / detection side-car training loops.
+
+The reference ships the seg/det path as mm* drop-in backbones plus config
+files and tells users to train inside mmseg/mmdet
+(`src/segmentation_and_detection/README.md`); this framework's equivalents
+are first-class: the APLA backbone + SETR-PUP / FCOS heads, jitted train
+steps, dataset readers, and — here — compact end-to-end train/eval loops
+with checkpointing, so a reference user has a complete in-repo path.
+
+    python -m apla_tpu.segdet seg --root <ade_root> --epochs 8 ...
+    python -m apla_tpu.segdet det --img_dir <dir> --ann <instances.json> ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .data.loader import DataLoader
+
+
+def _save(save_dir, name, trainable, frozen, meta):
+    from flax import serialization
+    os.makedirs(save_dir, exist_ok=True)
+    host = jax.tree.map(np.asarray, {"trainable": trainable,
+                                     "frozen": frozen})
+    with open(os.path.join(save_dir, name + ".msgpack"), "wb") as f:
+        f.write(serialization.msgpack_serialize(host))
+    with open(os.path.join(save_dir, name + ".json"), "w") as f:
+        json.dump(meta, f)
+
+
+def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
+                       weight_decay=1e-4, backbone="vit_large",
+                       patch_size=16, partial_size="full", channels=256,
+                       save_dir="checkpoints/seg", num_workers=8,
+                       log_every=10, eval_batches=None, seed=0,
+                       vit_cfg=None):
+    """APLA-SETR-PUP on an ADE20K-layout directory (reference recipe:
+    apla_setr_vit-l_pup_8xb2-160k_ade20k-512x512.py — ViT-L backbone,
+    'full' APLA = only attn out-projections train)."""
+    from .apla.core import AplaConfig
+    from .data.segmentation_data import ADE20KSegmentation, segmentation_collate
+    from .models.seg import (init_segmenter, make_seg_train_step, mean_iou,
+                             segmenter_forward)
+    from .models.vit import VIT_BUILDERS
+
+    cfg = vit_cfg if vit_cfg is not None else \
+        VIT_BUILDERS[backbone](img_size=img_size, patch_size=patch_size)
+    train_ds = ADE20KSegmentation(root, "training", img_size=img_size)
+    val_ds = ADE20KSegmentation(root, "validation", img_size=img_size)
+    loader = DataLoader(train_ds, batch_size=batch_size, shuffle=True,
+                        drop_last=True, num_workers=num_workers,
+                        collate_fn=segmentation_collate, seed=seed)
+    trainable, frozen = init_segmenter(
+        jax.random.PRNGKey(seed), cfg, n_classes=train_ds.n_classes,
+        apla_cfg=AplaConfig(partial_size=partial_size), channels=channels)
+    tx = optax.adamw(lr, weight_decay=weight_decay)
+    opt_state = tx.init(trainable)
+    step = make_seg_train_step(cfg, tx)
+
+    eval_fwd = jax.jit(lambda t, f, im: jnp.argmax(
+        segmenter_forward(t, f, im, cfg), axis=-1))
+
+    def evaluate():
+        ious, seen = [], 0
+        vloader = DataLoader(val_ds, batch_size=batch_size, shuffle=False,
+                             drop_last=True, num_workers=num_workers,
+                             collate_fn=segmentation_collate)
+        for i, b in enumerate(vloader):
+            if eval_batches is not None and i >= eval_batches:
+                break
+            pred = eval_fwd(trainable, frozen, jnp.asarray(b["image"]))
+            ious.append(mean_iou(pred, b["label"],
+                                 n_classes=train_ds.n_classes))
+            seen += 1
+        return float(np.mean(ious)) if ious else 0.0
+
+    it, t0 = 0, time.time()
+    best_miou = -1.0
+    for epoch in range(epochs):
+        loader.set_epoch(epoch)
+        for b in loader:
+            batch = {"image": jnp.asarray(b["image"]),
+                     "label": jnp.asarray(b["label"])}
+            trainable, opt_state, m = step(trainable, opt_state, frozen,
+                                           batch)
+            it += 1
+            if it % log_every == 0:
+                print(f"[seg] it {it} ep {epoch} loss {float(m['loss']):.4f}"
+                      f" ({it * batch_size / (time.time() - t0):.1f} img/s)")
+        miou = evaluate()
+        print(f"[seg] epoch {epoch}: val mIoU {miou:.4f}")
+        if miou >= best_miou:
+            best_miou = miou
+            _save(save_dir, "seg_best", trainable, frozen,
+                  {"epoch": epoch, "miou": miou})
+    return {"best_miou": best_miou, "iters": it}
+
+
+def train_detection(img_dir, ann_file, epochs=12, img_size=224,
+                    batch_size=8, lr=1e-4, weight_decay=1e-4,
+                    window_size=7, embed_dim=96, depths=(2, 2, 6),
+                    num_heads=(3, 6, 12), max_boxes=32,
+                    save_dir="checkpoints/det", num_workers=8,
+                    log_every=10, eval_batches=None, seed=0):
+    """APLA-Swin + FCOS on a COCO-format dataset (reference recipe:
+    mask-rcnn_apla_swin-t ... coco.py — Swin backbone with only attn.proj
+    trainable)."""
+    from .data.detection_data import CocoDetection, detection_collate
+    from .models.detection import (DetectionAP, decode_detections,
+                                   fcos_head_forward, init_fcos_head,
+                                   make_detection_train_step, _conv_init)
+    from .models.swin import SwinConfig, build_apla_swin, init_swin_params, \
+        swin_features
+
+    ds = CocoDetection(img_dir, ann_file, img_size=img_size,
+                       max_boxes=max_boxes)
+    cfg = SwinConfig(img_size=img_size, patch_size=4, embed_dim=embed_dim,
+                     depths=tuple(depths), num_heads=tuple(num_heads),
+                     window_size=window_size, compute_dtype=jnp.float32)
+    loader = DataLoader(ds, batch_size=batch_size, shuffle=True,
+                        drop_last=True, num_workers=num_workers,
+                        collate_fn=detection_collate, seed=seed)
+    key = jax.random.PRNGKey(seed)
+    swin_params = init_swin_params(key, cfg)
+    bb_t, bb_f = build_apla_swin(swin_params)
+    n_levels = len(depths)
+    stage_dims = [embed_dim * (2 ** i) for i in range(n_levels)]
+    lat_ch = embed_dim
+    keys = jax.random.split(key, n_levels + 1)
+    trainable = {
+        "backbone": bb_t,
+        "head": init_fcos_head(keys[0], lat_ch, ds.n_classes,
+                               channels=max(lat_ch // 2, 16),
+                               n_levels=n_levels),
+        "laterals": [_conv_init(keys[1 + i], 1, stage_dims[i], lat_ch)
+                     for i in range(n_levels)],
+    }
+    strides = tuple(4 * (2 ** i) for i in range(n_levels))
+    tx = optax.adamw(lr, weight_decay=weight_decay)
+    opt_state = tx.init(trainable)
+    step = make_detection_train_step(cfg, tx, strides=strides)
+
+    fwd = jax.jit(lambda t, f, im: fcos_head_forward(
+        swin_features(f, im, cfg, trainable=t["backbone"]), t["head"],
+        t["laterals"]))
+
+    def evaluate():
+        metric = DetectionAP(ds.n_classes)
+        vloader = DataLoader(ds, batch_size=batch_size, shuffle=False,
+                             drop_last=True, num_workers=num_workers,
+                             collate_fn=detection_collate)
+        for i, b in enumerate(vloader):
+            if eval_batches is not None and i >= eval_batches:
+                break
+            outs = fwd(trainable, bb_f, jnp.asarray(b["image"]))
+            for j in range(b["image"].shape[0]):
+                per_img = [tuple(o[j:j + 1] for o in lvl) for lvl in outs]
+                boxes, scores, labels = decode_detections(per_img, strides)
+                keep = b["labels"][j] >= 0
+                metric.add_image(i * batch_size + j, boxes, scores, labels,
+                                 b["boxes"][j][keep], b["labels"][j][keep])
+        return metric.mean_ap()
+
+    it, t0 = 0, time.time()
+    best_map = -1.0
+    for epoch in range(epochs):
+        loader.set_epoch(epoch)
+        for b in loader:
+            batch = {"image": jnp.asarray(b["image"]),
+                     "boxes": jnp.asarray(b["boxes"]),
+                     "labels": jnp.asarray(b["labels"])}
+            trainable, opt_state, m = step(trainable, opt_state, bb_f, batch)
+            it += 1
+            if it % log_every == 0:
+                print(f"[det] it {it} ep {epoch} "
+                      f"loss {float(m['total']):.4f} "
+                      f"({it * batch_size / (time.time() - t0):.1f} img/s)")
+        ap = evaluate()
+        print(f"[det] epoch {epoch}: val mAP@50 {ap:.4f}")
+        if ap >= best_map:
+            best_map = ap
+            _save(save_dir, "det_best", trainable, bb_f,
+                  {"epoch": epoch, "map50": ap})
+    return {"best_map50": best_map, "iters": it}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="apla_tpu.segdet")
+    sub = p.add_subparsers(dest="task", required=True)
+    ps = sub.add_parser("seg")
+    ps.add_argument("--root", required=True)
+    ps.add_argument("--epochs", type=int, default=8)
+    ps.add_argument("--img_size", type=int, default=512)
+    ps.add_argument("--batch_size", type=int, default=8)
+    ps.add_argument("--lr", type=float, default=1e-4)
+    ps.add_argument("--backbone", default="vit_large")
+    ps.add_argument("--patch_size", type=int, default=16)
+    ps.add_argument("--save_dir", default="checkpoints/seg")
+    pd = sub.add_parser("det")
+    pd.add_argument("--img_dir", required=True)
+    pd.add_argument("--ann", required=True)
+    pd.add_argument("--epochs", type=int, default=12)
+    pd.add_argument("--img_size", type=int, default=224)
+    pd.add_argument("--batch_size", type=int, default=8)
+    pd.add_argument("--lr", type=float, default=1e-4)
+    pd.add_argument("--save_dir", default="checkpoints/det")
+    args = p.parse_args(argv)
+    if args.task == "seg":
+        out = train_segmentation(
+            args.root, epochs=args.epochs, img_size=args.img_size,
+            batch_size=args.batch_size, lr=args.lr, backbone=args.backbone,
+            patch_size=args.patch_size, save_dir=args.save_dir)
+    else:
+        out = train_detection(
+            args.img_dir, args.ann, epochs=args.epochs,
+            img_size=args.img_size, batch_size=args.batch_size, lr=args.lr,
+            save_dir=args.save_dir)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
