@@ -20,7 +20,8 @@ from .train_state import TrainState
 
 
 def make_train_step(vit_cfg, tx, criterion: Callable,
-                    device_aug_cfg=None, accum_steps: int = 1) -> Callable:
+                    device_aug_cfg=None, accum_steps: int = 1,
+                    skip_nonfinite: bool = False) -> Callable:
     """Returns train_step(state, frozen, batch, lr, rng) -> (state, metrics).
 
     `frozen` is passed as an argument (not closed over) so the same compiled
@@ -33,6 +34,13 @@ def make_train_step(vit_cfg, tx, criterion: Callable,
     on v5e RISES with batch (b64 1.77 ms/img vs b32 1.42, BASELINE.md
     round-2 sweep), so scanning microbatches is strictly faster for the
     same recipe semantics.
+
+    `skip_nonfinite` (`training_params.skip_nonfinite_updates`): when the
+    loss or any gradient is NaN/Inf, the optimizer update and state
+    advance are suppressed for that step (params and optimizer state keep
+    their previous values; `metrics['nonfinite']` flags it) — a bad batch
+    cannot poison a long bf16 run.  The reference has no such guard
+    (torch GradScaler only covers fp16 overflow).
     """
 
     def fwd_bwd(trainable, frozen, images, labels, step_rng):
@@ -87,9 +95,19 @@ def make_train_step(vit_cfg, tx, criterion: Callable,
         updates, opt_state = tx.update(grads, opt_state, state.trainable)
         trainable = optax.apply_updates(state.trainable, updates)
         gnorm = optax.global_norm(grads)
+        metrics = {"loss": loss, "grad_norm": gnorm, "logits": logits}
+        if skip_nonfinite:
+            finite = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+
+            def keep(new, old):
+                return jax.tree.map(
+                    lambda n, o: jnp.where(finite, n, o), new, old)
+            trainable = keep(trainable, state.trainable)
+            opt_state = keep(opt_state, state.opt_state)
+            metrics["nonfinite"] = (~finite).astype(jnp.int32)
         new_state = state.replace(step=state.step + 1, trainable=trainable,
                                   opt_state=opt_state)
-        return new_state, {"loss": loss, "grad_norm": gnorm, "logits": logits}
+        return new_state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,))
 

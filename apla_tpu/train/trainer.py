@@ -58,7 +58,8 @@ class Trainer:
         self.train_step = make_train_step(
             self.vit_cfg, wrapper.tx, self.criterion,
             device_aug_cfg=getattr(wrapper, "device_aug_cfg", None),
-            accum_steps=int(tp.get("accum_steps", 1)))
+            accum_steps=int(tp.get("accum_steps", 1)),
+            skip_nonfinite=bool(tp.get("skip_nonfinite_updates", False)))
         self.eval_step = make_eval_step(self.vit_cfg, self.criterion)
         self.embed_step = make_embed_step(self.vit_cfg)
 

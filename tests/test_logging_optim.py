@@ -211,3 +211,44 @@ def test_async_checkpoint_roundtrip(tmp_path):
         np.asarray(st2.trainable["fc"]["kernel"]),
         np.asarray(state.trainable["fc"]["kernel"]))
     wait_for_async_save()  # idempotent
+
+
+def test_skip_nonfinite_updates():
+    """skip_nonfinite guard: a NaN batch must leave params and optimizer
+    state untouched while a clean batch updates normally."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from apla_tpu.apla.core import AplaConfig
+    from apla_tpu.models.classifier import init_classifier
+    from apla_tpu.models.vit import ViTConfig
+    from apla_tpu.train.losses import cross_entropy
+    from apla_tpu.train.optim import build_optimizer
+    from apla_tpu.train.steps import make_train_step
+    from apla_tpu.train.train_state import TrainState
+
+    cfg = ViTConfig(img_size=16, patch_size=8, embed_dim=32, depth=1,
+                    num_heads=2, compute_dtype=jnp.float32)
+    trainable, frozen = init_classifier(
+        jax.random.PRNGKey(0), cfg, n_classes=4,
+        apla_cfg=AplaConfig(partial_size=4))
+    tx = build_optimizer("AdamW", {"lr": 1e-3, "weight_decay": 0.0},
+                         trainable)
+    state = TrainState.create(trainable, tx)
+    step = make_train_step(cfg, tx, cross_entropy, skip_nonfinite=True)
+
+    good = {"image": jnp.ones((2, 16, 16, 3)),
+            "label": jnp.zeros((2,), jnp.int32)}
+    bad = {"image": jnp.full((2, 16, 16, 3), jnp.nan),
+           "label": jnp.zeros((2,), jnp.int32)}
+
+    w0 = np.asarray(state.trainable["fc"]["kernel"])
+    state, m = step(state, frozen, bad, 1e-3, jax.random.PRNGKey(1))
+    assert int(m["nonfinite"]) == 1
+    np.testing.assert_array_equal(
+        np.asarray(state.trainable["fc"]["kernel"]), w0)
+    assert int(state.step) == 1  # step counter still advances
+
+    state, m = step(state, frozen, good, 1e-3, jax.random.PRNGKey(1))
+    assert int(m["nonfinite"]) == 0
+    assert np.abs(np.asarray(state.trainable["fc"]["kernel"]) - w0).max() > 0
