@@ -519,14 +519,19 @@ def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
             # [n_global*mb*n_tok] patch space; foreign entries keep weight 0
             # (they gather an arbitrary in-range row that the loss ignores)
             n_tok = masks.shape[1]
+            U = mask_idx.shape[0]
+            u_m = U // accum_steps   # exact per-micro upper bound:
+            # U = n_global*B*n_masked_max and a micro owns n_global*mb rows
             rows, cols = mask_idx // n_tok, mask_idx % n_tok
             gi, bi = rows // B, rows % B
-            owner = bi // mb                               # [U]
+            # padding entries (valid 0) belong to NO micro — otherwise they
+            # all pile into micro 0 and can overflow its u_m slice
+            owner = jnp.where(mask_valid > 0, bi // mb, accum_steps)  # [U]
             local_flat = (gi * mb + (bi % mb)) * n_tok + cols
             idx_m, order_m, w_m, valid_m = [], [], [], []
             for m in range(accum_steps):
                 order = jnp.argsort(jnp.where(owner == m, 0, 1),
-                                    stable=True)
+                                    stable=True)[:u_m]
                 # the teacher-prototype rows t_ibot_sm[order] are gathered
                 # INSIDE the scan body — stacking permuted copies here
                 # would materialise accum x [U, n_prototypes] (GBs at the
