@@ -21,7 +21,8 @@ CFG = ViTConfig(img_size=32, patch_size=8, embed_dim=64, depth=2, num_heads=4,
                 compute_dtype=jnp.float32)
 
 
-def _run_steps(n_devices, n_steps=3, param_sharding="replicated"):
+def _run_steps(n_devices, n_steps=3, param_sharding="replicated",
+               accum=1):
     from apla_tpu.parallel.mesh import shard_params
     mesh = make_mesh(n_data=n_devices, devices=jax.devices()[:n_devices])
     trainable, frozen = init_classifier(
@@ -32,7 +33,7 @@ def _run_steps(n_devices, n_steps=3, param_sharding="replicated"):
     state = jax.device_put(TrainState.create(trainable, tx),
                            replicated_sharding(mesh))
     frozen = shard_params(frozen, mesh, policy=param_sharding)
-    step = make_train_step(CFG, tx, cross_entropy)
+    step = make_train_step(CFG, tx, cross_entropy, accum_steps=accum)
     rng = np.random.default_rng(0)
     losses = []
     for i in range(n_steps):
@@ -89,3 +90,13 @@ def test_uneven_batch_padding():
     assert padded["image"].shape[0] == 16
     # padded rows repeat the last row (edge mode)
     assert padded["label"][-1] == 12
+
+
+def test_fsdp_with_accum_matches_replicated():
+    """fsdp frozen sharding composed with the accum_steps microbatch scan:
+    the all-gathers inside the scanned micro body must still produce the
+    replicated update bit-for-bit."""
+    l_rep, w_rep = _run_steps(8, param_sharding="replicated", accum=2)
+    l_f, w_f = _run_steps(8, param_sharding="fsdp", accum=2)
+    np.testing.assert_allclose(l_rep, l_f, rtol=1e-5)
+    np.testing.assert_allclose(w_rep, w_f, rtol=1e-5, atol=1e-7)
