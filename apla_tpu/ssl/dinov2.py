@@ -438,26 +438,25 @@ def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
                 head_in.append(s_cls_l)
             s_masked = s_patches_g.reshape(
                 -1, s_patches_g.shape[-1])[m_idx]
-            if not separate_head:
+            # masked rows join the shared head pass only when the iBOT
+            # loss is on (XLA cannot dead-code rows out of a fused concat
+            # + matmul, so gate them here)
+            if not separate_head and do_ibot:
                 head_in.append(s_masked)
-                sizes = [h.shape[0] for h in head_in]
-                outs = dino_head_forward(jnp.concatenate(head_in, axis=0),
-                                         trainable["dino_head"])
-                splits = np.cumsum(sizes)[:-1]
-                parts = jnp.split(outs, splits, axis=0)
-                s_cls_g_out = parts[0]
-                s_cls_l_out = parts[1] if n_local else None
-                s_masked_out = parts[-1]
-            else:
-                sizes = [h.shape[0] for h in head_in]
-                outs = dino_head_forward(jnp.concatenate(head_in, axis=0),
-                                         trainable["dino_head"])
-                splits = np.cumsum(sizes)[:-1]
-                parts = jnp.split(outs, splits, axis=0)
-                s_cls_g_out = parts[0]
-                s_cls_l_out = parts[1] if n_local else None
+            sizes = [h.shape[0] for h in head_in]
+            outs = dino_head_forward(jnp.concatenate(head_in, axis=0),
+                                     trainable["dino_head"])
+            splits = np.cumsum(sizes)[:-1]
+            parts = jnp.split(outs, splits, axis=0)
+            s_cls_g_out = parts[0]
+            s_cls_l_out = parts[1] if n_local else None
+            if not do_ibot:
+                s_masked_out = None
+            elif separate_head:
                 s_masked_out = dino_head_forward(s_masked,
                                                  trainable["ibot_head"])
+            else:
+                s_masked_out = parts[-1]
 
             losses = {}
             total = 0.0
