@@ -94,12 +94,14 @@ class BYOLWrapper(DefaultWrapper):
         the jitted step (data/device_augs.device_multicrop) — the host-PIL
         multi-pipeline otherwise bottlenecks TPU rates (measured 43.5 vs
         2475 img/s for the 10-crop dinov2 recipe, BASELINE.md)."""
-        from .multicrop import STRATEGIES
+        from .multicrop import resolve_strategy_spec
         self.ssl_device_crop_cfgs = None
         if not self.dataset_params.get("device_augment"):
             return
         from ..data.device_augs import crop_cfgs_from_strategy
-        spec = STRATEGIES[self.strategy_name]
+        # a user strategy file wins, as on the host path — its crop
+        # counts/sizes flow into the device configs too
+        spec = resolve_strategy_spec(self.parameters, self.strategy_name)
         trainset = loaders.trainloader.dataset
         g = int(self.dataset_params.get("ssl_global_size")
                 or spec["global_size"])

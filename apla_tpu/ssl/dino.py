@@ -294,8 +294,12 @@ class DINOTrainer(BYOLTrainer):
     def __init__(self, wrapper, freeze_last_for=1):
         super().__init__(wrapper, use_momentum=True)
         self.freeze_last_for = int(freeze_last_for)
-        self.n_global = 2
-        self.n_local = 8
+        # crop counts from the strategy in effect (user file wins)
+        from .multicrop import resolve_strategy_spec
+        spec = resolve_strategy_spec(wrapper.parameters,
+                                     wrapper.strategy_name)
+        self.n_global = int(spec["n_global"])
+        self.n_local = int(spec["n_local"])
         self._steps = {}
 
     def _get_step(self, freeze: bool):

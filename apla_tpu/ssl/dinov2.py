@@ -41,7 +41,6 @@ from ..utils.config import EDict
 from .byol import BYOLTrainer
 from .dino import DINOWrapper
 from .heads import dino_head_forward, init_dino_head
-from .multicrop import STRATEGIES
 
 
 # --------------------------------------------------------------------------- #
@@ -630,14 +629,19 @@ class DINOv2Wrapper(DINOWrapper):
     use_momentum = True
 
     def set_crops_params(self):
-        spec = STRATEGIES["dinov2"]
+        # crop counts/sizes derive from the strategy in effect (a user
+        # file wins) — reference set_crops_params reads them from the
+        # colocated json (dinov2/wrappers.py:36-49)
+        from .multicrop import resolve_strategy_spec
+        spec = resolve_strategy_spec(self.parameters, "dinov2")
         ds = self.dataset_params
         self.crops_params = EDict(
-            n_global_crops=spec["n_global"], n_local_crops=spec["n_local"],
+            n_global_crops=int(spec["n_global"]),
+            n_local_crops=int(spec["n_local"]),
             global_crops_size=int(ds.get("ssl_global_size",
                                          spec["global_size"])),
             local_crops_size=int(ds.get("ssl_local_size",
-                                        spec["local_size"])))
+                                        spec["local_size"] or 0)))
 
     def init_dataloaders(self):
         self.set_crops_params()

@@ -142,3 +142,43 @@ def apply_augmentation_strategy(parameters: EDict, strategy: str) -> EDict:
         crop_list.append(t)
     params.dataset_params.train_transforms = crop_list
     return params
+
+
+def spec_from_strategy_json(strategy: dict) -> dict:
+    """Build a STRATEGIES-shaped spec from a reference-format
+    `augmentation_strategy.json` — crop counts/sizes derive from
+    `repetition_strategy` exactly as the reference wrapper does
+    (dinov2/wrappers.py:36-49 set_crops_params): order names starting
+    with 'local' are local crops, everything else is global."""
+    rep = strategy["repetition_strategy"]
+    tr = strategy.get("transforms", {}).get("train_transforms", {})
+    crops = []
+    n_global = n_local = 0
+    g_size = l_size = None
+    for order, aug_type in enumerate(rep["order"]):
+        kind = "local" if str(aug_type).startswith("local") else "global"
+        t = dict(tr.get(aug_type, {}))
+        size = t.get("RandomResizedCrop", {}).get("size")
+        n = int(rep["n_augmentations"][order])
+        crops.extend((kind, t) for _ in range(n))
+        if kind == "local":
+            n_local += n
+            l_size = size if size is not None else l_size
+        else:
+            n_global += n
+            g_size = size if size is not None else g_size
+    return {
+        "inherit": strategy.get("general_args", {}).get("inherit", []),
+        "crops": crops, "n_global": n_global, "n_local": n_local,
+        "global_size": g_size or 224, "local_size": l_size,
+    }
+
+
+def resolve_strategy_spec(parameters: EDict, strategy: str) -> dict:
+    """The crop-geometry spec in effect: from the user's strategy file when
+    one is configured (it wins, as in apply_augmentation_strategy),
+    otherwise the builtin STRATEGIES entry."""
+    path = _find_strategy_file(parameters, strategy)
+    if path:
+        return spec_from_strategy_json(load_json(path))
+    return STRATEGIES[strategy]

@@ -237,3 +237,42 @@ def test_transfer_learning_pretrained_path(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(w3.state.teacher["backbone"]["blocks"]["proj_wt"]),
         np.asarray(w1.state.trainable["backbone"]["blocks"]["proj_wt"]))
+
+
+def test_custom_strategy_crop_counts_flow_to_trainer(tmp_path):
+    """Crop COUNTS from a user strategy file drive the trainer/collate
+    (reference set_crops_params reads them from the json): 2 global + 4
+    local through a real DINO step."""
+    import json
+
+    from apla_tpu.ssl.dino import DINOTrainer, DINOWrapper
+
+    g = {"RandomResizedCrop": {"apply": True, "size": 24,
+                               "scale": [0.4, 1.0]}}
+    l = {"RandomResizedCrop": {"apply": True, "size": 8,
+                               "scale": [0.05, 0.4]}}
+    strategy = {
+        "general_args": {"overwrite_defaults": True,
+                         "inherit": ["Resize", "Normalize"]},
+        "repetition_strategy": {"n_augmentations": [1, 1, 4],
+                                "order": ["global_1", "global_2", "local"]},
+        "transforms": {"train_transforms": {"global_1": g, "global_2": g,
+                                            "local": l}},
+    }
+    spath = tmp_path / "strategy.json"
+    spath.write_text(json.dumps(strategy))
+
+    params = ssl_params(tmp_path)
+    params.dataset_params.augmentation_strategy_path = str(spath)
+    wrapper = DINOWrapper(params)
+    wrapper.instantiate()
+    trainer = DINOTrainer(wrapper)
+    assert trainer.n_global == 2 and trainer.n_local == 4
+    batch = next(iter(wrapper.dataloaders.trainloader))
+    gstack, lstack = trainer._stack_views(batch)
+    assert gstack.shape[0] == 2 * batch["label"].shape[0]
+    assert lstack.shape[0] == 4 * batch["label"].shape[0]
+    step_fn = trainer._get_step(True)
+    state, m = step_fn(trainer.state, trainer.frozen, gstack, lstack, 1e-4,
+                       1e-5, 0.99, 0.04, trainer.rng)
+    assert np.isfinite(float(m["loss"]))
