@@ -25,7 +25,7 @@ STEPS = 15
 BATCH = 8
 
 VARIANTS = ("base", "no_koleo", "no_ibot", "no_local", "head4096",
-            "sinkhorn")
+            "sinkhorn", "head_bf16")
 
 
 def emit(rec):
@@ -95,6 +95,8 @@ def bench(name):
             params.model_params.dinov2[head].head_n_prototypes = 4096
     elif name == "sinkhorn":
         params.model_params.dinov2.centering = "sinkhorn_knopp"
+    elif name == "head_bf16":
+        params.model_params.dinov2.head_matmul_bf16 = True
 
     wrapper = DINOv2Wrapper(params)
     wrapper.instantiate()
