@@ -142,7 +142,8 @@ def main(parameters, args):
             trainer.test()
 
 
-if __name__ == "__main__":
+def run_cli():
+    """Console entry point (pyproject [project.scripts])."""
     import jax
 
     # persistent compile cache: remote/TPU compiles are expensive; cached
@@ -158,3 +159,7 @@ if __name__ == "__main__":
     parameters = load_merged_params(args.params_path)
     parameters = update_params_from_args(parameters, args)
     main(parameters, args)
+
+
+if __name__ == "__main__":
+    run_cli()
