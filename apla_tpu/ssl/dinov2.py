@@ -827,7 +827,6 @@ class Dinov2Trainer(BYOLTrainer):
         return shard_batch(keep, self.mesh)
 
     def train(self):
-        import time
         from ..utils.logging import cyan, gray
         if self.restore_session:
             self.load_session()

@@ -20,7 +20,7 @@ import jax
 import numpy as np
 
 from ..parallel.mesh import pad_to_multiple, shard_batch
-from ..utils.logging import RunLogger, cyan, gray, yellow
+from ..utils.logging import cyan, gray, yellow
 from .checkpoint import load_checkpoint, save_checkpoint
 from .knn import build_feature_bank, knn_predict, knn_predict_multilabel
 from .steps import make_embed_step, make_eval_step, make_train_step
