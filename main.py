@@ -146,6 +146,15 @@ def run_cli():
     """Console entry point (pyproject [project.scripts])."""
     import jax
 
+    # Multi-host TPU pods: one process per host, same single-controller
+    # code — `jax.distributed.initialize()` wires the hosts together and
+    # jax.devices() becomes the global device list the mesh builds over.
+    # Gated on an env var because it must NOT run on single-host setups
+    # (it blocks waiting for the coordinator).  Replaces the reference's
+    # mp.spawn/NCCL bootstrap (launch.py:49-58) at pod scale.
+    if os.environ.get("APLA_MULTIHOST"):
+        jax.distributed.initialize()
+
     # persistent compile cache: remote/TPU compiles are expensive; cached
     # recompiles are seconds.  Harmless on CPU.
     jax.config.update("jax_compilation_cache_dir",
