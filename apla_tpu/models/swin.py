@@ -40,6 +40,10 @@ class SwinConfig:
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     norm_eps: float = 1e-5
+    # LayerNorm after the patch-embed projection (official Swin PatchEmbed
+    # has it; HF SwinModel embeddings.norm).  Kept ON by default for
+    # checkpoint-import faithfulness.
+    patch_norm: bool = True
     compute_dtype: object = jnp.bfloat16
 
 
@@ -80,6 +84,9 @@ def init_swin_params(key, cfg: SwinConfig) -> dict:
         "stages": [],
         "norms": [],  # per-stage output norm (detection feature pyramid)
     }
+    if cfg.patch_norm:
+        params["patch_norm"] = {"scale": jnp.ones((d,)),
+                                "bias": jnp.zeros((d,))}
     for s, depth in enumerate(cfg.depths):
         dim = d * (2 ** s)
         hid = int(dim * cfg.mlp_ratio)
@@ -215,6 +222,9 @@ def swin_features(params, x, cfg: SwinConfig, trainable=None, rng=None,
     x = x + params["patch_embed"]["bias"].astype(dt)
     B, H, W, C = x.shape
     x = x.reshape(B, H * W, C)
+    if "patch_norm" in params:
+        x = layer_norm(x, params["patch_norm"]["scale"],
+                       params["patch_norm"]["bias"], cfg.norm_eps)
 
     outs = []
     for s, stage in enumerate(params["stages"]):

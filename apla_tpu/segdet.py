@@ -110,7 +110,8 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
                     window_size=7, embed_dim=96, depths=(2, 2, 6),
                     num_heads=(3, 6, 12), max_boxes=32,
                     save_dir="checkpoints/det", num_workers=8,
-                    log_every=10, eval_batches=None, seed=0):
+                    log_every=10, eval_batches=None, seed=0,
+                    swin_ckpt=None):
     """APLA-Swin + FCOS on a COCO-format dataset (reference recipe:
     mask-rcnn_apla_swin-t ... coco.py — Swin backbone with only attn.proj
     trainable)."""
@@ -123,6 +124,20 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
 
     ds = CocoDetection(img_dir, ann_file, img_size=img_size,
                        max_boxes=max_boxes)
+    sd = None
+    if swin_ckpt:
+        # architecture comes from the checkpoint itself
+        import torch
+
+        from .utils.pretrained import swin_arch_from_hf_state_dict
+        sd = torch.load(swin_ckpt, map_location="cpu", weights_only=True)
+        sd = sd.get("state_dict", sd)
+        arch = swin_arch_from_hf_state_dict(sd)
+        embed_dim = arch["embed_dim"]
+        depths = arch["depths"]
+        num_heads = arch["num_heads"]
+        window_size = arch["window_size"]
+        print(f"Swin arch from checkpoint: {arch}")
     cfg = SwinConfig(img_size=img_size, patch_size=4, embed_dim=embed_dim,
                      depths=tuple(depths), num_heads=tuple(num_heads),
                      window_size=window_size, compute_dtype=jnp.float32)
@@ -131,6 +146,12 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
                         collate_fn=detection_collate, seed=seed)
     key = jax.random.PRNGKey(seed)
     swin_params = init_swin_params(key, cfg)
+    if sd is not None:
+        # local HF SwinModel checkpoint (torch state_dict) -> our params
+        # (oracle-parity-tested importer, tests/test_swin_import.py)
+        from .utils.pretrained import convert_swin_hf_state_dict
+        swin_params = convert_swin_hf_state_dict(sd, depths=tuple(depths))
+        print(f"Imported HF Swin weights from {swin_ckpt}")
     bb_t, bb_f = build_apla_swin(swin_params)
     n_levels = len(depths)
     stage_dims = [embed_dim * (2 ** i) for i in range(n_levels)]
@@ -213,6 +234,7 @@ def main(argv=None):
     pd.add_argument("--batch_size", type=int, default=8)
     pd.add_argument("--lr", type=float, default=1e-4)
     pd.add_argument("--save_dir", default="checkpoints/det")
+    pd.add_argument("--swin_ckpt", help="local HF SwinModel state_dict .pth")
     args = p.parse_args(argv)
     if args.task == "seg":
         out = train_segmentation(
@@ -223,7 +245,7 @@ def main(argv=None):
         out = train_detection(
             args.img_dir, args.ann, epochs=args.epochs,
             img_size=args.img_size, batch_size=args.batch_size, lr=args.lr,
-            save_dir=args.save_dir)
+            save_dir=args.save_dir, swin_ckpt=args.swin_ckpt)
     print(json.dumps(out))
 
 

@@ -222,3 +222,119 @@ def maybe_load_pretrained_backbone(trainable, frozen, model_params, vit_cfg):
         trainable = dict(trainable)
         trainable["backbone"] = params
     return trainable, frozen
+
+
+def convert_swin_hf_state_dict(sd: dict, depths) -> dict:
+    """HF `SwinModel` state_dict -> this framework's Swin param pytree
+    (models/swin.py init_swin_params layout).  Covers the detection
+    side-car: the reference tells users to bring a pretrained Swin into
+    mmdet (`segmentation_and_detection/detection/apla_swin_transformer.py`);
+    here the standard Hugging Face checkpoints import directly.
+
+    Key mapping (HF -> ours):
+      embeddings.patch_embeddings.projection  -> patch_embed (OIHW->HWIO)
+      embeddings.norm                         -> patch_norm
+      encoder.layers.s.blocks.i.attention.self.{query,key,value}
+                                              -> stages[s].blocks[i].attn.qkv
+                                                 (packed [d, 3d])
+      ...attention.self.relative_position_bias_table -> attn.rel_bias
+      ...attention.output.dense               -> attn.proj
+      ...layernorm_before/after               -> norm1/norm2
+      ...intermediate.dense / output.dense    -> mlp.fc1 / fc2
+      encoder.layers.s.downsample.{reduction,norm} -> stages[s].downsample
+      layernorm (final)                       -> norms[-1] (pyramid norm of
+                                                 the last stage)
+    Per-stage pyramid norms for earlier stages have no HF counterpart
+    (mmdet adds them when fine-tuning); they stay at their init values.
+    """
+    import numpy as np
+
+    def lin(prefix):
+        w = _np(sd[prefix + ".weight"]).T          # [in, out]
+        p = {"kernel": w}
+        if prefix + ".bias" in sd:
+            p["bias"] = _np(sd[prefix + ".bias"])
+        return p
+
+    def ln(prefix):
+        return {"scale": _np(sd[prefix + ".weight"]),
+                "bias": _np(sd[prefix + ".bias"])}
+
+    params = {
+        "patch_embed": {
+            "kernel": _np(
+                sd["embeddings.patch_embeddings.projection.weight"]
+            ).transpose(2, 3, 1, 0),                # OIHW -> HWIO
+            "bias": _np(sd["embeddings.patch_embeddings.projection.bias"]),
+        },
+        "patch_norm": ln("embeddings.norm"),
+        "stages": [],
+        "norms": [],
+    }
+    for s, depth in enumerate(depths):
+        base = f"encoder.layers.{s}"
+        blocks = []
+        for i in range(depth):
+            b = f"{base}.blocks.{i}"
+            q = lin(f"{b}.attention.self.query")
+            k = lin(f"{b}.attention.self.key")
+            v = lin(f"{b}.attention.self.value")
+            qkv = {
+                "kernel": np.concatenate(
+                    [q["kernel"], k["kernel"], v["kernel"]], axis=1),
+                "bias": np.concatenate([q["bias"], k["bias"], v["bias"]]),
+            }
+            blocks.append({
+                "norm1": ln(f"{b}.layernorm_before"),
+                "attn": {
+                    "qkv": qkv,
+                    "proj": lin(f"{b}.attention.output.dense"),
+                    "rel_bias": _np(sd[
+                        f"{b}.attention.self.relative_position_bias_table"]),
+                },
+                "norm2": ln(f"{b}.layernorm_after"),
+                "mlp": {
+                    "fc1": lin(f"{b}.intermediate.dense"),
+                    "fc2": lin(f"{b}.output.dense"),
+                },
+            })
+        stage = {"blocks": blocks}
+        if f"{base}.downsample.reduction.weight" in sd:
+            stage["downsample"] = {
+                "reduction": lin(f"{base}.downsample.reduction"),
+                "norm": ln(f"{base}.downsample.norm"),
+            }
+        params["stages"].append(stage)
+        dim = params["patch_embed"]["bias"].shape[0] * (2 ** s)
+        params["norms"].append({"scale": np.ones((dim,), np.float32),
+                                "bias": np.zeros((dim,), np.float32)})
+    if "layernorm.weight" in sd:
+        params["norms"][-1] = ln("layernorm")
+    return params
+
+
+def swin_arch_from_hf_state_dict(sd: dict) -> dict:
+    """Infer (embed_dim, depths, num_heads, window_size) from an HF
+    SwinModel state_dict so `--swin_ckpt` users need not restate the
+    architecture."""
+    import math
+    embed_dim = int(
+        _np(sd["embeddings.patch_embeddings.projection.bias"]).shape[0])
+    depths, num_heads = [], []
+    s = 0
+    while f"encoder.layers.{s}.blocks.0.layernorm_before.weight" in sd:
+        i = 0
+        while (f"encoder.layers.{s}.blocks.{i}.layernorm_before.weight"
+               in sd):
+            i += 1
+        depths.append(i)
+        table = _np(sd[f"encoder.layers.{s}.blocks.0."
+                       f"attention.self.relative_position_bias_table"])
+        num_heads.append(int(table.shape[1]))
+        window = (int(math.isqrt(table.shape[0])) + 1) // 2
+        s += 1
+    patch = int(_np(
+        sd["embeddings.patch_embeddings.projection.weight"]).shape[-1])
+    return {"embed_dim": embed_dim, "depths": tuple(depths),
+            "num_heads": tuple(num_heads), "window_size": window,
+            "patch_size": patch}

@@ -70,3 +70,29 @@ def test_detection_loop(tmp_path):
     assert out["iters"] == 4
     assert 0.0 <= out["best_map50"] <= 1.0
     assert os.path.exists(tmp_path / "ck" / "det_best.msgpack")
+
+
+def test_detection_loop_with_hf_swin_ckpt(tmp_path):
+    """--swin_ckpt: a local HF SwinModel state_dict initialises the
+    detection backbone end-to-end."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from transformers import SwinConfig as HFSwinConfig, SwinModel
+
+    from apla_tpu.segdet import train_detection
+
+    hf = SwinModel(HFSwinConfig(image_size=56, patch_size=4, embed_dim=32,
+                                depths=[2, 2], num_heads=[2, 4],
+                                window_size=7),
+                   add_pooling_layer=False)
+    ckpt = tmp_path / "swin_hf.pth"
+    torch.save(hf.state_dict(), ckpt)
+
+    img_dir, ann = make_coco(tmp_path)
+    out = train_detection(
+        img_dir, ann, epochs=1, img_size=56, batch_size=2, lr=1e-3,
+        embed_dim=32, depths=(2, 2), num_heads=(2, 4),
+        save_dir=str(tmp_path / "ck"), num_workers=2, log_every=1,
+        swin_ckpt=str(ckpt))
+    assert out["iters"] == 2
