@@ -187,9 +187,13 @@ def maybe_load_pretrained_backbone(trainable, frozen, model_params, vit_cfg):
     import jax.numpy as jnp
 
     sd = load_torch_checkpoint(path)
-    params = convert_torch_vit_state_dict(
-        sd, vit_cfg.depth, use_swiglu=vit_cfg.use_swiglu,
-        has_layerscale=vit_cfg.has_layerscale)
+    if any(k.startswith("embeddings.patch_embeddings") for k in sd):
+        # HF Dinov2Model naming (hub mirror of the dinov2 checkpoints)
+        params = convert_vit_hf_dinov2_state_dict(sd, vit_cfg.depth)
+    else:
+        params = convert_torch_vit_state_dict(
+            sd, vit_cfg.depth, use_swiglu=vit_cfg.use_swiglu,
+            has_layerscale=vit_cfg.has_layerscale)
 
     # rebuild the split with the imported weights, keeping existing inds
     if "backbone" in frozen and "inds" in frozen["backbone"]["blocks"]["attn"]:
@@ -338,3 +342,72 @@ def swin_arch_from_hf_state_dict(sd: dict) -> dict:
     return {"embed_dim": embed_dim, "depths": tuple(depths),
             "num_heads": tuple(num_heads), "window_size": window,
             "patch_size": patch}
+
+
+def convert_vit_hf_dinov2_state_dict(sd: dict, depth: int) -> dict:
+    """HF `Dinov2Model` state_dict -> this framework's ViT param pytree
+    (the HF-hub mirror of the dinov2 checkpoints the reference downloads
+    via torch.hub, transformers_utils.py:10-57).  Blocks are stacked on
+    the leading depth axis for the scan trunk."""
+    import numpy as np
+
+    def lin(prefix):
+        p = {"kernel": _np(sd[prefix + ".weight"]).T}
+        if prefix + ".bias" in sd:
+            p["bias"] = _np(sd[prefix + ".bias"])
+        return p
+
+    def ln(prefix):
+        return {"scale": _np(sd[prefix + ".weight"]),
+                "bias": _np(sd[prefix + ".bias"])}
+
+    params = {
+        "patch_embed": {
+            "kernel": _np(sd["embeddings.patch_embeddings.projection"
+                             ".weight"]).transpose(2, 3, 1, 0),
+            "bias": _np(sd["embeddings.patch_embeddings.projection.bias"]),
+        },
+        "cls_token": _np(sd["embeddings.cls_token"]),
+        "pos_embed": _np(sd["embeddings.position_embeddings"]),
+        "norm": ln("layernorm"),
+    }
+    if "embeddings.mask_token" in sd:
+        mt = _np(sd["embeddings.mask_token"])
+        params["mask_token"] = mt.reshape(1, 1, -1)
+    if "embeddings.register_tokens" in sd:
+        params["register_tokens"] = _np(sd["embeddings.register_tokens"])
+
+    blocks = []
+    for i in range(depth):
+        b = f"encoder.layer.{i}"
+        q = lin(f"{b}.attention.attention.query")
+        k = lin(f"{b}.attention.attention.key")
+        v = lin(f"{b}.attention.attention.value")
+        blk = {
+            "norm1": ln(f"{b}.norm1"),
+            "attn": {
+                "qkv": {
+                    "kernel": np.concatenate(
+                        [q["kernel"], k["kernel"], v["kernel"]], axis=1),
+                    "bias": np.concatenate(
+                        [q["bias"], k["bias"], v["bias"]]),
+                },
+                "proj": lin(f"{b}.attention.output.dense"),
+            },
+            "norm2": ln(f"{b}.norm2"),
+        }
+        if f"{b}.mlp.fc1.weight" in sd:
+            blk["mlp"] = {"fc1": lin(f"{b}.mlp.fc1"),
+                          "fc2": lin(f"{b}.mlp.fc2")}
+        else:  # SwiGLU variant (dinov2-giant)
+            blk["mlp"] = {"w12": lin(f"{b}.mlp.weights_in"),
+                          "w3": lin(f"{b}.mlp.weights_out")}
+        if f"{b}.layer_scale1.lambda1" in sd:
+            blk["ls1"] = {"gamma": _np(sd[f"{b}.layer_scale1.lambda1"])}
+            blk["ls2"] = {"gamma": _np(sd[f"{b}.layer_scale2.lambda1"])}
+        blocks.append(blk)
+    import jax
+
+    params["blocks"] = jax.tree.map(
+        lambda *xs: np.stack(xs), *blocks)
+    return params

@@ -81,3 +81,68 @@ def test_hf_swin_oracle_parity_shifted_windows():
     B, H, W, C = ours.shape
     np.testing.assert_allclose(ours.reshape(B, H * W, C), ref,
                                rtol=2e-4, atol=2e-4)
+
+
+def test_hf_dinov2_vit_oracle_parity():
+    """Random HF Dinov2Model imports via convert_vit_hf_dinov2_state_dict
+    and its final hidden states match our ViT trunk numerically."""
+    from transformers import Dinov2Config, Dinov2Model
+
+    from apla_tpu.models.vit import ViTConfig, vit_features
+    from apla_tpu.utils.pretrained import convert_vit_hf_dinov2_state_dict
+
+    hf_cfg = Dinov2Config(image_size=56, patch_size=14, hidden_size=64,
+                          num_hidden_layers=3, num_attention_heads=2,
+                          mlp_ratio=4, layerscale_value=1.0,
+                          hidden_dropout_prob=0.0,
+                          attention_probs_dropout_prob=0.0,
+                          drop_path_rate=0.0)
+    torch.manual_seed(0)
+    hf = Dinov2Model(hf_cfg).eval()
+
+    x = np.random.default_rng(0).standard_normal((2, 56, 56, 3)) \
+        .astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(x).permute(0, 3, 1, 2)) \
+            .last_hidden_state.numpy()       # [B, 1+N, C] after final LN
+
+    params = convert_vit_hf_dinov2_state_dict(hf.state_dict(), depth=3)
+    cfg = ViTConfig(img_size=56, patch_size=14, embed_dim=64, depth=3,
+                    num_heads=2, has_layerscale=True, norm_eps=1e-6,
+                    compute_dtype=jnp.float32, gelu_tanh=False)
+    ours = np.asarray(vit_features(params, jnp.asarray(x), cfg,
+                                   return_all_tokens=True))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_hf_dinov2_ckpt_through_wrapper(tmp_path):
+    """model_params.pretrained_checkpoint auto-detects HF Dinov2Model
+    format and feeds the APLA split through the supervised wrapper."""
+    from transformers import Dinov2Config, Dinov2Model
+
+    from apla_tpu.utils.config import load_merged_params
+    from apla_tpu.wrapper import DefaultWrapper
+
+    import os
+    PARAMS = os.path.join(os.path.dirname(__file__), "..", "params",
+                          "synthetic", "vit_tiny", "apla.yml")
+    hf = Dinov2Model(Dinov2Config(
+        image_size=32, patch_size=8, hidden_size=192, num_hidden_layers=12,
+        num_attention_heads=3, layerscale_value=1.0)).eval()
+    ckpt = tmp_path / "dinov2_hf.pth"
+    torch.save(hf.state_dict(), ckpt)
+
+    params = load_merged_params(PARAMS)
+    params.training_params.save_dir = str(tmp_path)
+    params.model_params.pretrained = True
+    params.model_params.pretrained_checkpoint = str(ckpt)
+    params.model_params.transformers_params.block_conf = {
+        "has_layerscale": True, "layerscale_init_values": 1.0}
+    wrapper = DefaultWrapper(params)
+    wrapper.instantiate()
+    # imported: frozen qkv kernel matches the HF query/key/value concat
+    q = hf.state_dict()["encoder.layer.0.attention.attention.query.weight"]
+    got = np.asarray(
+        wrapper.frozen["backbone"]["blocks"]["attn"]["qkv"]["kernel"][0])
+    np.testing.assert_allclose(got[:, :192], q.numpy().T, rtol=1e-6)
