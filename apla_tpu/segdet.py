@@ -111,7 +111,7 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
                     num_heads=(3, 6, 12), max_boxes=32,
                     save_dir="checkpoints/det", num_workers=8,
                     log_every=10, eval_batches=None, seed=0,
-                    swin_ckpt=None):
+                    swin_ckpt=None, val_img_dir=None, val_ann=None):
     """APLA-Swin + FCOS on a COCO-format dataset (reference recipe:
     mask-rcnn_apla_swin-t ... coco.py — Swin backbone with only attn.proj
     trainable)."""
@@ -174,9 +174,17 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
         swin_features(f, im, cfg, trainable=t["backbone"]), t["head"],
         t["laterals"]))
 
+    # a real validation split when provided; otherwise eval reuses the
+    # train set and is LABELLED as such (best-checkpoint selection then
+    # follows train fit — supply val assets for honest model selection)
+    val_ds = (CocoDetection(val_img_dir, val_ann, img_size=img_size,
+                            max_boxes=max_boxes)
+              if val_img_dir and val_ann else ds)
+    eval_name = "val" if val_ds is not ds else "train"
+
     def evaluate():
         metric = DetectionAP(ds.n_classes)
-        vloader = DataLoader(ds, batch_size=batch_size, shuffle=False,
+        vloader = DataLoader(val_ds, batch_size=batch_size, shuffle=False,
                              drop_last=True, num_workers=num_workers,
                              collate_fn=detection_collate)
         for i, b in enumerate(vloader):
@@ -206,12 +214,12 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
                       f"loss {float(m['total']):.4f} "
                       f"({it * batch_size / (time.time() - t0):.1f} img/s)")
         ap = evaluate()
-        print(f"[det] epoch {epoch}: val mAP@50 {ap:.4f}")
+        print(f"[det] epoch {epoch}: {eval_name} mAP@50 {ap:.4f}")
         if ap >= best_map:
             best_map = ap
             _save(save_dir, "det_best", trainable, bb_f,
                   {"epoch": epoch, "map50": ap})
-    return {"best_map50": best_map, "iters": it}
+    return {"best_map50": best_map, "iters": it, "eval_set": eval_name}
 
 
 def main(argv=None):
@@ -235,6 +243,8 @@ def main(argv=None):
     pd.add_argument("--lr", type=float, default=1e-4)
     pd.add_argument("--save_dir", default="checkpoints/det")
     pd.add_argument("--swin_ckpt", help="local HF SwinModel state_dict .pth")
+    pd.add_argument("--val_img_dir")
+    pd.add_argument("--val_ann")
     args = p.parse_args(argv)
     if args.task == "seg":
         out = train_segmentation(
@@ -245,7 +255,8 @@ def main(argv=None):
         out = train_detection(
             args.img_dir, args.ann, epochs=args.epochs,
             img_size=args.img_size, batch_size=args.batch_size, lr=args.lr,
-            save_dir=args.save_dir, swin_ckpt=args.swin_ckpt)
+            save_dir=args.save_dir, swin_ckpt=args.swin_ckpt,
+            val_img_dir=args.val_img_dir, val_ann=args.val_ann)
     print(json.dumps(out))
 
 

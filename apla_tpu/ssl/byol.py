@@ -155,14 +155,17 @@ class BYOLWrapper(DefaultWrapper):
             teacher["backbone"] = deepcopy(trainable["backbone"])
 
         # transfer learning: adopt a previous run's checkpoint into the
-        # online encoder, then copy to the target (reference
-        # BYOL/wrappers.py:22-30)
+        # online encoder, then copy the WHOLE online network to the target
+        # (reference BYOL/wrappers.py:30 load_state_dict(deepcopy(online)))
+        # — a backbone-only teacher sync would leave the teacher head at
+        # random init, breaking the teacher==student start invariant
         tl_path = self.transfer_learning_params.get("pretrained_path")
         if tl_path:
             from ..train.checkpoint import transfer_into
             trainable, bb_frozen = transfer_into(trainable, bb_frozen,
                                                  tl_path, where="byol")
             teacher["backbone"] = deepcopy(trainable["backbone"])
+            teacher["head"] = deepcopy(trainable["head"])
 
         repl = replicated_sharding(self.mesh)
         self.trainable = jax.device_put(trainable, repl)
@@ -504,6 +507,15 @@ class BYOLTrainer:
             async_save=bool(self.wrapper.training_params.get(
                 "async_checkpoint", False)))
 
+    def _place_frozen(self, frozen):
+        """Re-apply the param-sharding policy to checkpoint-loaded frozen
+        params (see Trainer._place_frozen)."""
+        from ..parallel.mesh import shard_params
+        return shard_params(
+            frozen, self.mesh,
+            policy=self.wrapper.system_params.get("param_sharding",
+                                                  "replicated"))
+
     def load_session(self):
         from ..train.checkpoint import load_checkpoint
         from ..utils.logging import cyan, yellow
@@ -518,7 +530,7 @@ class BYOLTrainer:
             state = state.replace(**aux)
         self.state = state
         if frozen is not None:
-            self.frozen = frozen
+            self.frozen = self._place_frozen(frozen)
         self.iters = manifest["iters"]
         self.epoch0 = manifest["epoch"]
         if manifest.get("best_val_target") is not None:
@@ -537,7 +549,7 @@ class BYOLTrainer:
                 state = state.replace(**aux)
             self.state = state
             if frozen is not None:
-                self.frozen = frozen
+                self.frozen = self._place_frozen(frozen)
         results = self.evaluate(self.wrapper.dataloaders.testloader)
         from ..utils.logging import cyan
         print(cyan("SSL TEST RESULTS (kNN)"))

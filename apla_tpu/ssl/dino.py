@@ -47,15 +47,12 @@ def make_teacher_temp_schedule(warmup_teacher_temp, teacher_temp,
     ]).astype(np.float32)
 
 
-def dino_loss(student_out, teacher_out, center, teacher_temp,
-              student_temp=0.1, center_momentum=0.9):
-    """Cross-entropy between teacher (centered+sharpened) and student chunks
-    (reference models.py:26-70).  student_out: list of [B, K] per crop;
-    teacher_out: list of 2 global [B, K].  Returns (loss, new_center)."""
-    t_sm = [jax.nn.softmax((t - center) / teacher_temp, axis=-1)
-            for t in teacher_out]
+def dino_pair_ce(student_out, teacher_softmaxed, student_temp=0.1):
+    """Mean CE over all (teacher chunk, student chunk) pairs, skipping
+    same-view pairs (reference models.py:26-70 inner loop).  THE loss used
+    by the train step; `dino_loss` wraps it with the centering EMA."""
     total, n_terms = 0.0, 0
-    for iq, q in enumerate(t_sm):
+    for iq, q in enumerate(teacher_softmaxed):
         q = jax.lax.stop_gradient(q)
         for v, s in enumerate(student_out):
             if v == iq:
@@ -63,7 +60,17 @@ def dino_loss(student_out, teacher_out, center, teacher_temp,
             logp = jax.nn.log_softmax(s / student_temp, axis=-1)
             total = total + jnp.mean(jnp.sum(-q * logp, axis=-1))
             n_terms += 1
-    loss = total / n_terms
+    return jnp.asarray(total / n_terms, jnp.float32)
+
+
+def dino_loss(student_out, teacher_out, center, teacher_temp,
+              student_temp=0.1, center_momentum=0.9):
+    """Cross-entropy between teacher (centered+sharpened) and student chunks
+    (reference models.py:26-70).  student_out: list of [B, K] per crop;
+    teacher_out: list of 2 global [B, K].  Returns (loss, new_center)."""
+    t_sm = [jax.nn.softmax((t - center) / teacher_temp, axis=-1)
+            for t in teacher_out]
+    loss = dino_pair_ce(student_out, t_sm, student_temp=student_temp)
     # center EMA over the (globally batched) teacher outputs
     t_cat = jnp.concatenate(teacher_out, axis=0)
     batch_center = jnp.mean(t_cat, axis=0, keepdims=True)
@@ -209,15 +216,8 @@ def make_dino_train_step(vit_cfg, tx, n_global: int, n_local: int,
                                 vit_cfg, rl, deterministic=False)
                 outs_l = dino_head_forward(emb_l, trainable["head"])
                 student_out += list(jnp.split(outs_l, n_local))
-            total, n_terms = 0.0, 0
-            for iq, q in enumerate(t_sm_c):
-                for v, s in enumerate(student_out):
-                    if v == iq:
-                        continue  # same-view pairs skipped
-                    logp = jax.nn.log_softmax(s / student_temp, axis=-1)
-                    total = total + jnp.mean(jnp.sum(-q * logp, axis=-1))
-                    n_terms += 1
-            return jnp.asarray(total / n_terms, jnp.float32)
+            return dino_pair_ce(student_out, t_sm_c,
+                                student_temp=student_temp)
 
         if accum_steps == 1:
             loss, grads = jax.value_and_grad(student_loss)(

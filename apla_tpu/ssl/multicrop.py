@@ -157,6 +157,13 @@ def spec_from_strategy_json(strategy: dict) -> dict:
     g_size = l_size = None
     for order, aug_type in enumerate(rep["order"]):
         kind = "local" if str(aug_type).startswith("local") else "global"
+        if kind == "global" and n_local:
+            # every consumer (collate s['image'][:n_global], device crop
+            # list, _stack_views) is crop-major with globals FIRST — a
+            # locals-before-globals file would silently swap geometries
+            raise ValueError(
+                "augmentation strategy order must list all global crops "
+                f"before local crops; got {rep['order']}")
         t = dict(tr.get(aug_type, {}))
         size = t.get("RandomResizedCrop", {}).get("size")
         n = int(rep["n_augmentations"][order])
@@ -176,9 +183,13 @@ def spec_from_strategy_json(strategy: dict) -> dict:
 
 def resolve_strategy_spec(parameters: EDict, strategy: str) -> dict:
     """The crop-geometry spec in effect: from the user's strategy file when
-    one is configured (it wins, as in apply_augmentation_strategy),
-    otherwise the builtin STRATEGIES entry."""
+    one is configured AND active (general_args.overwrite_defaults — the
+    same gate apply_strategy_json honors; an inactive file must not drive
+    crop counts while the transform pipeline ignores it), otherwise the
+    builtin STRATEGIES entry."""
     path = _find_strategy_file(parameters, strategy)
     if path:
-        return spec_from_strategy_json(load_json(path))
+        loaded = load_json(path)
+        if loaded.get("general_args", {}).get("overwrite_defaults", False):
+            return spec_from_strategy_json(loaded)
     return STRATEGIES[strategy]

@@ -89,7 +89,7 @@ class Trainer:
             path, state_template=self.state, frozen_template=self.frozen)
         self.state = state  # host arrays; jit re-places them on first step
         if frozen is not None:
-            self.frozen = frozen
+            self.frozen = self._place_frozen(frozen)
         if not self.restore_only_model:
             self.iters = manifest["iters"]
             self.epoch0 = manifest["epoch"]
@@ -115,6 +115,17 @@ class Trainer:
             print(gray(f"Checkpoint saved to {self.checkpoint_path}"))
 
     # ------------------------------------------------------------------ #
+    def _place_frozen(self, frozen):
+        """Re-apply the configured param-sharding policy to frozen params
+        loaded from a checkpoint (host arrays) — without this, resuming an
+        fsdp run would silently replicate the frozen backbone and lose the
+        per-chip memory saving."""
+        from ..parallel.mesh import shard_params
+        return shard_params(
+            frozen, self.mesh,
+            policy=self.wrapper.system_params.get("param_sharding",
+                                                  "replicated"))
+
     def _device_batch(self, batch):
         n_devices = self.mesh.devices.size
         batch, _ = pad_to_multiple(batch, n_devices)
@@ -272,7 +283,7 @@ class Trainer:
             trainable = (best_trainable if best_trainable is not None
                          else state.trainable)
             if frozen is not None:
-                self.frozen = frozen
+                self.frozen = self._place_frozen(frozen)
         elif self.best_trainable is not None:
             trainable = self.best_trainable
 

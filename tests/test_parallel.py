@@ -100,3 +100,28 @@ def test_fsdp_with_accum_matches_replicated():
     l_f, w_f = _run_steps(8, param_sharding="fsdp", accum=2)
     np.testing.assert_allclose(l_rep, l_f, rtol=1e-5)
     np.testing.assert_allclose(w_rep, w_f, rtol=1e-5, atol=1e-7)
+
+
+def test_fsdp_placement_survives_resume(tmp_path):
+    """load_session must re-apply the param-sharding policy — a resumed
+    fsdp run would otherwise silently replicate the frozen backbone."""
+    from jax.sharding import PartitionSpec as P
+
+    from apla_tpu.train.trainer import Trainer
+    from apla_tpu.utils.config import load_merged_params
+    from apla_tpu.wrapper import DefaultWrapper
+    import os
+
+    PARAMS = os.path.join(os.path.dirname(__file__), "..", "params",
+                          "synthetic", "vit_tiny", "apla.yml")
+    params = load_merged_params(PARAMS)
+    params.training_params.save_dir = str(tmp_path)
+    params.training_params.model_name = "m"
+    params.system_params.param_sharding = "fsdp"
+    wrapper = DefaultWrapper(params)
+    wrapper.instantiate()
+    trainer = Trainer(wrapper)
+    trainer.save_session(epoch=0)
+    trainer.load_session()
+    specs = [leaf.sharding.spec for leaf in jax.tree.leaves(trainer.frozen)]
+    assert any(s != P() for s in specs), "frozen lost fsdp placement"

@@ -276,3 +276,70 @@ def test_custom_strategy_crop_counts_flow_to_trainer(tmp_path):
     state, m = step_fn(trainer.state, trainer.frozen, gstack, lstack, 1e-4,
                        1e-5, 0.99, 0.04, trainer.rng)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_byol_transfer_syncs_teacher_head(tmp_path):
+    """Full-scope transfer into BYOL must copy the WHOLE online network to
+    the target (reference BYOL/wrappers.py:30) — teacher head included."""
+    from apla_tpu.ssl.byol import BYOLTrainer, BYOLWrapper
+    from apla_tpu.train.checkpoint import save_checkpoint
+
+    p1 = ssl_params(tmp_path / "src")
+    w1 = BYOLWrapper(p1, use_momentum=True)
+    w1.instantiate(seed=0)
+    ck = str(tmp_path / "ck")
+    save_checkpoint(ck, state=w1.state, frozen=w1.frozen, epoch=0,
+                    parameters=dict(p1))
+
+    p2 = ssl_params(tmp_path / "dst")
+    p2.transfer_learning_params = {"pretrained_path": ck}
+    w2 = BYOLWrapper(p2, use_momentum=True)
+    w2.instantiate(seed=5)
+    np.testing.assert_array_equal(
+        np.asarray(w2.state.teacher["head"]["fc0"]["kernel"]),
+        np.asarray(w1.state.trainable["head"]["fc0"]["kernel"]))
+    np.testing.assert_array_equal(
+        np.asarray(w2.state.teacher["head"]["fc0"]["kernel"]),
+        np.asarray(w2.state.trainable["head"]["fc0"]["kernel"]))
+
+
+def test_inactive_strategy_file_keeps_builtin_counts(tmp_path):
+    """A strategy file with overwrite_defaults=false must not drive crop
+    counts while the transform pipeline ignores it."""
+    import json
+
+    from apla_tpu.ssl.multicrop import resolve_strategy_spec
+    from apla_tpu.utils.config import EDict
+
+    strategy = {
+        "general_args": {"overwrite_defaults": False},
+        "repetition_strategy": {"n_augmentations": [1, 1],
+                                "order": ["global_1", "local"]},
+        "transforms": {"train_transforms": {
+            "global_1": {"RandomResizedCrop": {"apply": True, "size": 24}},
+            "local": {"RandomResizedCrop": {"apply": True, "size": 8}}}},
+    }
+    spath = tmp_path / "strategy.json"
+    spath.write_text(json.dumps(strategy))
+    params = EDict({"dataset_params":
+                    {"augmentation_strategy_path": str(spath)}})
+    spec = resolve_strategy_spec(params, "dino")
+    assert spec["n_global"] == 2 and spec["n_local"] == 8  # builtin
+
+
+def test_locals_before_globals_strategy_rejected(tmp_path):
+    import json
+
+    import pytest as pt
+
+    from apla_tpu.ssl.multicrop import spec_from_strategy_json
+    strategy = {
+        "general_args": {"overwrite_defaults": True},
+        "repetition_strategy": {"n_augmentations": [4, 2],
+                                "order": ["local", "global_1"]},
+        "transforms": {"train_transforms": {
+            "global_1": {"RandomResizedCrop": {"apply": True, "size": 24}},
+            "local": {"RandomResizedCrop": {"apply": True, "size": 8}}}},
+    }
+    with pt.raises(ValueError, match="before local"):
+        spec_from_strategy_json(strategy)
