@@ -158,24 +158,39 @@ def load_transfer_checkpoint(path: str):
 
 
 def adopt_pytree(template, loaded, where="checkpoint"):
-    """Strict adoption: `loaded` must match `template`'s structure and leaf
-    shapes (the reference loads with strict=True, wrappers.py:177-179)."""
-    ts = jax.tree.structure(template)
-    ls = jax.tree.structure(loaded)
-    if ts != ls:
-        raise ValueError(
-            f"transfer {where}: structure mismatch\n  model: {ts}\n"
-            f"  loaded: {ls}")
+    """Adoption with the reference's strictness (pretrained_loader.py:27-30:
+    strict load, but UNEXPECTED checkpoint keys tolerated while MISSING
+    keys are an error): every leaf of `template` must be found in `loaded`
+    with a matching shape; extra keys in `loaded` (e.g. an SSL backbone's
+    mask_token / LayerScale when fine-tuning without them) are ignored."""
 
-    def pick(t, l):
+    def walk(t, l, path):
+        if isinstance(t, dict):
+            if not isinstance(l, dict):
+                raise ValueError(f"transfer {where}: {path or '<root>'} is "
+                                 f"a dict in the model, {type(l)} loaded")
+            missing = [k for k in t if k not in l]
+            if missing:
+                raise ValueError(
+                    f"transfer {where}: missing keys at {path or '<root>'}:"
+                    f" {missing}")
+            return {k: walk(t[k], l[k], f"{path}.{k}") for k in t}
+        if isinstance(t, (list, tuple)):
+            if not isinstance(l, (list, tuple)) or len(l) != len(t):
+                raise ValueError(
+                    f"transfer {where}: sequence mismatch at {path}")
+            out = [walk(ti, li, f"{path}[{i}]")
+                   for i, (ti, li) in enumerate(zip(t, l))]
+            return type(t)(out) if isinstance(t, tuple) else out
         l = np.asarray(l)
         t_shape = tuple(np.shape(t))
         if l.shape != t_shape:
             raise ValueError(
-                f"transfer {where}: leaf shape mismatch {l.shape} vs "
-                f"{t_shape}")
+                f"transfer {where}: leaf shape mismatch at {path}: "
+                f"{l.shape} vs {t_shape}")
         return l
-    return jax.tree.map(pick, template, loaded)
+
+    return walk(template, loaded, "")
 
 
 def transfer_into(trainable, frozen, path: str, where="wrapper"):

@@ -343,3 +343,36 @@ def test_locals_before_globals_strategy_rejected(tmp_path):
     }
     with pt.raises(ValueError, match="before local"):
         spec_from_strategy_json(strategy)
+
+
+def test_dinov2_pretrain_to_supervised_finetune_transfer(tmp_path):
+    """The canonical APLA workflow: DINOv2 pre-train checkpoint adopts
+    backbone-only into a supervised fine-tune wrapper."""
+    from apla_tpu.ssl.dinov2 import DINOv2Wrapper
+    from apla_tpu.train.checkpoint import save_checkpoint
+    from apla_tpu.utils.config import load_merged_params
+    from apla_tpu.wrapper import DefaultWrapper
+    import os
+
+    V2 = os.path.join(os.path.dirname(__file__), "..", "params",
+                      "synthetic", "vit_tiny", "dinov2.yml")
+    p1 = load_merged_params(V2)
+    p1.training_params.save_dir = str(tmp_path)
+    p1.dataset_params.synthetic_size = 8
+    for ld in ("trainloader", "valloader", "testloader"):
+        p1.dataloader_params[ld].batch_size = 8
+    w1 = DINOv2Wrapper(p1)
+    w1.instantiate(seed=0)
+    ck = str(tmp_path / "ssl_ck")
+    save_checkpoint(ck, state=w1.state, frozen=w1.frozen, epoch=0,
+                    parameters=dict(p1))
+
+    p2 = load_merged_params(PARAMS)
+    p2.training_params.save_dir = str(tmp_path)
+    p2.transfer_learning_params = {"pretrained_path": ck}
+    w2 = DefaultWrapper(p2)
+    w2.instantiate(seed=3)
+    # backbone adopted from the SSL student; fc head fresh
+    np.testing.assert_array_equal(
+        np.asarray(w2.state.trainable["backbone"]["blocks"]["proj_wt"]),
+        np.asarray(w1.state.trainable["backbone"]["blocks"]["proj_wt"]))
