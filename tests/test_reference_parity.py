@@ -30,6 +30,11 @@ class _C:  # inert stand-in class for stubbed transforms
 def _stub(name, **attrs):
     m = types.ModuleType(name)
     m.__file__ = f"<stub {name}>"
+    # a real ModuleSpec: later imports of libraries that probe optional
+    # deps via importlib (transformers checks wandb.__spec__) would
+    # otherwise die on the spec-less stub ("ValueError: __spec__ is None")
+    import importlib.machinery
+    m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     for k, v in attrs.items():
         setattr(m, k, v)
     sys.modules[name] = m
