@@ -411,3 +411,54 @@ def convert_vit_hf_dinov2_state_dict(sd: dict, depth: int) -> dict:
     params["blocks"] = jax.tree.map(
         lambda *xs: np.stack(xs), *blocks)
     return params
+
+
+def export_swin_hf_state_dict(params: dict) -> dict:
+    """Our Swin param pytree -> HF `SwinModel` state_dict naming (numpy
+    values; inverse of `convert_swin_hf_state_dict`, round-trip tested).
+    Lets a model fine-tuned here be loaded back into the torch ecosystem
+    (`SwinModel.load_state_dict` after torch.from_numpy)."""
+    import numpy as np
+
+    sd = {}
+
+    def put_lin(prefix, p):
+        sd[prefix + ".weight"] = np.asarray(p["kernel"]).T
+        if "bias" in p:
+            sd[prefix + ".bias"] = np.asarray(p["bias"])
+
+    def put_ln(prefix, p):
+        sd[prefix + ".weight"] = np.asarray(p["scale"])
+        sd[prefix + ".bias"] = np.asarray(p["bias"])
+
+    sd["embeddings.patch_embeddings.projection.weight"] = \
+        np.asarray(params["patch_embed"]["kernel"]).transpose(3, 2, 0, 1)
+    sd["embeddings.patch_embeddings.projection.bias"] = \
+        np.asarray(params["patch_embed"]["bias"])
+    if "patch_norm" in params:
+        put_ln("embeddings.norm", params["patch_norm"])
+
+    for s, stage in enumerate(params["stages"]):
+        base = f"encoder.layers.{s}"
+        for i, blk in enumerate(stage["blocks"]):
+            b = f"{base}.blocks.{i}"
+            qkv_k = np.asarray(blk["attn"]["qkv"]["kernel"])
+            qkv_b = np.asarray(blk["attn"]["qkv"]["bias"])
+            d = qkv_k.shape[0]
+            for j, name in enumerate(("query", "key", "value")):
+                put_lin(f"{b}.attention.self.{name}",
+                        {"kernel": qkv_k[:, j * d:(j + 1) * d],
+                         "bias": qkv_b[j * d:(j + 1) * d]})
+            sd[f"{b}.attention.self.relative_position_bias_table"] = \
+                np.asarray(blk["attn"]["rel_bias"])
+            put_lin(f"{b}.attention.output.dense", blk["attn"]["proj"])
+            put_ln(f"{b}.layernorm_before", blk["norm1"])
+            put_ln(f"{b}.layernorm_after", blk["norm2"])
+            put_lin(f"{b}.intermediate.dense", blk["mlp"]["fc1"])
+            put_lin(f"{b}.output.dense", blk["mlp"]["fc2"])
+        if "downsample" in stage:
+            put_lin(f"{base}.downsample.reduction",
+                    stage["downsample"]["reduction"])
+            put_ln(f"{base}.downsample.norm", stage["downsample"]["norm"])
+    put_ln("layernorm", params["norms"][-1])
+    return sd

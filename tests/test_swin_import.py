@@ -146,3 +146,42 @@ def test_hf_dinov2_ckpt_through_wrapper(tmp_path):
     got = np.asarray(
         wrapper.frozen["backbone"]["blocks"]["attn"]["qkv"]["kernel"][0])
     np.testing.assert_allclose(got[:, :192], q.numpy().T, rtol=1e-6)
+
+
+def test_swin_hf_export_round_trip():
+    """export -> import is the identity, and the exported dict loads into
+    a real SwinModel (strict on the importable subset)."""
+    import jax
+
+    from apla_tpu.models.swin import SwinConfig, init_swin_params
+    from apla_tpu.utils.pretrained import (convert_swin_hf_state_dict,
+                                           export_swin_hf_state_dict)
+
+    cfg = SwinConfig(img_size=56, patch_size=4, embed_dim=32, depths=(2, 2),
+                     num_heads=(2, 4), window_size=7)
+    params = init_swin_params(jax.random.PRNGKey(0), cfg)
+    sd = export_swin_hf_state_dict(params)
+    back = convert_swin_hf_state_dict(sd, depths=(2, 2))
+    flat_a = {str(p): v for p, v in
+              jax.tree_util.tree_flatten_with_path(params)[0]}
+    flat_b = {str(p): v for p, v in
+              jax.tree_util.tree_flatten_with_path(back)[0]}
+    assert set(flat_a) == set(flat_b)
+    for key in flat_a:
+        if "norms" in key and "norms'], SequenceKey(idx=1)" not in key:
+            continue  # intermediate pyramid norms have no HF counterpart
+        np.testing.assert_allclose(np.asarray(flat_a[key]),
+                                   np.asarray(flat_b[key]), rtol=1e-6,
+                                   err_msg=key)
+
+    # loads into a real HF SwinModel
+    from transformers import SwinConfig as HFSwinConfig, SwinModel
+    hf = SwinModel(HFSwinConfig(image_size=56, patch_size=4, embed_dim=32,
+                                depths=[2, 2], num_heads=[2, 4],
+                                window_size=7), add_pooling_layer=False)
+    tensors = {k: torch.from_numpy(np.ascontiguousarray(v))
+               for k, v in sd.items()}
+    missing, unexpected = hf.load_state_dict(tensors, strict=False)
+    assert not unexpected, unexpected
+    # only non-param buffers (relative_position_index) may be missing
+    assert all("relative_position_index" in k for k in missing), missing
