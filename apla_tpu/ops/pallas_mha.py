@@ -157,8 +157,12 @@ def _vmem_bwd(scale, n_real, res, do):
 _vmem_mha_padded.defvjp(_vmem_fwd, _vmem_bwd)
 
 
-# VMEM budget: q,k,v,o [HB,Np,D] bf16 + scores/p [HB,Np,Np] f32 (+ bwd temps)
-_MAX_VMEM_N = 1024
+# VMEM budget: the BACKWARD kernel holds s, p, dp as f32 [HB, Np, Np]
+# simultaneously (plus q/k/v/do/ds), so with HB=2 the working set is
+# ~24*Np^2 bytes + O(Np*D) — Np=512 is ~10 MB (fits the 16 MB v5e VMEM),
+# Np=896 would be ~19 MB and fail Mosaic allocation.  The blockwise flash
+# kernel covers longer sequences.
+_MAX_VMEM_N = 512
 
 
 def fits_vmem(n: int) -> bool:
@@ -166,7 +170,7 @@ def fits_vmem(n: int) -> bool:
 
 
 def vmem_mha(q, k, v, scale: float = 1.0):
-    """q, k, v: [B, N, H, Dh] -> [B, N, H, Dh].  Requires N <= ~1024."""
+    """q, k, v: [B, N, H, Dh] -> [B, N, H, Dh].  Requires N <= ~512."""
     B, N, H, D = q.shape
     Np = _pad_n(N)
 

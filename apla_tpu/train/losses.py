@@ -19,8 +19,12 @@ def cross_entropy(logits, labels):
 
 def bce_with_logits(logits, labels):
     logits = logits.astype(jnp.float32)
-    return optax.sigmoid_binary_cross_entropy(
-        logits, labels.astype(jnp.float32)).mean()
+    labels = labels.astype(jnp.float32)
+    if labels.ndim == logits.ndim - 1:
+        # binary head: logits [B, 1] vs integer labels [B] — align instead
+        # of letting numpy broadcasting silently build a [B, B] loss
+        labels = labels[..., None]
+    return optax.sigmoid_binary_cross_entropy(logits, labels).mean()
 
 
 def get_criterion(task: str, is_multiclass: bool):

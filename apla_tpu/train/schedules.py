@@ -96,7 +96,15 @@ class LRScheduler:
         main_iters = max(self.total_iters - self.warmup_iters, 1)
 
         if "OneCycleLR" in self.types:
-            base = self._one_cycle(it)
+            # composed as the docstring promises: an explicit LinearWarmup
+            # ramps FIRST, then the cycle runs over the remaining iters
+            # (div_factor=1.0 then starts the cycle at max_lr, line 88-90)
+            if it < self.warmup_iters and self.warmup_iters > 0:
+                frac = (it + 1) / self.warmup_iters
+                base = self.warmup_eta_min \
+                    + frac * (self.max_lr - self.warmup_eta_min)
+            else:
+                base = self._one_cycle(it - self.warmup_iters)
         elif it < self.warmup_iters and self.warmup_iters > 0:
             frac = (it + 1) / self.warmup_iters
             base = self.warmup_eta_min + frac * (self.max_lr - self.warmup_eta_min)
@@ -120,7 +128,7 @@ class LRScheduler:
         return base * self._plateau_factor
 
     def _one_cycle(self, it: int) -> float:
-        total = max(self.total_iters, 1)
+        total = max(self.total_iters - self.warmup_iters, 1)
         init_lr = self.max_lr / self._oc_div
         final_lr = init_lr / self._oc_final_div
         up = max(int(self._oc_pct_start * total), 1)

@@ -87,15 +87,23 @@ class Trainer:
             return
         state, frozen, manifest, best_trainable, _ = load_checkpoint(
             path, state_template=self.state, frozen_template=self.frozen)
-        self.state = state  # host arrays; jit re-places them on first step
-        if frozen is not None:
-            self.frozen = self._place_frozen(frozen)
-        if not self.restore_only_model:
+        if self.restore_only_model:
+            # weights only (reference bases.py restore_only_model): keep
+            # the FRESH optimizer state and step counter
+            self.state = self.state.replace(trainable=state.trainable)
+        else:
+            self.state = state  # host arrays; jit re-places on first step
             self.iters = manifest["iters"]
-            self.epoch0 = manifest["epoch"]
+            # derive the resume epoch from the iteration count: a
+            # checkpoint written at exact completion then resumes as a
+            # no-op instead of re-training the stored epoch index
+            self.epoch0 = self.iters // max(
+                len(self.wrapper.dataloaders.trainloader), 1)
             if manifest.get("best_val_target") is not None:
                 self.best_val_target = manifest["best_val_target"]
             self.scheduler.load_state_dict(manifest.get("scheduler", {}))
+        if frozen is not None:
+            self.frozen = self._place_frozen(frozen)
         self.best_trainable = best_trainable
         print(cyan(f"Restored session from {path} at iter {self.iters}"))
 
@@ -167,13 +175,20 @@ class Trainer:
                    f"{steps_per_epoch} steps, mesh={self.mesh.shape}"))
         t_start = time.time()
         images_seen = 0
+        # mid-epoch resume: skip the batches of epoch0 that were already
+        # trained (the loader's shuffle is deterministic in (seed, epoch),
+        # so the remainder replays exactly the untrained tail)
+        skip_first = self.iters % steps_per_epoch if self.iters else 0
         from ..data.loader import device_prefetch
         for epoch in range(self.epoch0, self.epochs):
             loader.set_epoch(epoch)
+            skip = skip_first if epoch == self.epoch0 else 0
             # 1-deep device prefetch: batch N+1 ships to HBM while step N
             # computes — H2D off the critical path
-            for batch, dbatch in device_prefetch(loader,
-                                                 self._device_batch):
+            for bi, (batch, dbatch) in enumerate(
+                    device_prefetch(loader, self._device_batch)):
+                if bi < skip:
+                    continue
                 lr = self.scheduler.lr(self.iters)
                 self.state, m = self.train_step(
                     self.state, self.frozen, dbatch, lr, self.rng)
@@ -216,6 +231,10 @@ class Trainer:
                     print(yellow("Preemption signal received — saving "
                                  f"checkpoint at iter {self.iters}"))
                     self.save_session(epoch, verbose=True)
+                    from .checkpoint import wait_for_async_save
+                    wait_for_async_save()  # a daemon-thread write killed
+                    # at process exit would corrupt the checkpoint exactly
+                    # when preemption needs it
                     self.logger.finish()
                     return
 
@@ -234,8 +253,13 @@ class Trainer:
                                 prefix="val")
         val_target = results.get(f"val_{self.target_metric}")
         val_loss = results.get("val_loss")
-        self.scheduler.epoch_feedback(val_target=val_target,
-                                      val_loss=val_loss)
+        # plateau patience counts EPOCHS (reference steps ReduceLROnPlateau
+        # once per steps_per_epoch) — with val_every < 1 this hook fires
+        # several times per epoch, so feed the scheduler once per epoch
+        if epoch != getattr(self, "_plateau_fed_epoch", -1):
+            self.scheduler.epoch_feedback(val_target=val_target,
+                                          val_loss=val_loss)
+            self._plateau_fed_epoch = epoch
         if val_target is not None and val_target >= self.best_val_target:
             self.best_val_target = val_target
             if self.save_best_model:
@@ -253,11 +277,8 @@ class Trainer:
         bs = loader.batch_size
         for batch in loader:
             n = batch["label"].shape[0]
-            if n < bs:  # pad to the compiled shape
-                batch = {k: (np.concatenate(
-                                 [v, np.repeat(v[-1:], bs - n, 0)])
-                             if not isinstance(v, list) else v)
-                         for k, v in batch.items()}
+            if n < bs:  # pad to the compiled shape (edge mode)
+                batch, _ = pad_to_multiple(batch, bs)
             labels = batch["label"][:n]
             losses, logits = self.eval_step(trainable, self.frozen,
                                             self._device_batch(batch))
@@ -306,14 +327,21 @@ class Trainer:
         branch + BYOL/trainer.py:97-166)."""
         trainable = self.state.trainable if trainable is None else trainable
         fb_loader = self.wrapper.dataloaders.fbank_loader
+        # pad short final batches to the compiled shape — an unpadded tail
+        # batch would retrace/recompile the jitted embed step per shape
         feats, labels = build_feature_bank(
-            self.embed_step, trainable, self.frozen, fb_loader)
+            self.embed_step, trainable, self.frozen, fb_loader,
+            pad_batch=fb_loader.batch_size)
         knn_k = min(self.knn_nhood, len(labels))
         metric = self.wrapper.metric_class(self.n_classes,
                                            mode=f"knn_{prefix}")
         for batch in loader:
+            n = batch["label"].shape[0]
+            if n < loader.batch_size:
+                batch, _ = pad_to_multiple(batch, loader.batch_size)
             emb = np.asarray(self.embed_step(trainable, self.frozen,
-                                             batch["image"]))
+                                             batch["image"]))[:n]
+            batch = {k: v[:n] for k, v in batch.items()}
             if self.wrapper.is_multiclass:
                 scores = knn_predict(emb, feats, labels.astype(np.int32),
                                      knn_k=knn_k, knn_t=0.07,

@@ -138,6 +138,11 @@ def main(parameters, args):
         trainer.test(chpt_path=args.pretrained_path)
     else:
         trainer.train()
+        if getattr(trainer, "_preempted", False):
+            # preemption saved a checkpoint and must exit promptly — do
+            # not burn the grace period on a test-set evaluation
+            print("Preempted: checkpoint saved, skipping test.")
+            return
         if wrapper.is_supervised:
             trainer.test()
 

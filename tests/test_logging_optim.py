@@ -252,3 +252,33 @@ def test_skip_nonfinite_updates():
     state, m = step(state, frozen, good, 1e-3, jax.random.PRNGKey(1))
     assert int(m["nonfinite"]) == 0
     assert np.abs(np.asarray(state.trainable["fc"]["kernel"]) - w0).max() > 0
+
+
+def test_bce_binary_no_broadcast():
+    """Binary head (logits [B,1], integer labels [B]) must not broadcast
+    into a [B,B] loss matrix (silent wrong objective)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from apla_tpu.train.losses import bce_with_logits
+
+    logits = jnp.asarray([[2.0], [-1.0], [0.5], [-0.2]])
+    labels = jnp.asarray([1, 0, 0, 1])
+    got = float(bce_with_logits(logits, labels))
+    want = float(optax.sigmoid_binary_cross_entropy(
+        logits[:, 0], labels.astype(jnp.float32)).mean())
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_onecycle_with_warmup_ramps():
+    """OneCycleLR + LinearWarmup: LR must ramp from ~eta_min, not start at
+    max_lr."""
+    from apla_tpu.train.schedules import LRScheduler
+    s = LRScheduler(["LinearWarmup", "OneCycleLR"],
+                    {"LinearWarmup": {"warmup_iters": 100},
+                     "OneCycleLR": {"pct_start": 0.3}},
+                    max_lr=1.0, steps_per_epoch=100, epochs=10)
+    assert s.lr(0) < 0.05            # ramping, not max_lr
+    assert abs(s.lr(99) - 1.0) < 0.02  # warmup tops out at max_lr
+    assert s.lr(100) <= 1.0 + 1e-6   # cycle starts at max_lr (div=1)
+    assert s.lr(999) < 0.01          # anneals to final_lr
