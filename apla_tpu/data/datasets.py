@@ -455,9 +455,13 @@ class _CsvWithSeededSplit(BaseSet):
 
     def get_data_as_list(self):
         df = self.frame()
+        # frame() returns a dict of columns — the sample count is a
+        # COLUMN's length, not len(dict) (which is the number of keys and
+        # would collapse the dataset to 2 rows)
+        n_samples = len(df["img_path"])
         val_id_json = os.path.join(self.root_dir, "val_ids.json")
         train_ids, test_val_ids = self.get_validation_ids(
-            total_size=len(df), val_size=self.val_size,
+            total_size=n_samples, val_size=self.val_size,
             json_path=val_id_json, dataset_name=self.name)
         half = len(test_val_ids) // 2
         val_ids, test_ids = test_val_ids[:half], test_val_ids[half:]

@@ -59,6 +59,13 @@ def device_prefetch(loader, put_fn, depth: int = 1):
     yield from buf
 
 
+class _ProducerError:
+    """Carries a producer-thread exception through the batch queue."""
+
+    def __init__(self, exc):
+        self.exc = exc
+
+
 class DataLoader:
     def __init__(self, dataset, batch_size=32, shuffle=False, drop_last=False,
                  num_workers=8, prefetch_factor=4, seed=0, collate_fn=None,
@@ -118,13 +125,21 @@ class DataLoader:
             return False
 
         def producer():
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                for idxs in batches:
-                    if stop.is_set():
-                        return
-                    samples = list(pool.map(self._load_sample, idxs))
-                    if not put_checking_stop(self.collate_fn(samples)):
-                        return
+            # a sample-load/collate exception must reach the consumer —
+            # dying without the sentinel would leave the main thread
+            # blocked on q.get() forever (silent hang instead of the
+            # data error)
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    for idxs in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(self._load_sample, idxs))
+                        if not put_checking_stop(self.collate_fn(samples)):
+                            return
+            except BaseException as e:  # noqa: BLE001
+                put_checking_stop(_ProducerError(e))
+                return
             put_checking_stop(None)
 
         t = threading.Thread(target=producer, daemon=True)
@@ -134,6 +149,9 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, _ProducerError):
+                    raise RuntimeError(
+                        "DataLoader worker failed") from item.exc
                 yield item
         finally:
             stop.set()

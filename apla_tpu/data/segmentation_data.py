@@ -58,10 +58,12 @@ class ADE20KSegmentation:
         if label.ndim == 3:
             label = label[..., 0]
         if self.reduce_zero_label:
-            # mmseg ADE20K: 0 = unlabeled -> ignore; classes 1..150 -> 0..149
+            # mmseg ADE20K: 0 = unlabeled -> ignore; classes 1..150 -> 0..149;
+            # a raw 255 shifts to 254 and must ALSO map back to ignore
+            # (mmseg sets it to 255 after the shift)
             label = label.astype(np.int64)
             label = np.where(label == 0, 256, label) - 1
-            label = np.where(label >= 255, self.ignore_index, label)
+            label = np.where(label >= 254, self.ignore_index, label)
         return {"image": arr.astype(np.float32),
                 "label": label.astype(np.int32)}
 

@@ -85,7 +85,12 @@ class CenterCrop(Transform):
         th, tw = self.size
         w, h = img.size
         if w < tw or h < th:
-            img = ImageOps.pad(img, (max(w, tw), max(h, th)))
+            # torchvision CenterCrop zero-pads undersized images WITHOUT
+            # rescaling (ImageOps.pad would contain-fit resize the content
+            # first, changing the pixel scale vs the reference pipeline)
+            padded = Image.new(img.mode, (max(w, tw), max(h, th)))
+            padded.paste(img, ((max(w, tw) - w) // 2, (max(h, th) - h) // 2))
+            img = padded
             w, h = img.size
         left = (w - tw) // 2
         top = (h - th) // 2

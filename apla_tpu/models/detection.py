@@ -307,7 +307,7 @@ class DetectionAP:
         return float(np.mean(aps)) if aps else 0.0
 
 
-def make_detection_train_step(swin_cfg, tx, strides=(4, 8)):
+def make_detection_train_step(swin_cfg, tx, strides=None):
     """Jitted detection train step: APLA-Swin backbone -> lateral 1x1s ->
     FCOS head -> batched FCOS loss -> optimizer update.  The first-class
     analogue of `make_train_step` for the detection side-car (the reference
@@ -320,6 +320,12 @@ def make_detection_train_step(swin_cfg, tx, strides=(4, 8)):
     import optax
 
     from .swin import swin_features
+
+    if strides is None:
+        # one pyramid level per Swin stage: patch stride 4, doubling per
+        # merge — a fixed (4, 8) default would mismatch the stock 4-stage
+        # config and index out of range in the loss
+        strides = tuple(4 * 2 ** i for i in range(len(swin_cfg.depths)))
 
     def step(trainable, opt_state, frozen, batch):
         def loss_fn(t):

@@ -253,7 +253,11 @@ def interpolate_pos_embed(pos_embed, npatch: int, num_prefix: int = 1):
     gs_old = int(math.sqrt(n_orig))
     gs_new = int(math.sqrt(npatch))
     grid = patch_pos.reshape(gs_old, gs_old, dim).astype(jnp.float32)
-    resized = jax.image.resize(grid, (gs_new, gs_new, dim), method="bicubic")
+    # antialias=False: torch F.interpolate(mode="bicubic") does not
+    # antialias, and the 518->224 dinov2 import is a DOWNSCALE where
+    # jax's default antialias filter would perturb every position
+    resized = jax.image.resize(grid, (gs_new, gs_new, dim),
+                               method="bicubic", antialias=False)
     resized = resized.reshape(1, gs_new * gs_new, dim).astype(pos_embed.dtype)
     return jnp.concatenate([prefix, resized], axis=1)
 

@@ -50,6 +50,8 @@ def convert_torch_vit_state_dict(sd: dict, depth: int, use_swiglu=False,
     }
     if "register_tokens" in sd:
         params["register_tokens"] = _np(sd["register_tokens"])
+    if "mask_token" in sd:
+        params["mask_token"] = _np(sd["mask_token"]).reshape(1, 1, -1)
 
     blocks = []
     for i in range(depth):

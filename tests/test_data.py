@@ -138,3 +138,26 @@ def test_reference_metric_choices():
         "mean_per_class_accuracy"
     assert get_dataset_class("CIFAR_100").n_classes == 100
     assert get_dataset_class("NABirds").n_classes == 555
+
+
+def test_loader_surfaces_worker_exception():
+    """A sample-load failure must raise in the consumer, not deadlock the
+    producer queue."""
+    import pytest as pt
+
+    from apla_tpu.data.loader import DataLoader
+
+    class Broken:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, idx, rng=None):
+            if idx == 3:
+                raise OSError("corrupt image")
+            import numpy as np
+            return {"image": np.zeros((4, 4, 3), np.float32), "label": 0}
+
+    loader = DataLoader(Broken(), batch_size=4, num_workers=2)
+    with pt.raises(RuntimeError, match="worker failed"):
+        for _ in loader:
+            pass

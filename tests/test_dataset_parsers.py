@@ -202,3 +202,41 @@ def test_simple_csv_layout(tmp_path):
                    mode="val")
     assert len(ds) == 4
     assert ds[1]["label"] == 1
+
+
+def test_isic2019_seeded_split_counts(tmp_path):
+    """ISIC2019 frame() returns a dict of columns — the split must use the
+    COLUMN length (20 samples), not len(dict)==2 (which silently collapsed
+    the dataset to 2 rows)."""
+    import numpy as np
+
+    from apla_tpu.data.datasets import ISIC2019
+
+    root = tmp_path / "isic"
+    (root / "train").mkdir(parents=True)
+    names = [f"ISIC_{i:07d}" for i in range(20)]
+    header = "image,MEL,NV,BCC,AK,BKL,DF,VASC,SCC"
+    rows = [header]
+    rng = np.random.default_rng(0)
+    for n in names:
+        onehot = np.zeros(8, int)
+        onehot[rng.integers(0, 8)] = 1
+        rows.append(n + "," + ",".join(map(str, onehot)))
+    (root / "ISIC_2019_Training_GroundTruth.csv").write_text(
+        "\n".join(rows))
+
+    params = {"data_location": str(tmp_path), "train_transforms": {},
+              "val_transforms": {}, "test_transforms": {}}
+
+    class _Set(ISIC2019):
+        name = "isic"
+        def __init__(self, mode):
+            self.mode = mode
+            self.root_dir = str(root)
+            self.data = self.get_data_as_list()
+
+    train, val, test = _Set("train"), _Set("val"), _Set("test")
+    assert len(train.data) == 16          # 20 - int(0.2*20)
+    assert len(val.data) + len(test.data) == 4
+    all_paths = {d["img_path"] for s in (train, val, test) for d in s.data}
+    assert len(all_paths) == 20           # disjoint full coverage
