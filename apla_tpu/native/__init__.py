@@ -21,9 +21,15 @@ _SO = os.path.join(_HERE, "libimage_ops.so")
 _lock = threading.Lock()
 
 lib = None
+_build_failed = False
 
 
 def _build() -> bool:
+    global _build_failed
+    if _build_failed:
+        # cache the failure like the jpeg path does — retrying would run a
+        # (up to 120 s) g++ subprocess under _lock on EVERY call
+        return False
     if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
         return True
     try:
@@ -32,6 +38,7 @@ def _build() -> bool:
             check=True, capture_output=True, timeout=120)
         return True
     except Exception:
+        _build_failed = True
         return False
 
 

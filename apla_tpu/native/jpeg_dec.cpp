@@ -18,6 +18,8 @@
 
 #include <jpeglib.h>
 
+#include "bilinear_u8.h"
+
 namespace {
 
 struct ErrMgr {
@@ -28,37 +30,6 @@ struct ErrMgr {
 void on_error(j_common_ptr cinfo) {
     ErrMgr* err = reinterpret_cast<ErrMgr*>(cinfo->err);
     longjmp(err->jump, 1);
-}
-
-void bilinear_u8(const uint8_t* src, int sh, int sw, int c,
-                 uint8_t* dst, int dh, int dw) {
-    const float sy = (float)sh / dh, sx = (float)sw / dw;
-    for (int y = 0; y < dh; ++y) {
-        float fy = (y + 0.5f) * sy - 0.5f;
-        int y0 = (int)std::floor(fy);
-        float wy = fy - y0;
-        int y1 = std::min(y0 + 1, sh - 1);
-        y0 = std::max(y0, 0);
-        for (int x = 0; x < dw; ++x) {
-            float fx = (x + 0.5f) * sx - 0.5f;
-            int x0 = (int)std::floor(fx);
-            float wx = fx - x0;
-            int x1 = std::min(x0 + 1, sw - 1);
-            x0 = std::max(x0, 0);
-            const uint8_t* p00 = src + (y0 * sw + x0) * c;
-            const uint8_t* p01 = src + (y0 * sw + x1) * c;
-            const uint8_t* p10 = src + (y1 * sw + x0) * c;
-            const uint8_t* p11 = src + (y1 * sw + x1) * c;
-            uint8_t* o = dst + (y * dw + x) * c;
-            for (int ch = 0; ch < c; ++ch) {
-                float top = p00[ch] * (1 - wx) + p01[ch] * wx;
-                float bot = p10[ch] * (1 - wx) + p11[ch] * wx;
-                o[ch] = (uint8_t)std::min(
-                    std::max(top * (1 - wy) + bot * wy + 0.5f, 0.0f),
-                    255.0f);
-            }
-        }
-    }
 }
 
 }  // namespace
@@ -78,9 +49,13 @@ int jpeg_decode_resize(const uint8_t* data, long len,
                        int* got_h, int* got_w) {
     jpeg_decompress_struct cinfo;
     ErrMgr jerr;
+    // volatile: survives the longjmp so a decode error mid-scanlines can
+    // free the temp buffer (it leaked per corrupt file otherwise)
+    uint8_t* volatile tmp_guard = nullptr;
     cinfo.err = jpeg_std_error(&jerr.pub);
     jerr.pub.error_exit = on_error;
     if (setjmp(jerr.jump)) {
+        delete[] tmp_guard;
         jpeg_destroy_decompress(&cinfo);
         return 1;
     }
@@ -114,6 +89,7 @@ int jpeg_decode_resize(const uint8_t* data, long len,
     bool expand_gray = (c == 1);
     if (need_resize || expand_gray) {
         tmp = new uint8_t[(size_t)dh * dw * c];
+        tmp_guard = tmp;
         target = tmp;
     } else if ((long)dh * dw * c > out_cap) {
         jpeg_destroy_decompress(&cinfo);
@@ -135,6 +111,7 @@ int jpeg_decode_resize(const uint8_t* data, long len,
         }
         delete[] tmp;
         tmp = rgb;
+        tmp_guard = tmp;
         target = tmp;
     }
 
@@ -143,7 +120,7 @@ int jpeg_decode_resize(const uint8_t* data, long len,
             delete[] tmp;
             return 3;
         }
-        bilinear_u8(target, dh, dw, 3, out, out_h, out_w);
+        bilinear_resize_u8(target, dh, dw, 3, out, out_h, out_w);
         *got_h = out_h;
         *got_w = out_w;
         delete[] tmp;

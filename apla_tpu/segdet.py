@@ -70,17 +70,21 @@ def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
         segmenter_forward(t, f, im, cfg), axis=-1))
 
     def evaluate():
-        ious, seen = [], 0
+        from .parallel.mesh import pad_to_multiple
+        ious = []
         vloader = DataLoader(val_ds, batch_size=batch_size, shuffle=False,
-                             drop_last=True, num_workers=num_workers,
+                             drop_last=False, num_workers=num_workers,
                              collate_fn=segmentation_collate)
         for i, b in enumerate(vloader):
             if eval_batches is not None and i >= eval_batches:
                 break
-            pred = eval_fwd(trainable, frozen, jnp.asarray(b["image"]))
-            ious.append(mean_iou(pred, b["label"],
+            n = b["image"].shape[0]
+            if n < batch_size:  # pad the tail to the compiled shape
+                b, _ = pad_to_multiple(b, batch_size)
+            pred = np.asarray(eval_fwd(trainable, frozen,
+                                       jnp.asarray(b["image"])))[:n]
+            ious.append(mean_iou(pred, b["label"][:n],
                                  n_classes=train_ds.n_classes))
-            seen += 1
         return float(np.mean(ious)) if ious else 0.0
 
     it, t0 = 0, time.time()
@@ -144,9 +148,10 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
     loader = DataLoader(ds, batch_size=batch_size, shuffle=True,
                         drop_last=True, num_workers=num_workers,
                         collate_fn=detection_collate, seed=seed)
-    key = jax.random.PRNGKey(seed)
-    swin_params = init_swin_params(key, cfg)
-    if sd is not None:
+    key, k_bb = jax.random.split(jax.random.PRNGKey(seed))
+    if sd is None:
+        swin_params = init_swin_params(k_bb, cfg)
+    else:
         # local HF SwinModel checkpoint (torch state_dict) -> our params
         # (oracle-parity-tested importer, tests/test_swin_import.py)
         from .utils.pretrained import convert_swin_hf_state_dict
@@ -183,15 +188,19 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
     eval_name = "val" if val_ds is not ds else "train"
 
     def evaluate():
+        from .parallel.mesh import pad_to_multiple
         metric = DetectionAP(ds.n_classes)
         vloader = DataLoader(val_ds, batch_size=batch_size, shuffle=False,
-                             drop_last=True, num_workers=num_workers,
+                             drop_last=False, num_workers=num_workers,
                              collate_fn=detection_collate)
         for i, b in enumerate(vloader):
             if eval_batches is not None and i >= eval_batches:
                 break
+            n = b["image"].shape[0]
+            if n < batch_size:  # pad the tail to the compiled shape
+                b, _ = pad_to_multiple(b, batch_size)
             outs = fwd(trainable, bb_f, jnp.asarray(b["image"]))
-            for j in range(b["image"].shape[0]):
+            for j in range(n):
                 per_img = [tuple(o[j:j + 1] for o in lvl) for lvl in outs]
                 boxes, scores, labels = decode_detections(per_img, strides)
                 keep = b["labels"][j] >= 0

@@ -231,15 +231,18 @@ def make_byol_train_step(vit_cfg, tx, use_momentum: bool,
         def make_loss_fn(mviews, mrngs, model_state):
             def loss_fn(trainable):
                 ms = model_state["student"]
+                # BN running stats thread through BOTH view forwards
+                # (one update per forward, like torch BN) — passing the
+                # original stats each time would discard view 0's update
                 new_head_s, new_pred_s = ms["head"], ms["predictor"]
                 preds = []
                 for v, view in enumerate(mviews):
                     emb = _encode(trainable.get("backbone"), frozen, view,
                                   vit_cfg, mrngs[v], deterministic=False)
                     proj, new_head_s = byol_head_forward(
-                        emb, trainable["head"], ms["head"], train=True)
+                        emb, trainable["head"], new_head_s, train=True)
                     pred, new_pred_s = prediction_mlp_forward(
-                        proj, trainable["predictor"], ms["predictor"],
+                        proj, trainable["predictor"], new_pred_s,
                         train=True)
                     preds.append(pred)
 
@@ -502,6 +505,7 @@ class BYOLTrainer:
             parameters=self.parameters,
             best_val_target=(None if self.best_val_target == -np.inf
                              else float(self.best_val_target)),
+            best_trainable=self.best_trainable,
             aux_state=self._aux_state(),
             extra={"scheduler": self.scheduler.state_dict()},
             async_save=bool(self.wrapper.training_params.get(
@@ -523,12 +527,15 @@ class BYOLTrainer:
         if not os.path.isdir(path):
             print(yellow(f"restore_session: no checkpoint at {path}"))
             return
-        state, frozen, manifest, _, aux = load_checkpoint(
+        state, frozen, manifest, best, aux = load_checkpoint(
             path, state_template=self.state, frozen_template=self.frozen,
-            aux_template=self._aux_state())
+            aux_template=self._aux_state(),
+            best_template=self._feature_params())
         if aux is not None:
             state = state.replace(**aux)
         self.state = state
+        if best is not None:
+            self.best_trainable = best
         if frozen is not None:
             self.frozen = self._place_frozen(frozen)
         self.iters = manifest["iters"]
@@ -542,14 +549,28 @@ class BYOLTrainer:
         (reference trainer.test with --knn)."""
         if chpt_path and os.path.isdir(chpt_path):
             from ..train.checkpoint import load_checkpoint
-            state, frozen, _, _, aux = load_checkpoint(
+            state, frozen, _, best, aux = load_checkpoint(
                 chpt_path, state_template=self.state,
-                frozen_template=self.frozen, aux_template=self._aux_state())
+                frozen_template=self.frozen, aux_template=self._aux_state(),
+                best_template=self._feature_params())
             if aux is not None:
                 state = state.replace(**aux)
             self.state = state
+            if best is not None:
+                self.best_trainable = best
             if frozen is not None:
                 self.frozen = self._place_frozen(frozen)
+        # evaluate the best feature-branch snapshot (reference test() loads
+        # the best checkpoint); falls back to the current state
+        if self.best_trainable is not None:
+            if self.feature_branch == "teacher" and self.use_momentum:
+                teacher = dict(self.state.teacher)
+                teacher["backbone"] = self.best_trainable
+                self.state = self.state.replace(teacher=teacher)
+            else:
+                trainable = dict(self.state.trainable)
+                trainable["backbone"] = self.best_trainable
+                self.state = self.state.replace(trainable=trainable)
         results = self.evaluate(self.wrapper.dataloaders.testloader)
         from ..utils.logging import cyan
         print(cyan("SSL TEST RESULTS (kNN)"))

@@ -771,6 +771,11 @@ class DINOv2Wrapper(DINOWrapper):
         iters_per_epoch = len(self.dataloaders.trainloader)
         total_iters = iters_per_epoch * int(self.training_params.epochs)
         tp = self.model_params.transformers_params
+        # NOTE: last_layer_lr_schedule is kept for reference-parity
+        # inspection only — the step implements the first-epoch freeze
+        # by ZEROING last_v grads, which is equivalent (post-freeze the
+        # two schedules are identical, and weight decay on the
+        # weight-normalised last layer is direction-invariant)
         (self.lr_schedule, self.wd_schedule, self.momentum_schedule_tbl,
          self.teacher_temp_schedule, self.last_layer_lr_schedule) = \
             build_schedulers(self.optimization_params.default,

@@ -94,10 +94,12 @@ def save_checkpoint(path: str, *, state, frozen=None, epoch: int = 0,
 
 
 def load_checkpoint(path: str, *, state_template, frozen_template=None,
-                    aux_template=None):
+                    aux_template=None, best_template=None):
     """Restore (state, frozen, manifest[, aux via manifest key]).  Templates
     give the pytree structure (msgpack is structure-free, reference
-    `load_state_dict` analogue)."""
+    `load_state_dict` analogue).  `best_template`: structure of the saved
+    best-model snapshot when it differs from the trainable tree (SSL
+    trainers snapshot the feature-branch backbone only)."""
     wait_for_async_save()  # a pending async write must land first
     with open(os.path.join(path, "state.msgpack"), "rb") as f:
         raw = f.read()
@@ -108,7 +110,9 @@ def load_checkpoint(path: str, *, state_template, frozen_template=None,
     # optional keys must exist in the template to round-trip
     payload_probe = serialization.msgpack_restore(raw)
     if "best_trainable" in payload_probe:
-        template["best_trainable"] = template["trainable"]
+        template["best_trainable"] = (
+            _to_host(best_template) if best_template is not None
+            else template["trainable"])
     if "aux_state" in payload_probe and aux_template is not None:
         template["aux_state"] = _to_host(aux_template)
     payload = serialization.from_bytes(template, raw)
@@ -148,7 +152,16 @@ def load_transfer_checkpoint(path: str):
     wait_for_async_save()
     with open(os.path.join(path, "state.msgpack"), "rb") as f:
         payload = serialization.msgpack_restore(f.read())
-    trainable = payload.get("best_trainable") or payload["trainable"]
+    trainable = payload["trainable"]
+    best = payload.get("best_trainable")
+    if best:
+        if isinstance(best, dict) and "backbone" in best:
+            trainable = best            # full-trainable best (supervised)
+        elif isinstance(best, dict) and "backbone" in trainable:
+            # SSL best snapshot = the feature-branch BACKBONE subtree;
+            # graft it into the trainable layout
+            trainable = dict(trainable)
+            trainable["backbone"] = best
     frozen = None
     fpath = os.path.join(path, "frozen.msgpack")
     if os.path.exists(fpath):

@@ -5,7 +5,7 @@ Matches BASELINE.md's target metric (images/sec/chip for ViT-B, patch 14,
 224px, APLA rank 128 supervised fine-tune — the NABirds/ImageNet apla.yml
 recipe).  Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N,
-   "e2e_img_s": N, "pipeline_efficiency": N, "peak_hbm_gb": N}
+   "host_pipeline_img_s": N, "e2e_img_s": N, "hbm_*_gb": N}
 
 - value: device-step throughput (fixed device-resident batch, the compute
   ceiling), timed with a VALUE FETCH barrier (block_until_ready is
@@ -14,8 +14,9 @@ recipe).  Prints ONE JSON line:
   host workers shipping uint8), per-step H2D transfer, device-side
   augmentation tail fused into the jitted step (the reference's hot loop
   includes aug workers + H2D, src/defaults/trainer.py:118-124).
-- peak_hbm_gb: device peak memory after the run (the memory half of the
-  reference's headline claim, README.md:14-16).
+- hbm_args_gb / hbm_temp_gb / hbm_total_gb: compile-time device memory
+  accounting (the memory half of the reference's headline claim,
+  README.md:14-16).
 
 vs_baseline is measured against 280 img/s — an A100-80GB PyTorch+xformers
 estimate for the same recipe (the reference publishes figures, not numbers;
