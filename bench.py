@@ -189,12 +189,19 @@ def bench_host_pipeline():
 
 
 def main():
+    from apla_tpu.models.vit import VIT_BUILDERS
+    from apla_tpu.utils.flops import mfu, vit_train_step_flops
     from apla_tpu.utils.profiling import device_memory_stats
 
     device_ips, mem = bench_device_step()
     mem.update(device_memory_stats())  # runtime stats where exposed
     host_ips = bench_host_pipeline()
     e2e_ips = bench_end_to_end()
+
+    # analytic model FLOPs (fwd + APLA-reduced bwd, matmuls only, no remat
+    # recompute — the standard MFU convention) for the audit trail
+    cfg = VIT_BUILDERS["vit_base"](img_size=224, patch_size=14)
+    fl = vit_train_step_flops(cfg, n_classes=1000, batch=1, apla_k=128)
 
     rec = {
         "metric": "vit_b_apla128_finetune_throughput",
@@ -207,7 +214,9 @@ def main():
         "e2e_img_s": round(e2e_ips, 1),
         "e2e_note": "e2e is tunnel-H2D-bound on axon (~34 MiB/s); "
                     "host pipeline rate is the input-side signal",
+        "flops_per_image_g": round(fl["total_flops"] / 1e9, 1),
     }
+    rec.update(mfu(device_ips, fl["total_flops"]))
     rec.update(mem)
     print(json.dumps(rec))
 
