@@ -91,34 +91,48 @@ class LRScheduler:
         self._oc_strategy = oc.get("anneal_strategy", "cos")
 
     # ------------------------------------------------------------------ #
+    @property
+    def _post_warmup_peak(self) -> float:
+        """LR at the end of warmup, REFERENCE-EXACT: torch LinearWarmup's
+        get_lr guard is `last_epoch > warmup_iters`, so the step at
+        last_epoch == warmup_iters adds one increment too many — the lr
+        actually reached is max_lr + (max_lr - eta_min)/W, and the cosine /
+        polynomial tail telescopes from that value (verified step-for-step
+        against the reference scheduler stack in
+        tests/test_trajectory_parity.py)."""
+        if self.warmup_iters > 0 and "LinearWarmup" in self.types:
+            return self.max_lr + (self.max_lr - self.warmup_eta_min) \
+                / self.warmup_iters
+        return self.max_lr
+
     def lr(self, it: int) -> float:
         """LR at 0-based iteration `it`."""
         main_iters = max(self.total_iters - self.warmup_iters, 1)
 
         if "OneCycleLR" in self.types:
-            # composed as the docstring promises: an explicit LinearWarmup
-            # ramps FIRST, then the cycle runs over the remaining iters
-            # (div_factor=1.0 then starts the cycle at max_lr, line 88-90)
-            if it < self.warmup_iters and self.warmup_iters > 0:
-                frac = (it + 1) / self.warmup_iters
-                base = self.warmup_eta_min \
-                    + frac * (self.max_lr - self.warmup_eta_min)
-            else:
-                base = self._one_cycle(it - self.warmup_iters)
+            # reference composition quirk (MixedLRScheduler, _utils.py:
+            # 369-415): OneCycleLR is iteration-based, so with LinearWarmup
+            # present BOTH step every iteration and OneCycle (later in the
+            # list) overwrites the group lr the warmup just wrote.  The
+            # effective schedule is therefore the bare cycle over ALL
+            # iterations — wrappers.py:272-276 sets div_factor=1.0 so it
+            # starts at max_lr instead of ramping.
+            base = self._one_cycle(it)
         elif it < self.warmup_iters and self.warmup_iters > 0:
             frac = (it + 1) / self.warmup_iters
             base = self.warmup_eta_min + frac * (self.max_lr - self.warmup_eta_min)
         else:
             t = it - self.warmup_iters
+            peak = self._post_warmup_peak
             if "CosineAnnealingLR" in self.types:
                 prog = min(t / main_iters, 1.0)
-                base = self._cos_eta_min + 0.5 * (self.max_lr - self._cos_eta_min) \
+                base = self._cos_eta_min + 0.5 * (peak - self._cos_eta_min) \
                     * (1.0 + math.cos(math.pi * prog))
             elif "PolynomialLR" in self.types:
                 prog = min(t / main_iters, 1.0)
-                base = self.max_lr * (1.0 - prog) ** self._poly_power
+                base = peak * (1.0 - prog) ** self._poly_power
             else:
-                base = self.max_lr
+                base = peak
 
         if self._ms_milestones:
             epoch = it // self.steps_per_epoch
@@ -128,7 +142,10 @@ class LRScheduler:
         return base * self._plateau_factor
 
     def _one_cycle(self, it: int) -> float:
-        total = max(self.total_iters - self.warmup_iters, 1)
+        # the cycle spans ALL iterations (see the composition note in lr():
+        # with LinearWarmup present the reference's OneCycle still runs over
+        # the full horizon, div_factor=1)
+        total = max(self.total_iters, 1)
         init_lr = self.max_lr / self._oc_div
         final_lr = init_lr / self._oc_final_div
         up = max(int(self._oc_pct_start * total), 1)
