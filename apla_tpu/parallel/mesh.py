@@ -62,6 +62,17 @@ def fsdp_sharding_tree(mesh: Mesh, tree, axis: str = "data",
     return jax.tree.map(leaf_sharding, tree)
 
 
+def _global_put(x, sh: NamedSharding):
+    """device_put that also works on a MULTI-PROCESS mesh, where a plain
+    device_put cannot address other hosts' devices.  Every process holds the
+    full host value (this framework keeps host data replicated across
+    processes); each contributes the shards its local devices own."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sh)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+
 def shard_params(tree, mesh: Mesh, policy: str = "replicated",
                  axis: str = "data"):
     """Place a param pytree on the mesh under a sharding policy:
@@ -69,10 +80,11 @@ def shard_params(tree, mesh: Mesh, policy: str = "replicated",
     (large leaves sharded over the data axis, see `fsdp_sharding_tree`)."""
     if policy == "fsdp":
         sh = fsdp_sharding_tree(mesh, tree, axis=axis)
-        return jax.tree.map(jax.device_put, tree, sh)
+        return jax.tree.map(_global_put, tree, sh)
     if policy != "replicated":
         raise ValueError(f"unknown param_sharding policy: {policy!r}")
-    return jax.device_put(tree, replicated_sharding(mesh))
+    repl = replicated_sharding(mesh)
+    return jax.tree.map(lambda x: _global_put(x, repl), tree)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -85,9 +97,12 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host numpy batch onto the mesh, batch-dim sharded."""
+    """Place a host numpy batch onto the mesh, batch-dim sharded.  On a
+    multi-process mesh every process supplies the GLOBAL batch (loaders are
+    seeded identically across hosts); each host's devices take their
+    slices."""
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(lambda x: _global_put(x, sh), batch)
 
 
 def pad_to_multiple(batch, multiple: int):

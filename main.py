@@ -147,18 +147,38 @@ def main(parameters, args):
             trainer.test()
 
 
+def maybe_init_multihost() -> bool:
+    """Multi-host bootstrap (replaces the reference's mp.spawn/NCCL launch,
+    launch.py:49-58, at pod scale): one process per host, same
+    single-controller code — after `jax.distributed.initialize()`,
+    jax.devices() is the GLOBAL device list the mesh builds over.
+
+    Gated on APLA_MULTIHOST because initialize() blocks on the coordinator:
+      APLA_MULTIHOST=1                      auto-detect (TPU pods / Slurm /
+                                            Open MPI)
+      APLA_MULTIHOST=host:port,N,i          explicit coordinator address,
+                                            process count, process id (CPU
+                                            clusters, tests)
+    Returns True when the distributed runtime was initialised."""
+    spec = os.environ.get("APLA_MULTIHOST")
+    if not spec:
+        return False
+    import jax
+    if "," in spec:
+        addr, num, pid = spec.split(",")
+        jax.distributed.initialize(coordinator_address=addr,
+                                   num_processes=int(num),
+                                   process_id=int(pid))
+    else:
+        jax.distributed.initialize()
+    return True
+
+
 def run_cli():
     """Console entry point (pyproject [project.scripts])."""
     import jax
 
-    # Multi-host TPU pods: one process per host, same single-controller
-    # code — `jax.distributed.initialize()` wires the hosts together and
-    # jax.devices() becomes the global device list the mesh builds over.
-    # Gated on an env var because it must NOT run on single-host setups
-    # (it blocks waiting for the coordinator).  Replaces the reference's
-    # mp.spawn/NCCL bootstrap (launch.py:49-58) at pod scale.
-    if os.environ.get("APLA_MULTIHOST"):
-        jax.distributed.initialize()
+    maybe_init_multihost()
 
     # persistent compile cache: remote/TPU compiles are expensive; cached
     # recompiles are seconds.  Harmless on CPU.
