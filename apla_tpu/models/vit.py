@@ -50,6 +50,16 @@ class ViTConfig:
     num_register_tokens: int = 0  # DINOv2-style registers
     compute_dtype: Any = jnp.bfloat16
     use_flash: bool = False   # Pallas flash-attention path
+    # Fused APLA attention+projection Pallas kernel (pallas_apla_attn.py):
+    # the attention output stays in VMEM through the partial projection and
+    # dW_t is computed in-kernel.  Applies to APLA-k blocks with N <= 512.
+    use_fused_apla: bool = False
+    # Block-diagonal attention for sequences that PACK several independent
+    # crops (DINOv2 local crops): tokens attend only within their own
+    # `attn_segment_len`-sized segment.  The TPU-native equivalent of
+    # xformers' BlockDiagonalMask over crop lists (reference
+    # dinov2/layers/block.py:243-298).  0 = ordinary full attention.
+    attn_segment_len: int = 0
     # Attention logits buffer dtype.  bf16 (default) halves the softmax
     # chain's HBM traffic — measured +19% train throughput on v5e for
     # ViT-B/14 @224 — and is numerically safe (max-subtracted exp; softmax
@@ -213,7 +223,9 @@ def _block_forward(x, block_params, trainable_block, dp_rate, cfg: ViTConfig,
             y, block_params["attn"], trainable_block, cfg.num_heads,
             scale=cfg.scale, attn_drop=cfg.attn_drop_rate,
             proj_drop=cfg.drop_rate, rng=r_attn, deterministic=deterministic,
-            use_flash=cfg.use_flash, logits_f32=cfg.attn_logits_f32)
+            use_flash=cfg.use_flash, logits_f32=cfg.attn_logits_f32,
+            use_fused=cfg.use_fused_apla,
+            segment_len=cfg.attn_segment_len)
     else:
         attn_params = dict(block_params["attn"])
         if trainable_block is not None and "attn" in trainable_block:
@@ -223,7 +235,8 @@ def _block_forward(x, block_params, trainable_block, dp_rate, cfg: ViTConfig,
             y, attn_params, cfg.num_heads, scale=cfg.scale,
             attn_drop=cfg.attn_drop_rate, proj_drop=cfg.drop_rate, rng=r_attn,
             deterministic=deterministic, use_flash=cfg.use_flash,
-            logits_f32=cfg.attn_logits_f32)
+            logits_f32=cfg.attn_logits_f32,
+            segment_len=cfg.attn_segment_len)
     if "ls1" in block_params:
         y = y * block_params["ls1"]["gamma"].astype(y.dtype)
     x = x + _drop_path(y, dp_rate, r_dp1, deterministic)
@@ -302,12 +315,20 @@ def _prepare_tokens(params, x, cfg: ViTConfig, rng, deterministic,
 
 def vit_features(params, x, cfg: ViTConfig, trainable=None, rng=None,
                  deterministic=True, return_all_tokens=False,
-                 return_layers=False, masks=None):
+                 return_layers=False, masks=None, pack_segments=0):
     """Run the ViT trunk.  `x`: [B, H, W, C] (NHWC).
 
     Returns the final-norm cls token [B, d] by default (reference
     `forward_features`, vit.py:387-419); `return_all_tokens` gives [B, N, d];
     `return_layers` additionally returns every block's output (scan ys).
+
+    `pack_segments` = s > 1: `x` is s crops stacked crop-major on the batch
+    axis ([s*B, h, w, C]); after token prep the s crops of each image are
+    PACKED into one [B, s*T] sequence with block-diagonal attention, so the
+    tiny per-crop attention/LN/MLP ops run at s× the width (the DINOv2
+    local-crop trick — xformers BlockDiagonalMask analogue, reference
+    dinov2/layers/block.py:243-298).  Outputs are unpacked back to [s*B, ...]
+    (return_layers is unsupported while packed).
     """
     if rng is not None:
         rng, r_tok = jax.random.split(rng)
@@ -317,6 +338,15 @@ def vit_features(params, x, cfg: ViTConfig, trainable=None, rng=None,
         block_rngs = None
 
     x = _prepare_tokens(params, x, cfg, r_tok, deterministic, masks=masks)
+
+    if pack_segments > 1:
+        assert not return_layers, "return_layers unsupported with packing"
+        sB, T, D = x.shape
+        assert sB % pack_segments == 0, (sB, pack_segments)
+        Bb = sB // pack_segments
+        x = x.reshape(pack_segments, Bb, T, D).transpose(1, 0, 2, 3) \
+             .reshape(Bb, pack_segments * T, D)
+        cfg = dataclasses.replace(cfg, attn_segment_len=T)
 
     # stochastic-depth linear decay (reference vit.py:338)
     dp_rates = jnp.linspace(0.0, cfg.drop_path_rate, cfg.depth)
@@ -372,6 +402,11 @@ def vit_features(params, x, cfg: ViTConfig, trainable=None, rng=None,
 
     x = layer_norm(x, params["norm"]["scale"], params["norm"]["bias"],
                    cfg.norm_eps)
+    if pack_segments > 1:
+        Bb, _, D = x.shape
+        T = x.shape[1] // pack_segments
+        x = x.reshape(Bb, pack_segments, T, D).transpose(1, 0, 2, 3) \
+             .reshape(Bb * pack_segments, T, D)
     if return_layers:
         return x, layer_outs
     if return_all_tokens:

@@ -28,8 +28,11 @@ def _dropout(x, rate, rng, deterministic):
 
 def qkv_and_attend(x, qkv_kernel, qkv_bias, num_heads, scale=None,
                    attn_drop=0.0, rng=None, deterministic=True,
-                   use_flash=False, logits_f32=True):
-    """QKV projection + scaled dot-product attention.  Returns [B, N, C]."""
+                   use_flash=False, logits_f32=True, segment_len=0):
+    """QKV projection + scaled dot-product attention.  Returns [B, N, C].
+
+    `segment_len` > 0: block-diagonal attention — tokens attend only inside
+    their own segment of that length (packed DINOv2 local crops)."""
     B, N, C = x.shape
     head_dim = C // num_heads
     if scale is None:
@@ -41,7 +44,7 @@ def qkv_and_attend(x, qkv_kernel, qkv_bias, num_heads, scale=None,
 
     if use_flash and attn_drop == 0.0:
         from .flash_attention import flash_mha
-        out = flash_mha(q, k, v, scale=scale)  # [B, N, H, Dh]
+        out = flash_mha(q, k, v, scale=scale, segment_len=segment_len)
         # saved by the 'dots' remat policies: a pallas_call is not a dot,
         # so without the name the whole kernel would re-run in backward
         out = checkpoint_name(out, "attn_out")
@@ -53,7 +56,12 @@ def qkv_and_attend(x, qkv_kernel, qkv_bias, num_heads, scale=None,
     acc = jnp.float32 if logits_f32 else x.dtype
     logits = jnp.einsum("bnhd,bmhd->bhnm", q, k,
                         preferred_element_type=acc) * scale
-    attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+    logits = logits.astype(jnp.float32)
+    if segment_len:
+        seg = jnp.arange(N) // segment_len
+        cross = seg[:, None] != seg[None, :]
+        logits = jnp.where(cross[None, None], jnp.float32(-1e9), logits)
+    attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
     # named for the 'dots_attn' remat policy: saving the softmaxed weights
     # skips the QK^T + softmax recompute in backward (the batched einsums
     # are NOT covered by checkpoint_dots_with_no_batch_dims)
@@ -66,7 +74,7 @@ def qkv_and_attend(x, qkv_kernel, qkv_bias, num_heads, scale=None,
 
 def multi_head_attention(x, params, num_heads, scale=None, attn_drop=0.0,
                          proj_drop=0.0, rng=None, deterministic=True,
-                         use_flash=False, logits_f32=True):
+                         use_flash=False, logits_f32=True, segment_len=0):
     """Standard attention block: QKV, attend, dense output projection.
 
     `params`: {'qkv': {'kernel', 'bias'?}, 'proj': {'kernel', 'bias'}}
@@ -76,7 +84,7 @@ def multi_head_attention(x, params, num_heads, scale=None, attn_drop=0.0,
         x, params["qkv"]["kernel"], params["qkv"].get("bias"), num_heads,
         scale=scale, attn_drop=attn_drop, rng=rng_a,
         deterministic=deterministic, use_flash=use_flash,
-        logits_f32=logits_f32)
+        logits_f32=logits_f32, segment_len=segment_len)
     proj = params["proj"]
     out = jnp.dot(out, proj["kernel"].astype(x.dtype),
                   preferred_element_type=x.dtype) + proj["bias"].astype(x.dtype)
@@ -85,19 +93,39 @@ def multi_head_attention(x, params, num_heads, scale=None, attn_drop=0.0,
 
 def apla_attention(x, frozen, trainable, num_heads, scale=None, attn_drop=0.0,
                    proj_drop=0.0, rng=None, deterministic=True,
-                   use_flash=False, logits_f32=True):
+                   use_flash=False, logits_f32=True, use_fused=False,
+                   segment_len=0):
     """APLA attention: frozen QKV + attention, partial-trainable projection.
 
     `frozen`:    {'qkv': {'kernel','bias'?}, 'proj': {'kernel','bias'}, 'inds': [k]}
     `trainable`: {'proj_wt': [d, k], 'proj_bt': [k]}  (may be the full proj for
                  partial_size == 'full', in which case `inds` covers all dims)
+    `use_fused`: run attention + the partial projection as ONE Pallas kernel
+                 (pallas_apla_attn.py) — the attention output never leaves
+                 VMEM and dW_t is computed in-kernel.
     """
     rng_a, rng_p = (jax.random.split(rng) if rng is not None else (None, None))
+    B, N, C = x.shape
+    if use_fused and attn_drop == 0.0 and segment_len == 0:
+        from .pallas_apla_attn import fused_apla_attention
+        from .pallas_mha import fits_vmem
+        if fits_vmem(N):
+            from .quant import maybe_quantized_dot
+            head_dim = C // num_heads
+            qkv = maybe_quantized_dot(x, frozen["qkv"]["kernel"],
+                                      frozen["qkv"].get("bias"))
+            out = fused_apla_attention(
+                qkv, trainable["proj_wt"], trainable["proj_bt"],
+                frozen["proj"]["kernel"], frozen["proj"]["bias"],
+                frozen["inds"], num_heads,
+                float(scale if scale is not None else head_dim ** -0.5))
+            out = checkpoint_name(out, "attn_out")
+            return _dropout(out, proj_drop, rng_p, deterministic)
     out = qkv_and_attend(
         x, frozen["qkv"]["kernel"], frozen["qkv"].get("bias"), num_heads,
         scale=scale, attn_drop=attn_drop, rng=rng_a,
         deterministic=deterministic, use_flash=use_flash,
-        logits_f32=logits_f32)
+        logits_f32=logits_f32, segment_len=segment_len)
     out = apla_proj(out, trainable["proj_wt"], trainable["proj_bt"],
                     frozen["proj"]["kernel"], frozen["proj"]["bias"],
                     frozen["inds"])

@@ -33,32 +33,41 @@ def _on_tpu() -> bool:
         return False
 
 
-def _jnp_mha(q, k, v, scale):
+def _jnp_mha(q, k, v, scale, segment_len: int = 0):
     logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                         preferred_element_type=jnp.float32) * scale
+    if segment_len:
+        n = q.shape[2]
+        seg = jnp.arange(n) // segment_len
+        cross = seg[:, None] != seg[None, :]
+        logits = jnp.where(cross[None, None], jnp.float32(-1e9), logits)
     attn = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("bhnm,bhmd->bhnd", attn, v,
                       preferred_element_type=q.dtype)
 
 
-def flash_mha(q, k, v, scale: float = 1.0):
+def flash_mha(q, k, v, scale: float = 1.0, segment_len: int = 0):
     """q, k, v: [B, N, H, Dh] -> out [B, N, H, Dh].
 
     Dispatch: short sequences -> full-VMEM Pallas kernel (pallas_mha.py, no
     HBM score traffic); long sequences -> blockwise flash kernel; off-TPU ->
-    jnp reference."""
+    jnp reference.
+
+    `segment_len` > 0: block-diagonal attention over packed equal-length
+    segments (DINOv2 local-crop packing — the xformers BlockDiagonalMask
+    analogue, reference dinov2/layers/block.py:243-298)."""
     B, N, H, Dh = q.shape
     if _on_tpu():
         from .pallas_mha import fits_vmem, vmem_mha
         if fits_vmem(N):
-            return vmem_mha(q, k, v, scale=scale)
+            return vmem_mha(q, k, v, scale=scale, segment_len=segment_len)
 
     qt = q.transpose(0, 2, 1, 3)  # [B, H, N, Dh]
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
 
     if not _on_tpu():
-        out = _jnp_mha(qt, kt, vt, scale)
+        out = _jnp_mha(qt, kt, vt, scale, segment_len=segment_len)
         return out.transpose(0, 2, 1, 3)
 
     from jax.experimental.pallas.ops.tpu.flash_attention import (
@@ -71,9 +80,15 @@ def flash_mha(q, k, v, scale: float = 1.0):
         qt = jnp.pad(qt, cfg)
         kt = jnp.pad(kt, cfg)
         vt = jnp.pad(vt, cfg)
-        # real tokens: segment 1; padding: segment 0 -> masked both ways
-        seg = (jnp.arange(n_pad) < N).astype(jnp.int32)[None, :]
-        seg = jnp.broadcast_to(seg, (B, n_pad))
+    if pad or segment_len:
+        if segment_len:
+            # packed crops: segment = crop index + 1; padding: segment 0
+            seg = jnp.where(jnp.arange(n_pad) < N,
+                            jnp.arange(n_pad) // segment_len + 1, 0)
+        else:
+            # real tokens: segment 1; padding: segment 0 -> masked both ways
+            seg = (jnp.arange(n_pad) < N).astype(jnp.int32)
+        seg = jnp.broadcast_to(seg[None, :].astype(jnp.int32), (B, n_pad))
         segment_ids = SegmentIds(q=seg, kv=seg)
     else:
         segment_ids = None

@@ -1,0 +1,259 @@
+"""Fused APLA attention: softmax(QK^T)V + partial-trainable out-projection
+in ONE Pallas kernel (the BASELINE.json "north-star" kernel).
+
+Reference semantics: `src/apla/appla_attn.py:50-83` — attention followed by
+an output projection whose `partial_size` output-channels are trainable.
+The separate-ops path (`ops/attention.py` + `ops/apla_proj.py`) materialises
+the [B, N, C] attention output in HBM between the two; this kernel keeps it
+in VMEM:
+
+  forward  (grid over B): per head h — s = q_h k_h^T, p = softmax(s),
+            o_h = p v_h — all resident in VMEM; the concatenated [N, C]
+            attention output feeds the assembled projection kernel W
+            ([C, C], trainable columns scattered in) WITHOUT leaving the
+            chip.  Only the projected [N, C] result is written to HBM.
+  backward (grid over B): recomputes s/p per head (flash-style), computes
+            dO = g W^T once, per-head dq/dk/dv, and ACCUMULATES
+            dW_t = o^T g[:, inds] across the batch grid — the frozen
+            [C, C] weight gradient never exists, and the trainable-slice
+            gradient costs O(N·C·k) instead of O(N·C²).
+
+Layout: the kernel consumes the packed qkv activation [B, N, 3C] exactly as
+the (frozen) qkv matmul produces it — no [B,N,H,D] -> [B*H,N,D] transposes
+on the hot path (the round-2 kernel's integrated tax, BASELINE.md).  N is
+padded to the bf16 sublane multiple (16): 257 -> 272, not 384.
+
+Used via `ViTConfig(use_fused_apla=True)`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+# flipped by tests to run in the Pallas interpreter off-TPU
+INTERPRET = False
+
+
+def _pad_to(n: int, multiple: int) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+def _masked_softmax(s, n_real):
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1)
+    s = jnp.where(col < n_real, s, NEG_INF)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+def _heads(qkv_b, h, C, Dh):
+    """Slice head h's q, k, v ([Np, Dh] each) out of the packed [Np, 3C]
+    activation (static lane slices at Dh granularity)."""
+    q = qkv_b[:, h * Dh:(h + 1) * Dh]
+    k = qkv_b[:, C + h * Dh:C + (h + 1) * Dh]
+    v = qkv_b[:, 2 * C + h * Dh:2 * C + (h + 1) * Dh]
+    return q, k, v
+
+
+def _fwd_kernel(qkv_ref, w_ref, o_ref, *, H, Dh, scale, n_real):
+    C = H * Dh
+    qkv_b = qkv_ref[0]                       # [Np, 3C] bf16
+    outs = []
+    for h in range(H):
+        q, k, v = _heads(qkv_b, h, C, Dh)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale      # [Np, Np] f32
+        p = _masked_softmax(s, n_real).astype(qkv_b.dtype)
+        outs.append(jnp.dot(p, v, preferred_element_type=jnp.float32))
+    o_cat = jnp.concatenate(outs, axis=1).astype(qkv_b.dtype)  # [Np, C]
+    proj = jnp.dot(o_cat, w_ref[...],
+                   preferred_element_type=jnp.float32)         # [Np, C]
+    o_ref[0] = proj.astype(o_ref.dtype)
+
+
+def _bwd_kernel(qkv_ref, w_ref, g_ref, gt_ref, dqkv_ref, dwt_ref, *,
+                H, Dh, scale, n_real):
+    C = H * Dh
+    qkv_b = qkv_ref[0]                       # [Np, 3C] bf16
+    g = g_ref[0]                             # [Np, C]  bf16
+    g_t = gt_ref[0]                          # [Np, Kp] bf16 (gathered cols)
+    # dO for every head at once: [Np, C] = g @ W^T
+    dO_cat = jax.lax.dot_general(
+        g, w_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(qkv_b.dtype)
+
+    dqs, dks, dvs, os_ = [], [], [], []
+    for h in range(H):
+        q, k, v = _heads(qkv_b, h, C, Dh)
+        dO = dO_cat[:, h * Dh:(h + 1) * Dh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        p = _masked_softmax(s, n_real)                      # [Np, Np] f32
+        pb = p.astype(qkv_b.dtype)
+        o = jnp.dot(pb, v, preferred_element_type=jnp.float32)
+        os_.append(o.astype(qkv_b.dtype))
+        dv = jax.lax.dot_general(pb, dO, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(dO, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds = (ds * scale).astype(qkv_b.dtype)
+        dqs.append(jnp.dot(ds, k, preferred_element_type=jnp.float32))
+        dks.append(jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32))
+        dvs.append(dv)
+    dqkv = jnp.concatenate(
+        [a.astype(dqkv_ref.dtype) for a in dqs + dks + dvs], axis=1)
+    dqkv_ref[0] = dqkv                                     # [Np, 3C]
+
+    o_cat = jnp.concatenate(os_, axis=1)                   # [Np, C] bf16
+    dwt = jax.lax.dot_general(o_cat, g_t, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # [C, Kp]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dwt_ref[...] = dwt
+
+    @pl.when(pl.program_id(0) != 0)
+    def _():
+        dwt_ref[...] += dwt
+
+
+def _call_fwd(qkv, w, H, Dh, scale, n_real):
+    B, Np, C3 = qkv.shape
+    C = C3 // 3
+    kern = functools.partial(_fwd_kernel, H=H, Dh=Dh, scale=scale,
+                             n_real=n_real)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, Np, C), qkv.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Np, C3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Np, C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Np * Np * C * 2 + 2 * B * Np * C * C,
+            transcendentals=B * H * Np * Np,
+            bytes_accessed=(B * Np * C3 + B * Np * C + C * C) * 2),
+        interpret=INTERPRET,
+    )(qkv, w)
+
+
+def _call_bwd(qkv, w, g, g_t, H, Dh, scale, n_real):
+    B, Np, C3 = qkv.shape
+    C = C3 // 3
+    Kp = g_t.shape[-1]
+    kern = functools.partial(_bwd_kernel, H=H, Dh=Dh, scale=scale,
+                             n_real=n_real)
+    return pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Np, C3), qkv.dtype),
+            jax.ShapeDtypeStruct((C, Kp), jnp.float32),
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Np, C3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Np, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Np, Kp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, Np, C3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, Kp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Np * Np * C * 5 + 2 * B * Np * C * (C + Kp),
+            transcendentals=B * H * Np * Np,
+            bytes_accessed=(B * Np * C3 * 2 + B * Np * C + C * C) * 2),
+        interpret=INTERPRET,
+    )(qkv, w, g, g_t)
+
+
+# --------------------------------------------------------------------------- #
+# custom-VJP wrapper
+# --------------------------------------------------------------------------- #
+
+def _assemble(w_t, b_t, w_frozen, b_frozen, inds):
+    w = w_frozen.at[:, inds].set(w_t.astype(w_frozen.dtype))
+    b = b_frozen.at[inds].set(b_t.astype(b_frozen.dtype))
+    return w, b
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def fused_apla_attention(qkv, w_t, b_t, w_frozen, b_frozen, inds,
+                         num_heads, scale):
+    """qkv: [B, N, 3C] packed activations -> [B, N, C] projected output.
+
+    Differentiable in (qkv, w_t, b_t); the frozen kernel/bias and inds get
+    no cotangent.  `w_t` [C, k] / `b_t` [k] follow apla_proj's convention.
+    """
+    out, _ = _fused_fwd(qkv, w_t, b_t, w_frozen, b_frozen, inds,
+                        num_heads, scale)
+    return out
+
+
+def _prep(qkv, n_pad):
+    B, N, C3 = qkv.shape
+    if n_pad != N:
+        qkv = jnp.pad(qkv, ((0, 0), (0, n_pad - N), (0, 0)))
+    return qkv
+
+
+def _fused_fwd(qkv, w_t, b_t, w_frozen, b_frozen, inds, num_heads, scale):
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    Dh = C // num_heads
+    Np = _pad_to(N, 16)
+    w, b = _assemble(w_t, b_t, w_frozen, b_frozen, inds)
+    qkv_p = _prep(qkv, Np)
+    out = _call_fwd(qkv_p, w.astype(qkv.dtype), num_heads, Dh,
+                    float(scale), N)
+    out = out[:, :N] + b.astype(out.dtype)
+    # w_t/b_t ride along only for their shape/dtype (tiny arrays)
+    return out, (qkv_p, w, inds, w_t, b_t)
+
+
+def _fused_bwd(num_heads, scale, res, g):
+    qkv_p, w, inds, w_t_tpl, b_t_tpl = res
+    k, bt_dtype, wt_dtype = w_t_tpl.shape[-1], b_t_tpl.dtype, w_t_tpl.dtype
+    B, Np, C3 = qkv_p.shape
+    C = C3 // 3
+    Dh = C // num_heads
+    N = g.shape[1]
+    g_p = jnp.pad(g, ((0, 0), (0, Np - N), (0, 0))) if Np != N else g
+    g_t = jnp.take(g_p, inds, axis=-1)                   # [B, Np, k]
+    Kp = _pad_to(k, 128)
+    if Kp != k:
+        g_t = jnp.pad(g_t, ((0, 0), (0, 0), (0, Kp - k)))
+    dqkv, dwt = _call_bwd(qkv_p, w.astype(g.dtype), g_p.astype(qkv_p.dtype),
+                          g_t.astype(qkv_p.dtype), num_heads, Dh,
+                          float(scale), N)
+    dqkv = dqkv[:, :N]
+    dw_t = dwt[:, :k].astype(wt_dtype)
+    db_t = jnp.sum(jnp.take(g, inds, axis=-1).astype(jnp.float32),
+                   axis=(0, 1)).astype(bt_dtype)
+    return dqkv, dw_t, db_t, None, None, None
+
+
+fused_apla_attention.defvjp(_fused_fwd, _fused_bwd)

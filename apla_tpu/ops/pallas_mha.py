@@ -37,20 +37,33 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 INTERPRET = False
 
 
-def _pad_n(n: int, multiple: int = 128) -> int:
+def _pad_n(n: int, multiple: int = 16) -> int:
+    """Pad N to the bf16 SUBLANE multiple (16), not to a full lane tile.
+
+    Round 2 padded to 128 (257 -> 384); but only the sublane dimension of
+    the score/AV matmuls needs explicit alignment — Mosaic pads the lane
+    dimension internally and the column mask already keeps padding out of
+    the softmax.  257 -> 272 cuts the padded row count (and the K extent of
+    the AV/dv dots, whose zero tail was real MXU work) by 29%."""
     return ((n + multiple - 1) // multiple) * multiple
 
 
-def _softmax_masked(s, n_real):
-    """Masked, max-subtracted softmax over the last axis (f32 in VMEM)."""
+def _softmax_masked(s, n_real, segment_len=0):
+    """Masked, max-subtracted softmax over the last axis (f32 in VMEM).
+    `segment_len` > 0 additionally restricts attention to the block
+    diagonal (packed DINOv2 local crops)."""
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1)
-    s = jnp.where(col < n_real, s, NEG_INF)
+    valid = col < n_real
+    if segment_len:
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 2)
+        valid &= (col // segment_len) == (row // segment_len)
+    s = jnp.where(valid, s, NEG_INF)
     s = s - jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s)
     return p / jnp.sum(p, axis=-1, keepdims=True)
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_real):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_real, seg):
     q = q_ref[...]                             # [HB, Np, D] bf16
     k = k_ref[...]
     v = v_ref[...]
@@ -58,7 +71,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_real):
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale      # [HB, Np, Np] f32
-    p = _softmax_masked(s, n_real)
+    p = _softmax_masked(s, n_real, seg)
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
@@ -66,7 +79,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_real):
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
-                scale, n_real):
+                scale, n_real, seg):
     q = q_ref[...]                             # [HB, Np, D] bf16
     k = k_ref[...]
     v = v_ref[...]
@@ -74,7 +87,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale
-    p = _softmax_masked(s, n_real)             # [HB, Np, Np] f32
+    p = _softmax_masked(s, n_real, seg)        # [HB, Np, Np] f32
     pb = p.astype(q.dtype)
     dv = jax.lax.dot_general(pb, do, (((1,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
@@ -98,10 +111,11 @@ def _pick_hb(bh: int, requested: int) -> int:
     return hb
 
 
-def _call_fwd(q, k, v, scale, n_real, heads_per_block=8):
+def _call_fwd(q, k, v, scale, n_real, heads_per_block=8, seg=0):
     BH, Np, D = q.shape
     HB = _pick_hb(BH, heads_per_block)
-    kern = functools.partial(_fwd_kernel, scale=scale, n_real=n_real)
+    kern = functools.partial(_fwd_kernel, scale=scale, n_real=n_real,
+                             seg=seg)
     spec = pl.BlockSpec((HB, Np, D), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -117,12 +131,13 @@ def _call_fwd(q, k, v, scale, n_real, heads_per_block=8):
     )(q, k, v)
 
 
-def _call_bwd(q, k, v, do, scale, n_real, heads_per_block=2):
+def _call_bwd(q, k, v, do, scale, n_real, heads_per_block=2, seg=0):
     # bwd holds s/p/dp (f32 [HB, Np, Np]) live simultaneously — HB=2 keeps
     # the working set ~6 MB; HB=8 overflows the 16 MB VMEM
     BH, Np, D = q.shape
     HB = _pick_hb(BH, heads_per_block)
-    kern = functools.partial(_bwd_kernel, scale=scale, n_real=n_real)
+    kern = functools.partial(_bwd_kernel, scale=scale, n_real=n_real,
+                             seg=seg)
     shapes = [jax.ShapeDtypeStruct((BH, Np, D), q.dtype)] * 3
     spec = pl.BlockSpec((HB, Np, D), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -139,18 +154,18 @@ def _call_bwd(q, k, v, do, scale, n_real, heads_per_block=2):
     )(q, k, v, do)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _vmem_mha_padded(q, k, v, scale, n_real):
-    return _call_fwd(q, k, v, scale, n_real)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _vmem_mha_padded(q, k, v, scale, n_real, seg=0):
+    return _call_fwd(q, k, v, scale, n_real, seg=seg)
 
 
-def _vmem_fwd(q, k, v, scale, n_real):
-    return _call_fwd(q, k, v, scale, n_real), (q, k, v)
+def _vmem_fwd(q, k, v, scale, n_real, seg=0):
+    return _call_fwd(q, k, v, scale, n_real, seg=seg), (q, k, v)
 
 
-def _vmem_bwd(scale, n_real, res, do):
+def _vmem_bwd(scale, n_real, seg, res, do):
     q, k, v = res
-    dq, dk, dv = _call_bwd(q, k, v, do, scale, n_real)
+    dq, dk, dv = _call_bwd(q, k, v, do, scale, n_real, seg=seg)
     return dq, dk, dv
 
 
@@ -169,8 +184,9 @@ def fits_vmem(n: int) -> bool:
     return n <= _MAX_VMEM_N
 
 
-def vmem_mha(q, k, v, scale: float = 1.0):
-    """q, k, v: [B, N, H, Dh] -> [B, N, H, Dh].  Requires N <= ~512."""
+def vmem_mha(q, k, v, scale: float = 1.0, segment_len: int = 0):
+    """q, k, v: [B, N, H, Dh] -> [B, N, H, Dh].  Requires N <= ~512.
+    `segment_len` > 0: block-diagonal attention over packed segments."""
     B, N, H, D = q.shape
     Np = _pad_n(N)
 
@@ -180,7 +196,8 @@ def vmem_mha(q, k, v, scale: float = 1.0):
             x = jnp.pad(x, ((0, 0), (0, Np - N), (0, 0)))
         return x
 
-    out = _vmem_mha_padded(prep(q), prep(k), prep(v), float(scale), N)
+    out = _vmem_mha_padded(prep(q), prep(k), prep(v), float(scale), N,
+                           int(segment_len))
     out = out[:, :N].reshape(B, H, N, D).transpose(0, 2, 1, 3)
     return out
 

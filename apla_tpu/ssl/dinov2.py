@@ -339,7 +339,8 @@ class DINOv2TrainState:
 
 def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
                            n_local: int, freeze_last_layer: bool,
-                           device_crop_cfgs=None, accum_steps: int = 1):
+                           device_crop_cfgs=None, accum_steps: int = 1,
+                           pack_local_crops: bool = False):
     """cfg: model_params.dinov2 subtree (dino/ibot weights, centering).
 
     `device_crop_cfgs`: list of DeviceAugConfig (one per crop) — the batch
@@ -432,8 +433,12 @@ def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
             s_patches_g = s_tokens_g[:, 1 + vit_cfg.num_register_tokens:]
             head_in = [s_cls_g]
             if n_local:
-                s_cls_l = _encode_tokens(s_bb, frozen, l_c, vit_cfg, rl,
-                                         False)[:, 0]
+                # pack_local_crops: the n_local 50-token crops of each image
+                # run as ONE block-diagonal sequence — the tiny per-crop
+                # attention badly underfills the 128-lane MXU at N=50
+                s_cls_l = _encode_tokens(
+                    s_bb, frozen, l_c, vit_cfg, rl, False,
+                    pack_segments=n_local if pack_local_crops else 0)[:, 0]
                 head_in.append(s_cls_l)
             s_masked = s_patches_g.reshape(
                 -1, s_patches_g.shape[-1])[m_idx]
@@ -609,14 +614,14 @@ def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
 
 
 def _encode_tokens(backbone_trainable, frozen, images, vit_cfg, rng,
-                   deterministic, masks=None):
+                   deterministic, masks=None, pack_segments=0):
     from ..models.classifier import _backbone_params
     from ..models.vit import vit_features
     t = {"backbone": backbone_trainable} if backbone_trainable else {}
     params, apla_t = _backbone_params(t, frozen)
     return vit_features(params, images, vit_cfg, trainable=apla_t, rng=rng,
                         deterministic=deterministic, return_all_tokens=True,
-                        masks=masks)
+                        masks=masks, pack_segments=pack_segments)
 
 
 # --------------------------------------------------------------------------- #
@@ -821,8 +826,14 @@ class Dinov2Trainer(BYOLTrainer):
                 device_crop_cfgs=getattr(self.wrapper,
                                          "ssl_device_crop_cfgs", None),
                 accum_steps=int(self.wrapper.training_params.get(
-                    "accum_steps", 1)))
+                    "accum_steps", 1)),
+                pack_local_crops=self._pack_local_crops())
         return self._steps[freeze]
+
+    def _pack_local_crops(self) -> bool:
+        tp = self.wrapper.model_params.get("transformers_params", {})
+        sp = tp.get("student", tp)  # same fallback as build_vit_config
+        return bool(sp.get("pack_local_crops", False))
 
     def _device_batch(self, batch):
         from ..parallel.mesh import shard_batch

@@ -1,0 +1,139 @@
+"""Fused APLA attention+projection kernel parity (interpret mode on CPU).
+
+The oracle is the separate-ops path: `qkv_and_attend` (jnp attention) +
+`apla_proj` (custom-VJP partial projection) — itself parity-tested against
+the reference's APLA_Attention in test_reference_apla_losses.py.  Checks
+forward, all three cotangents (d_qkv, dW_t, db_t), frozen-gradient absence,
+and the in-model `use_fused_apla` path end to end.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from apla_tpu.ops import pallas_apla_attn
+from apla_tpu.ops.apla_proj import apla_proj
+from apla_tpu.ops.pallas_apla_attn import fused_apla_attention
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    pallas_apla_attn.INTERPRET = True
+    yield
+    pallas_apla_attn.INTERPRET = False
+
+
+def _make(B=2, N=17, H=2, Dh=16, k=8, seed=0):
+    C = H * Dh
+    keys = jax.random.split(jax.random.PRNGKey(seed), 6)
+    qkv = jax.random.normal(keys[0], (B, N, 3 * C), jnp.float32)
+    w_frozen = jax.random.normal(keys[1], (C, C)) * 0.1
+    b_frozen = jax.random.normal(keys[2], (C,)) * 0.1
+    inds = jax.random.permutation(keys[3], C)[:k].astype(jnp.int32)
+    w_t = jax.random.normal(keys[4], (C, k)) * 0.1
+    b_t = jax.random.normal(keys[5], (k,)) * 0.1
+    return qkv, w_t, b_t, w_frozen, b_frozen, inds, H, Dh ** -0.5
+
+
+def _ref_forward(qkv, w_t, b_t, w_frozen, b_frozen, inds, H, scale):
+    """Separate-ops oracle: jnp attention over the packed qkv + apla_proj."""
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    Dh = C // H
+    q, k, v = [a.reshape(B, N, H, Dh)
+               for a in jnp.split(qkv, 3, axis=-1)]
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+    return apla_proj(out, w_t, b_t, w_frozen, b_frozen, inds)
+
+
+@pytest.mark.parametrize("n", [17, 16, 33])
+def test_fused_forward_parity(n):
+    args = _make(N=n)
+    out = fused_apla_attention(*args)
+    ref = _ref_forward(*args)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_fused_backward_parity():
+    qkv, w_t, b_t, w_frozen, b_frozen, inds, H, scale = _make(N=17)
+
+    def loss_fused(qkv, w_t, b_t):
+        o = fused_apla_attention(qkv, w_t, b_t, w_frozen, b_frozen, inds,
+                                 H, scale)
+        return jnp.sum(o ** 2)
+
+    def loss_ref(qkv, w_t, b_t):
+        o = _ref_forward(qkv, w_t, b_t, w_frozen, b_frozen, inds, H, scale)
+        return jnp.sum(o ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(qkv, w_t, b_t)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(qkv, w_t, b_t)
+    for a, b, name in zip(g1, g2, ("d_qkv", "dW_t", "db_t")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3, err_msg=name)
+
+
+def test_frozen_receives_no_gradient():
+    qkv, w_t, b_t, w_frozen, b_frozen, inds, H, scale = _make()
+
+    def loss(w_frozen, b_frozen):
+        o = fused_apla_attention(qkv, w_t, b_t, w_frozen, b_frozen, inds,
+                                 H, scale)
+        return jnp.sum(o ** 2)
+
+    dwf, dbf = jax.grad(loss, argnums=(0, 1))(w_frozen, b_frozen)
+    # custom_vjp returns None -> symbolic zero for the frozen leaves
+    assert float(jnp.abs(dwf).max()) == 0.0
+    assert float(jnp.abs(dbf).max()) == 0.0
+
+
+def test_full_rank_mode():
+    """partial_size == 'full' maps to k == C (every column trainable)."""
+    C = 32
+    qkv, w_t, b_t, w_frozen, b_frozen, inds, H, scale = _make(
+        H=2, Dh=16, k=C)
+    out = fused_apla_attention(qkv, w_t, b_t, w_frozen, b_frozen, inds,
+                               H, scale)
+    ref = _ref_forward(qkv, w_t, b_t, w_frozen, b_frozen, inds, H, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_model_path_use_fused_apla():
+    """ViTConfig(use_fused_apla=True) end to end: same logits and same
+    trainable grads as the separate-ops model."""
+    from apla_tpu.apla.core import AplaConfig
+    from apla_tpu.models.classifier import classifier_forward, init_classifier
+    from apla_tpu.models.vit import ViTConfig
+
+    kw = dict(img_size=32, patch_size=8, embed_dim=32, depth=2, num_heads=2,
+              compute_dtype=jnp.float32)
+    cfg_ref = ViTConfig(**kw)
+    cfg_fused = ViTConfig(**kw, use_fused_apla=True)
+    trainable, frozen = init_classifier(
+        jax.random.PRNGKey(0), cfg_ref, n_classes=5,
+        apla_cfg=AplaConfig(partial_size=8))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+
+    def loss(trainable, cfg):
+        logits = classifier_forward(trainable, frozen, x, cfg)
+        return jnp.sum(logits ** 2), logits
+
+    (l_ref, logit_ref), g_ref = jax.value_and_grad(
+        loss, has_aux=True)(trainable, cfg_ref)
+    (l_fused, logit_fused), g_fused = jax.value_and_grad(
+        loss, has_aux=True)(trainable, cfg_fused)
+    np.testing.assert_allclose(np.asarray(logit_fused),
+                               np.asarray(logit_ref), rtol=2e-3, atol=2e-3)
+    flat_r, _ = jax.tree_util.tree_flatten_with_path(g_ref)
+    flat_f, _ = jax.tree_util.tree_flatten_with_path(g_fused)
+    for (path_r, a), (_, b) in zip(flat_r, flat_f):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-3, atol=5e-3,
+            err_msg=jax.tree_util.keystr(path_r))
