@@ -73,8 +73,16 @@ def flash_mha(q, k, v, scale: float = 1.0, segment_len: int = 0):
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes, SegmentIds, flash_attention)
 
-    pad = _pad_len(N)
-    n_pad = N + pad
+    # Block-size choice drives everything at long N: padding to the next
+    # 128-multiple forces 128-wide blocks when the padded length has no
+    # larger divisor (1370 -> 1408: only 128 divides), which is the round-1
+    # 2.6x regression.  Padding further to a 512-multiple (1370 -> 1536,
+    # +9%) admits 512-wide blocks.  APLA_FLASH_BLOCK overrides (perf
+    # studies); default 512.
+    import os
+    want_blk = int(os.environ.get("APLA_FLASH_BLOCK", 512))
+    n_pad = max(((N + want_blk - 1) // want_blk) * want_blk, _BLOCK)
+    pad = n_pad - N
     if pad:
         cfg = [(0, 0), (0, 0), (0, pad), (0, 0)]
         qt = jnp.pad(qt, cfg)

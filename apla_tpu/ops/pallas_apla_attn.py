@@ -54,70 +54,84 @@ def _masked_softmax(s, n_real):
 
 
 def _heads(qkv_b, h, C, Dh):
-    """Slice head h's q, k, v ([Np, Dh] each) out of the packed [Np, 3C]
-    activation (static lane slices at Dh granularity)."""
-    q = qkv_b[:, h * Dh:(h + 1) * Dh]
-    k = qkv_b[:, C + h * Dh:C + (h + 1) * Dh]
-    v = qkv_b[:, 2 * C + h * Dh:2 * C + (h + 1) * Dh]
+    """Slice head h's q, k, v ([BB, Np, Dh] each) out of the packed
+    [BB, Np, 3C] activation (static lane slices at Dh granularity)."""
+    q = qkv_b[:, :, h * Dh:(h + 1) * Dh]
+    k = qkv_b[:, :, C + h * Dh:C + (h + 1) * Dh]
+    v = qkv_b[:, :, 2 * C + h * Dh:2 * C + (h + 1) * Dh]
     return q, k, v
+
+
+# batched dims: operand batch on axis 0, contraction per the comment
+_B_NT = (((2,), (2,)), ((0,), (0,)))   # [BB,N,D] x [BB,M,D] -> [BB,N,M]
+_B_NN = (((2,), (1,)), ((0,), (0,)))   # [BB,N,M] x [BB,M,D] -> [BB,N,D]
+_B_TN = (((1,), (1,)), ((0,), (0,)))   # [BB,M,N]^T-style contraction
 
 
 def _fwd_kernel(qkv_ref, w_ref, o_ref, *, H, Dh, scale, n_real):
     C = H * Dh
-    qkv_b = qkv_ref[0]                       # [Np, 3C] bf16
+    qkv_b = qkv_ref[...]                     # [BB, Np, 3C] bf16
     outs = []
     for h in range(H):
         q, k, v = _heads(qkv_b, h, C, Dh)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale      # [Np, Np] f32
+            q, k, _B_NT,
+            preferred_element_type=jnp.float32) * scale  # [BB, Np, Np] f32
         p = _masked_softmax(s, n_real).astype(qkv_b.dtype)
-        outs.append(jnp.dot(p, v, preferred_element_type=jnp.float32))
-    o_cat = jnp.concatenate(outs, axis=1).astype(qkv_b.dtype)  # [Np, C]
-    proj = jnp.dot(o_cat, w_ref[...],
-                   preferred_element_type=jnp.float32)         # [Np, C]
-    o_ref[0] = proj.astype(o_ref.dtype)
+        outs.append(jax.lax.dot_general(
+            p, v, _B_NN, preferred_element_type=jnp.float32))
+    o_cat = jnp.concatenate(outs, axis=2).astype(qkv_b.dtype)  # [BB, Np, C]
+    proj = jax.lax.dot_general(
+        o_cat, w_ref[...], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                    # [BB, Np, C]
+    o_ref[...] = proj.astype(o_ref.dtype)
 
 
 def _bwd_kernel(qkv_ref, w_ref, g_ref, gt_ref, dqkv_ref, dwt_ref, *,
                 H, Dh, scale, n_real):
     C = H * Dh
-    qkv_b = qkv_ref[0]                       # [Np, 3C] bf16
-    g = g_ref[0]                             # [Np, C]  bf16
-    g_t = gt_ref[0]                          # [Np, Kp] bf16 (gathered cols)
-    # dO for every head at once: [Np, C] = g @ W^T
+    qkv_b = qkv_ref[...]                     # [BB, Np, 3C] bf16
+    g = g_ref[...]                           # [BB, Np, C]  bf16
+    g_t = gt_ref[...]                        # [BB, Np, Kp] bf16
+    # dO for every head at once: [BB, Np, C] = g @ W^T
     dO_cat = jax.lax.dot_general(
-        g, w_ref[...], (((1,), (1,)), ((), ())),
+        g, w_ref[...], (((2,), (1,)), ((), ())),
         preferred_element_type=jnp.float32).astype(qkv_b.dtype)
 
     dqs, dks, dvs, os_ = [], [], [], []
     for h in range(H):
         q, k, v = _heads(qkv_b, h, C, Dh)
-        dO = dO_cat[:, h * Dh:(h + 1) * Dh]
+        dO = dO_cat[:, :, h * Dh:(h + 1) * Dh]
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
+            q, k, _B_NT,
             preferred_element_type=jnp.float32) * scale
-        p = _masked_softmax(s, n_real)                      # [Np, Np] f32
+        p = _masked_softmax(s, n_real)                   # [BB, Np, Np] f32
         pb = p.astype(qkv_b.dtype)
-        o = jnp.dot(pb, v, preferred_element_type=jnp.float32)
+        o = jax.lax.dot_general(pb, v, _B_NN,
+                                preferred_element_type=jnp.float32)
         os_.append(o.astype(qkv_b.dtype))
-        dv = jax.lax.dot_general(pb, dO, (((0,), (0,)), ((), ())),
+        dv = jax.lax.dot_general(pb, dO, _B_TN,
                                  preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(dO, v, (((1,), (1,)), ((), ())),
+        dp = jax.lax.dot_general(dO, v, _B_NT,
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
         ds = (ds * scale).astype(qkv_b.dtype)
-        dqs.append(jnp.dot(ds, k, preferred_element_type=jnp.float32))
-        dks.append(jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32))
+        dqs.append(jax.lax.dot_general(
+            ds, k, _B_NN, preferred_element_type=jnp.float32))
+        dks.append(jax.lax.dot_general(
+            ds, q, _B_TN, preferred_element_type=jnp.float32))
         dvs.append(dv)
     dqkv = jnp.concatenate(
-        [a.astype(dqkv_ref.dtype) for a in dqs + dks + dvs], axis=1)
-    dqkv_ref[0] = dqkv                                     # [Np, 3C]
+        [a.astype(dqkv_ref.dtype) for a in dqs + dks + dvs], axis=2)
+    dqkv_ref[...] = dqkv                                 # [BB, Np, 3C]
 
-    o_cat = jnp.concatenate(os_, axis=1)                   # [Np, C] bf16
-    dwt = jax.lax.dot_general(o_cat, g_t, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)  # [C, Kp]
+    o_cat = jnp.concatenate(os_, axis=2)                 # [BB, Np, C] bf16
+    # Mosaic matmul takes a single contraction dim: flatten (BB, Np) first
+    o2 = o_cat.reshape(-1, C)
+    g2 = g_t.reshape(-1, g_t.shape[-1])
+    dwt = jax.lax.dot_general(
+        o2, g2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [C, Kp]
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -128,22 +142,38 @@ def _bwd_kernel(qkv_ref, w_ref, g_ref, gt_ref, dqkv_ref, dwt_ref, *,
         dwt_ref[...] += dwt
 
 
+def _pick_bb(b: int, requested: int) -> int:
+    bb = max(1, requested)
+    while b % bb:
+        bb -= 1
+    return bb
+
+
+def _env_bb(name: str, default: int) -> int:
+    import os
+    return int(os.environ.get(name, default))
+
+
 def _call_fwd(qkv, w, H, Dh, scale, n_real):
     B, Np, C3 = qkv.shape
     C = C3 // 3
+    # images per grid step: amortises per-dispatch overhead (192 dispatches
+    # per accum-8 train step at BB=1); fwd holds one [BB,Np,Np] f32 score
+    # block at a time
+    BB = _pick_bb(B, _env_bb("APLA_FUSED_BB_FWD", 4))
     kern = functools.partial(_fwd_kernel, H=H, Dh=Dh, scale=scale,
                              n_real=n_real)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, Np, C), qkv.dtype),
-        grid=(B,),
+        grid=(B // BB,),
         in_specs=[
-            pl.BlockSpec((1, Np, C3), lambda i: (i, 0, 0),
+            pl.BlockSpec((BB, Np, C3), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, C), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Np, C), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((BB, Np, C), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * Np * Np * C * 2 + 2 * B * Np * C * C,
@@ -157,6 +187,7 @@ def _call_bwd(qkv, w, g, g_t, H, Dh, scale, n_real):
     B, Np, C3 = qkv.shape
     C = C3 // 3
     Kp = g_t.shape[-1]
+    BB = _pick_bb(B, _env_bb("APLA_FUSED_BB_BWD", 2))
     kern = functools.partial(_bwd_kernel, H=H, Dh=Dh, scale=scale,
                              n_real=n_real)
     return pl.pallas_call(
@@ -165,19 +196,19 @@ def _call_bwd(qkv, w, g, g_t, H, Dh, scale, n_real):
             jax.ShapeDtypeStruct((B, Np, C3), qkv.dtype),
             jax.ShapeDtypeStruct((C, Kp), jnp.float32),
         ),
-        grid=(B,),
+        grid=(B // BB,),
         in_specs=[
-            pl.BlockSpec((1, Np, C3), lambda i: (i, 0, 0),
+            pl.BlockSpec((BB, Np, C3), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, C), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Np, C), lambda i: (i, 0, 0),
+            pl.BlockSpec((BB, Np, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Np, Kp), lambda i: (i, 0, 0),
+            pl.BlockSpec((BB, Np, Kp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, Np, C3), lambda i: (i, 0, 0),
+            pl.BlockSpec((BB, Np, C3), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, Kp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),

@@ -200,6 +200,7 @@ def step(kind, accum=8):
     _ = float(m["loss"])
     dt = (time.perf_counter() - t0) / reps
     emit({"study": "step", "kind": kind, "batch": 64, "accum": accum,
+          "bb": os.environ.get("APLA_FUSED_BB_FWD", "4"),
           "ms_step": round(dt * 1e3, 1), "img_s": round(64 / dt, 1)})
 
 
@@ -223,13 +224,30 @@ SWEEP2 = ["chain_fused", "step_base_a1", "step_flash_a1", "step_fused_a1",
           "step_flash_a2", "step_fused_a2", "step_fused_a4"]
 
 
+def _bb_variant(name, fwd_bb, bwd_bb, accum):
+    os.environ["APLA_FUSED_BB_FWD"] = str(fwd_bb)
+    os.environ["APLA_FUSED_BB_BWD"] = str(bwd_bb)
+    step("fused", accum)
+
+
+# re-sweep with the image-batched (BB) fused kernel
+SWEEP3 = ["step_fused_a2", "step_fused_a4", "step_fused",
+          "step_fused_bb8a1", "step_fused_bb1a8"]
+VARIANTS_EXTRA = {
+    "step_fused_bb8a1": lambda: _bb_variant("bb8a1", 8, 4, 1),
+    "step_fused_bb1a8": lambda: _bb_variant("bb1a8", 1, 1, 8),
+}
+
+
 def main():
-    if len(sys.argv) > 1 and sys.argv[1] != "sweep2":
+    VARIANTS.update(VARIANTS_EXTRA)
+    if len(sys.argv) > 1 and sys.argv[1] not in ("sweep2", "sweep3"):
         VARIANTS[sys.argv[1]]()
         return
     me = os.path.abspath(__file__)
-    names = SWEEP2 if (len(sys.argv) > 1 and sys.argv[1] == "sweep2") \
-        else list(VARIANTS)
+    names = list(VARIANTS)
+    if len(sys.argv) > 1:
+        names = {"sweep2": SWEEP2, "sweep3": SWEEP3}[sys.argv[1]]
     for name in names:
         print(f"=== {name} ===", flush=True)
         r = subprocess.run([sys.executable, me, name], timeout=1800)
