@@ -194,13 +194,22 @@ def _mlp(x, p, cfg: ViTConfig, rng, deterministic):
     return _dropout(h, cfg.drop_rate, r2, deterministic)
 
 
-def _drop_path(x, rate, rng, deterministic):
-    """Stochastic depth on the residual branch (reference vit.py:75-95)."""
+def _drop_path(x, rate, rng, deterministic, segment_len=0):
+    """Stochastic depth on the residual branch (reference vit.py:75-95).
+
+    `segment_len` > 0 (packed crops): each PACKED SEGMENT draws its own
+    keep decision, preserving the per-crop semantics of the unpacked path
+    (one sample = one crop there)."""
     if deterministic or rng is None:
         return x
     keep = 1.0 - rate
-    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
-    mask = jax.random.bernoulli(rng, p=keep, shape=shape)
+    if segment_len:
+        n_seg = x.shape[1] // segment_len
+        mask = jax.random.bernoulli(rng, p=keep, shape=(x.shape[0], n_seg))
+        mask = jnp.repeat(mask, segment_len, axis=1)[..., None]
+    else:
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, p=keep, shape=shape)
     return jnp.where(mask, x / jnp.asarray(keep, x.dtype),
                      jnp.zeros((), x.dtype))
 
@@ -239,14 +248,16 @@ def _block_forward(x, block_params, trainable_block, dp_rate, cfg: ViTConfig,
             segment_len=cfg.attn_segment_len)
     if "ls1" in block_params:
         y = y * block_params["ls1"]["gamma"].astype(y.dtype)
-    x = x + _drop_path(y, dp_rate, r_dp1, deterministic)
+    x = x + _drop_path(y, dp_rate, r_dp1, deterministic,
+                       segment_len=cfg.attn_segment_len)
 
     y = layer_norm(x, block_params["norm2"]["scale"],
                    block_params["norm2"]["bias"], cfg.norm_eps)
     y = _mlp(y, block_params["mlp"], cfg, r_mlp, deterministic)
     if "ls2" in block_params:
         y = y * block_params["ls2"]["gamma"].astype(y.dtype)
-    x = x + _drop_path(y, dp_rate, r_dp2, deterministic)
+    x = x + _drop_path(y, dp_rate, r_dp2, deterministic,
+                       segment_len=cfg.attn_segment_len)
     return x
 
 

@@ -4,9 +4,10 @@
 Uses the Pallas flash-attention kernel (blockwise online-softmax; the
 (N, N) score matrix never hits HBM) with fwd+bwd custom VJPs.  ViT sequences
 are short but not lane-aligned (224px/14 -> 257 tokens; 518px/14 -> 1370),
-so inputs are padded to the 128-token block grid and padding is masked out
-via segment ids (pad tokens get a different segment id -> their attention
-weight is exactly 0 for real queries).
+so inputs are padded to a block-size-friendly length (the largest 128..512
+block whose padding overhead stays under ~15% — see flash_mha) and padding
+is masked out via segment ids (pad tokens get a different segment id ->
+their attention weight is exactly 0 for real queries).
 
 Falls back to the jnp softmax path off-TPU (CPU tests / interpret mode).
 """
@@ -19,10 +20,6 @@ import jax
 import jax.numpy as jnp
 
 _BLOCK = 128
-
-
-def _pad_len(n: int) -> int:
-    return (-n) % _BLOCK
 
 
 @functools.lru_cache(maxsize=1)
@@ -77,10 +74,22 @@ def flash_mha(q, k, v, scale: float = 1.0, segment_len: int = 0):
     # 128-multiple forces 128-wide blocks when the padded length has no
     # larger divisor (1370 -> 1408: only 128 divides), which is the round-1
     # 2.6x regression.  Padding further to a 512-multiple (1370 -> 1536,
-    # +9%) admits 512-wide blocks.  APLA_FLASH_BLOCK overrides (perf
-    # studies); default 512.
+    # +12%) admits 512-wide blocks.  Policy: the LARGEST block whose pad
+    # overhead stays under ~15% (so N just past a block boundary — e.g.
+    # 577 -> 1024 would be 77% pad — falls back to smaller blocks instead
+    # of quadrupling the score work).  APLA_FLASH_BLOCK overrides (perf
+    # studies); values are rounded to a 128-multiple.
     import os
-    want_blk = int(os.environ.get("APLA_FLASH_BLOCK", 512))
+    env_blk = os.environ.get("APLA_FLASH_BLOCK")
+    if env_blk:
+        want_blk = max(_BLOCK, (int(env_blk) // _BLOCK) * _BLOCK)
+    else:
+        want_blk = _BLOCK
+        for cand in (512, 384, 256):
+            n_cand = ((N + cand - 1) // cand) * cand
+            if (n_cand - N) / N <= 0.15:
+                want_blk = cand
+                break
     n_pad = max(((N + want_blk - 1) // want_blk) * want_blk, _BLOCK)
     pad = n_pad - N
     if pad:
@@ -101,7 +110,8 @@ def flash_mha(q, k, v, scale: float = 1.0, segment_len: int = 0):
     else:
         segment_ids = None
 
-    # largest block (<=512) that divides the padded length
+    # largest block (<=512) that divides the padded length (n_pad is a
+    # want_blk multiple and want_blk is a 128-multiple, so 128 always hits)
     blk = next(b for b in (512, 384, 256, 128) if n_pad % b == 0)
     block_sizes = BlockSizes(
         block_q=blk, block_k_major=blk,

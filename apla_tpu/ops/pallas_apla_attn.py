@@ -154,13 +154,47 @@ def _env_bb(name: str, default: int) -> int:
     return int(os.environ.get(name, default))
 
 
+# VMEM working-set models (bytes; bf16 data, f32 score chain).  The budget
+# leaves headroom under the 16 MB/core VMEM for Mosaic's own buffers.
+_VMEM_BUDGET = 12 * 2 ** 20
+
+
+def _fwd_bytes(bb: int, np_: int, c: int) -> int:
+    # qkv block + o_cat/out + one live f32 score matrix + proj weight
+    return bb * (np_ * 3 * c * 2 + 2 * np_ * c * 4 + 2 * np_ * np_ * 4) \
+        + c * c * 2
+
+
+def _bwd_bytes(bb: int, np_: int, c: int, kp: int) -> int:
+    # qkv + dqkv + g + dO + g_t + up to 4 live f32 score-shaped buffers
+    # (p, dp, ds and a cast temp) + weights/dwt
+    return bb * (2 * np_ * 3 * c * 2 + 2 * np_ * c * 2 + np_ * kp * 2
+                 + 4 * np_ * np_ * 4) + c * c * 2 + c * kp * 4
+
+
+def _cap_bb(bb: int, b: int, bytes_fn) -> int:
+    bb = _pick_bb(b, bb)
+    while bb > 1 and bytes_fn(bb) > _VMEM_BUDGET:
+        bb = _pick_bb(b, bb - 1)
+    return bb
+
+
+def fused_fits(n: int, c: int, k: int = 128) -> bool:
+    """Whether the fused kernel's BACKWARD fits VMEM at BB=1 for this
+    geometry (its footprint is several times pallas_mha's per-head blocks —
+    a ViT-B at N~512 would need ~20 MB; don't reuse fits_vmem here)."""
+    np_ = _pad_to(n, 16)
+    kp = _pad_to(min(k, c), 128)
+    return _bwd_bytes(1, np_, c, kp) <= _VMEM_BUDGET
+
+
 def _call_fwd(qkv, w, H, Dh, scale, n_real):
     B, Np, C3 = qkv.shape
     C = C3 // 3
     # images per grid step: amortises per-dispatch overhead (192 dispatches
-    # per accum-8 train step at BB=1); fwd holds one [BB,Np,Np] f32 score
-    # block at a time
-    BB = _pick_bb(B, _env_bb("APLA_FUSED_BB_FWD", 4))
+    # per accum-8 train step at BB=1); capped so the working set fits VMEM
+    BB = _cap_bb(_env_bb("APLA_FUSED_BB_FWD", 4), B,
+                 lambda bb: _fwd_bytes(bb, Np, C))
     kern = functools.partial(_fwd_kernel, H=H, Dh=Dh, scale=scale,
                              n_real=n_real)
     return pl.pallas_call(
@@ -187,7 +221,8 @@ def _call_bwd(qkv, w, g, g_t, H, Dh, scale, n_real):
     B, Np, C3 = qkv.shape
     C = C3 // 3
     Kp = g_t.shape[-1]
-    BB = _pick_bb(B, _env_bb("APLA_FUSED_BB_BWD", 2))
+    BB = _cap_bb(_env_bb("APLA_FUSED_BB_BWD", 2), B,
+                 lambda bb: _bwd_bytes(bb, Np, C, Kp))
     kern = functools.partial(_bwd_kernel, H=H, Dh=Dh, scale=scale,
                              n_real=n_real)
     return pl.pallas_call(

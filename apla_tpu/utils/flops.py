@@ -67,53 +67,68 @@ def vit_train_step_flops(cfg: Any, n_classes: int, batch: int,
     hidden = getattr(cfg, "mlp_hidden", int(d * cfg.mlp_ratio))
 
     full_ft = apla_k == "finetune"
+    probe = apla_k == 0  # head-only linear probe: no trunk backward at all
 
-    def mm(m_, n_, k_, trainable=False):
-        """One weight matmul [m_,k_]x[k_,n_]: fwd + bwd-dX (+ bwd-dW if
-        trainable)."""
+    def mm(m_, n_, k_, trainable=False, need_dx=True):
+        """One weight matmul [m_,k_]x[k_,n_]: fwd, plus only the backward
+        matmuls XLA actually executes — dX when a consumer below needs a
+        cotangent, dW when the weight is trainable."""
         f = 2.0 * m_ * n_ * k_
-        n_mats = 3.0 if (trainable or full_ft) else 2.0
-        return f, f * (n_mats - 1.0)
+        b = (f if need_dx else 0.0) + (f if (trainable or full_ft) else 0.0)
+        return f, b
 
     fwd = 0.0
     bwd = 0.0
 
-    # patch embed: conv == matmul [n_patch, p*p*C] x [p*p*C, d]
-    f, b = mm(n_patch, d, p * p * cfg.in_chans)
+    # patch embed: conv == matmul [n_patch, p*p*C] x [p*p*C, d].  Its input
+    # is the DATA — dX is never computed (in any mode); dW only on full FT.
+    f, b = mm(n_patch, d, p * p * cfg.in_chans, need_dx=False)
     fwd += f
-    bwd += b
+    bwd += 0.0 if probe else b
 
-    for _ in range(L):
-        f, b = mm(n, 3 * d, d)            # qkv
-        fwd += f; bwd += b
+    for i in range(L):
+        # In the deepest block nothing below the attention out-projection is
+        # trainable (unless full FT), so the qkv/scores/AV backward — and
+        # the projection's own dX — are dead code XLA removes.
+        attn_bwd_live = (not probe) and (full_ft or i > 0)
+        f, b = mm(n, 3 * d, d, need_dx=attn_bwd_live)       # qkv
+        fwd += f
+        bwd += b if attn_bwd_live else 0.0
         # attention scores + AV: activation-activation matmuls — backward
-        # needs grads w.r.t. BOTH operands (2x fwd each)
+        # needs grads w.r.t. BOTH operands (2x fwd each) when live
         f_attn = 2.0 * n * n * d * 2      # QK^T and AV
         fwd += f_attn
-        bwd += 2.0 * f_attn
+        bwd += 2.0 * f_attn if attn_bwd_live else 0.0
         # out-projection: frozen [d, d-k] part + trainable [d, k] part
         if apla_k == "full" or full_ft:
-            f, b = mm(n, d, d, trainable=True)
-            fwd += f; bwd += b
+            f, b = mm(n, d, d, trainable=True, need_dx=attn_bwd_live)
+            fwd += f
+            bwd += 0.0 if probe else b
         else:
-            k = int(apla_k)
             f = 2.0 * n * d * d           # fwd is one full matmul either way
             fwd += f
-            bwd += f                      # dX: full [d,d]
-            bwd += 2.0 * n * d * k        # dW_t: only the k trainable columns
+            if not probe:
+                if attn_bwd_live:
+                    bwd += f              # dX: full [d,d]
+                k = int(apla_k)
+                bwd += 2.0 * n * d * k    # dW_t: only the trainable columns
+        # MLP: dX is live in every block (it carries the cotangent to the
+        # attention-output residual that dW_t needs), dW only on full FT
+        mlp_dx = not probe
         if getattr(cfg, "use_swiglu", False):
-            f, b = mm(n, 2 * hidden, d)   # w12
-            fwd += f; bwd += b
-            f, b = mm(n, d, hidden)       # w3
-            fwd += f; bwd += b
+            f, b = mm(n, 2 * hidden, d, need_dx=mlp_dx)     # w12
+            fwd += f; bwd += 0.0 if probe else b
+            f, b = mm(n, d, hidden, need_dx=mlp_dx)         # w3
+            fwd += f; bwd += 0.0 if probe else b
         else:
-            f, b = mm(n, hidden, d)       # fc1
-            fwd += f; bwd += b
-            f, b = mm(n, d, hidden)       # fc2
-            fwd += f; bwd += b
+            f, b = mm(n, hidden, d, need_dx=mlp_dx)         # fc1
+            fwd += f; bwd += 0.0 if probe else b
+            f, b = mm(n, d, hidden, need_dx=mlp_dx)         # fc2
+            fwd += f; bwd += 0.0 if probe else b
 
-    # classifier head: always trainable
-    f, b = mm(1, n_classes, d, trainable=True)
+    # classifier head: always trainable; its dX feeds the trunk backward
+    # except in probe mode
+    f, b = mm(1, n_classes, d, trainable=True, need_dx=not probe)
     fwd += f
     bwd += b
 

@@ -6,23 +6,32 @@ from apla_tpu.utils.flops import mfu, peak_tflops, vit_train_step_flops
 
 
 def _hand_count_tiny():
-    """Independent hand count for a 2-layer toy config, APLA k=4."""
+    """Independent hand count for a 2-layer toy config, APLA k=4.
+
+    Backward counts only LIVE matmuls: patch-embed has no backward (its
+    input is data, its weight frozen); in block 0 — the deepest block —
+    nothing below the out-projection is trainable, so qkv/scores/AV
+    backward and the projection's dX are dead; the MLP dX is live in every
+    block (it carries the cotangent to the residual dW_t reads)."""
     d, L, p, img, C, ncls, k = 32, 2, 8, 32, 3, 10, 4
     n_patch = (img // p) ** 2          # 16
     n = n_patch + 1                    # 17
     h = 4 * d
 
-    fwd = 2 * n_patch * d * (p * p * C)          # patch embed
-    bwd = 2 * n_patch * d * (p * p * C)          # dX only (frozen)
-    for _ in range(L):
-        fwd += 2 * n * 3 * d * d;  bwd += 2 * n * 3 * d * d        # qkv frozen
-        fa = 2 * 2 * n * n * d;    fwd += fa; bwd += 2 * fa        # scores+AV
+    fwd = 2 * n_patch * d * (p * p * C)          # patch embed (no bwd)
+    bwd = 0
+    for i in range(L):
+        live = i > 0                                               # block 0: dead attn bwd
+        fwd += 2 * n * 3 * d * d                                    # qkv
+        bwd += 2 * n * 3 * d * d if live else 0
+        fa = 2 * 2 * n * n * d;    fwd += fa                        # scores+AV
+        bwd += 2 * fa if live else 0
         fwd += 2 * n * d * d                                        # proj fwd
-        bwd += 2 * n * d * d + 2 * n * d * k                        # dX + dW_t
-        fwd += 2 * n * h * d;      bwd += 2 * n * h * d             # fc1 frozen
-        fwd += 2 * n * d * h;      bwd += 2 * n * d * h             # fc2 frozen
+        bwd += (2 * n * d * d if live else 0) + 2 * n * d * k       # dX? + dW_t
+        fwd += 2 * n * h * d;      bwd += 2 * n * h * d             # fc1 dX
+        fwd += 2 * n * d * h;      bwd += 2 * n * d * h             # fc2 dX
     fwd += 2 * ncls * d
-    bwd += 2 * 2 * ncls * d                                         # trainable
+    bwd += 2 * 2 * ncls * d                                         # dX + dW
     return fwd, bwd
 
 
@@ -77,3 +86,13 @@ def test_peak_lookup():
     assert peak_tflops("TPU v5e") == 197.0
     assert peak_tflops("TPU v5 lite pod") == 197.0
     assert peak_tflops("TPU v4") == 275.0
+
+
+def test_probe_mode_counts_no_trunk_backward():
+    cfg = VIT_BUILDERS["vit_base"](img_size=224, patch_size=14)
+    probe = vit_train_step_flops(cfg, 1000, batch=1, apla_k=0)
+    apla = vit_train_step_flops(cfg, 1000, batch=1, apla_k=128)
+    assert probe["fwd_flops"] == apla["fwd_flops"]
+    # probe backward = head dW only
+    assert probe["bwd_flops"] == 2 * 1000 * cfg.embed_dim
+    assert probe["bwd_flops"] < apla["bwd_flops"] / 100
