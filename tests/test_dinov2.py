@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy virtual-mesh integration tier
+
 from apla_tpu.utils.config import load_merged_params
 
 PARAMS = os.path.join(os.path.dirname(__file__), "..", "params", "synthetic",

@@ -8,6 +8,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy virtual-mesh integration tier
+
 from apla_tpu.utils.config import load_merged_params
 from apla_tpu.wrapper import DefaultWrapper
 from apla_tpu.train.trainer import Trainer

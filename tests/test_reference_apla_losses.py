@@ -190,3 +190,75 @@ def test_cosine_scheduler_parity_vs_reference(ref_src):
     for it in (0, 3, 7, 12, 50, 99, 120):
         np.testing.assert_allclose(float(ours[it]), float(ref[it]),
                                    rtol=1e-6, err_msg=f"iter {it}")
+
+
+@pytest.fixture(scope="module")
+def ref_ssl_models(ref_src):
+    """Import the reference BYOL/DINO(v1) model modules (they pull
+    defaults.bases -> torchvision.datasets at import; stub that one name —
+    the loss classes under test don't touch it)."""
+    import types
+
+    import tests.test_reference_parity as trp
+    if "torchvision.datasets" not in sys.modules:
+        ds = trp._stub("torchvision.datasets")
+        sys.modules["torchvision"].datasets = ds
+    from self_supervised.BYOL.models import BYOL_loss, SimSiam_loss
+    from self_supervised.DINO.models import DINOLoss as DINOv1Loss
+    return BYOL_loss, SimSiam_loss, DINOv1Loss
+
+
+def test_byol_and_simsiam_loss_parity(ref_ssl_models):
+    BYOL_loss, SimSiam_loss, _ = ref_ssl_models
+    import jax.numpy as jnp
+
+    from apla_tpu.ssl.byol import byol_loss, simsiam_loss
+
+    torch.manual_seed(0)
+    B, D = 8, 32
+    preds = [torch.randn(B, D), torch.randn(B, D)]
+    targs = [torch.randn(B, D), torch.randn(B, D)]
+
+    ref_b = BYOL_loss()(preds, targs)
+    ours_b = byol_loss([jnp.asarray(p.numpy()) for p in preds],
+                       [jnp.asarray(t.numpy()) for t in targs])
+    np.testing.assert_allclose(float(ours_b), float(ref_b), rtol=1e-5)
+
+    ref_s = SimSiam_loss()(preds, targs)
+    ours_s = simsiam_loss([jnp.asarray(p.numpy()) for p in preds],
+                          [jnp.asarray(t.numpy()) for t in targs])
+    np.testing.assert_allclose(float(ours_s), float(ref_s), rtol=1e-5)
+
+
+def test_dino_v1_loss_sequence_parity(ref_ssl_models):
+    """DINO v1 centering + sharpening over N steps with the reference's own
+    DINOLoss (teacher-temp warmup schedule, center EMA inside forward,
+    DINO/models.py:8-70) vs our dino_loss recurrence."""
+    _, _, DINOv1Loss = ref_ssl_models
+    import jax.numpy as jnp
+
+    from apla_tpu.ssl.dino import dino_loss
+
+    torch.manual_seed(1)
+    K, B, ncrops, T = 32, 4, 4, 5
+    ref = DINOv1Loss(out_dim=K, ncrops=ncrops, warmup_teacher_temp=0.04,
+                     teacher_temp=0.07, warmup_teacher_temp_epochs=3,
+                     nepochs=6, student_temp=0.1, center_momentum=0.9)
+    center = jnp.zeros((1, K), jnp.float32)
+    ref_losses, our_losses = [], []
+    for t in range(T):
+        s_chunks = [torch.randn(B, K) for _ in range(ncrops)]
+        t_chunks = [torch.randn(B, K) for _ in range(2)]
+        temp = float(ref.teacher_temp_schedule[t])
+
+        ref_losses.append(float(ref(torch.cat(s_chunks), torch.cat(t_chunks),
+                                    epoch=t)))
+        ours, center = dino_loss(
+            [jnp.asarray(s.numpy()) for s in s_chunks],
+            [jnp.asarray(c.numpy()) for c in t_chunks],
+            center, teacher_temp=temp, student_temp=0.1,
+            center_momentum=0.9)
+        our_losses.append(float(ours))
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(center), ref.center.numpy(),
+                               rtol=1e-5, atol=1e-7)
