@@ -62,6 +62,50 @@ def fsdp_sharding_tree(mesh: Mesh, tree, axis: str = "data",
     return jax.tree.map(leaf_sharding, tree)
 
 
+def tp_sharding_tree(mesh: Mesh, tree, axis: str = "model"):
+    """Megatron-style tensor-parallel NamedShardings for the ViT frozen
+    pytree over the mesh's `model` axis (beyond the reference, which has DP
+    only — SURVEY §2.9 lists head-TP as the natural post-parity stretch):
+
+      column-parallel (output dim sharded):  qkv / fc1 / w12 kernels+biases
+      row-parallel    (input dim sharded):   proj / fc2 / w3 kernels
+      everything else (norms, embeddings, LayerScale, inds, biases of
+      row-parallel layers) replicated.
+
+    Pure GSPMD: annotate the placements, XLA inserts the block-boundary
+    psums.  Leaves whose target dim is not divisible by the axis size stay
+    replicated.  Kernels are stacked [L, d_in, d_out]; biases [L, d]."""
+    n = mesh.shape[axis]
+    col_names = {"qkv", "fc1", "w12"}
+    row_names = {"proj", "fc2", "w3"}
+
+    def decide(path, x):
+        if n == 1:
+            return NamedSharding(mesh, P())
+        names = [str(e.key) for e in path
+                 if isinstance(e, jax.tree_util.DictKey)]
+        leaf = names[-1] if names else ""
+        parent = names[-2] if len(names) > 1 else ""
+        if parent in col_names and leaf == "kernel" \
+                and x.ndim >= 2 and x.shape[-1] % n == 0:
+            spec = [None] * x.ndim
+            spec[-1] = axis
+            return NamedSharding(mesh, P(*spec))
+        if parent in col_names and leaf == "bias" \
+                and x.shape[-1] % n == 0:
+            spec = [None] * x.ndim
+            spec[-1] = axis
+            return NamedSharding(mesh, P(*spec))
+        if parent in row_names and leaf == "kernel" \
+                and x.ndim >= 3 and x.shape[-2] % n == 0:
+            spec = [None] * x.ndim
+            spec[-2] = axis
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(decide, tree)
+
+
 def _global_put(x, sh: NamedSharding):
     """device_put that also works on a MULTI-PROCESS mesh, where a plain
     device_put cannot address other hosts' devices.  Every process holds the
@@ -80,6 +124,9 @@ def shard_params(tree, mesh: Mesh, policy: str = "replicated",
     (large leaves sharded over the data axis, see `fsdp_sharding_tree`)."""
     if policy == "fsdp":
         sh = fsdp_sharding_tree(mesh, tree, axis=axis)
+        return jax.tree.map(_global_put, tree, sh)
+    if policy == "tp":
+        sh = tp_sharding_tree(mesh, tree)
         return jax.tree.map(_global_put, tree, sh)
     if policy != "replicated":
         raise ValueError(f"unknown param_sharding policy: {policy!r}")

@@ -140,6 +140,12 @@ class DefaultWrapper:
     # ------------------------------------------------------------------ #
     def init_mesh(self):
         n_devices = self.system_params.get("n_devices")  # None => all
+        n_model = int(self.system_params.get("tensor_parallel", 1) or 1)
+        if n_model > 1:
+            # data axis takes the rest; n_devices (if given) is the TOTAL
+            total = n_devices or len(jax.devices())
+            assert total % n_model == 0, (total, n_model)
+            return make_mesh(n_data=total // n_model, n_model=n_model)
         return make_mesh(n_data=n_devices)
 
     def build_vit_config(self):

@@ -23,8 +23,12 @@ def parse_arguments():
     p.add_argument("--gpu", type=str,
                    help="reference-compat alias: comma list of device ids ('0,1') -> mesh data-axis size")
     p.add_argument("--param_sharding", type=str,
-                   choices=["replicated", "fsdp"],
+                   choices=["replicated", "fsdp", "tp"],
                    help="frozen-param placement policy over the mesh")
+    p.add_argument("--tensor_parallel", type=int,
+                   help="size of the mesh 'model' axis (Megatron-style TP "
+                        "over attention heads / MLP; composes with "
+                        "--param_sharding tp)")
     p.add_argument("--batch_size", type=int)
     p.add_argument("--val_every", type=float)
     p.add_argument("--log_every", type=int)
@@ -89,6 +93,8 @@ def update_params_from_args(params, args):
             [g for g in str(args.gpu).split(",") if g.strip()])
     if args.param_sharding:
         params.system_params.param_sharding = args.param_sharding
+    if args.tensor_parallel:
+        params.system_params.tensor_parallel = args.tensor_parallel
     if args.model_name:
         params.training_params.model_name = args.model_name
     if args.save_dir:

@@ -22,9 +22,10 @@ CFG = ViTConfig(img_size=32, patch_size=8, embed_dim=64, depth=2, num_heads=4,
 
 
 def _run_steps(n_devices, n_steps=3, param_sharding="replicated",
-               accum=1):
+               accum=1, n_model=1):
     from apla_tpu.parallel.mesh import shard_params
-    mesh = make_mesh(n_data=n_devices, devices=jax.devices()[:n_devices])
+    mesh = make_mesh(n_data=n_devices // n_model, n_model=n_model,
+                     devices=jax.devices()[:n_devices])
     trainable, frozen = init_classifier(
         jax.random.PRNGKey(0), CFG, n_classes=10,
         apla_cfg=AplaConfig(partial_size=8))
@@ -63,6 +64,37 @@ def test_fsdp_frozen_sharding_matches_replicated():
     l_fsdp, w_fsdp = _run_steps(8, param_sharding="fsdp")
     np.testing.assert_allclose(l_rep, l_fsdp, rtol=1e-5)
     np.testing.assert_allclose(w_rep, w_fsdp, rtol=1e-5, atol=1e-7)
+
+
+def test_tp_matches_replicated():
+    """Megatron-style 'tp' frozen placement on a 2x4 (data x model) mesh is
+    numerically the replicated computation — GSPMD inserts the
+    block-boundary psums, the math is unchanged."""
+    l_rep, w_rep = _run_steps(8)
+    l_tp, w_tp = _run_steps(8, param_sharding="tp", n_model=4)
+    np.testing.assert_allclose(l_rep, l_tp, rtol=1e-5)
+    np.testing.assert_allclose(w_rep, w_tp, rtol=1e-5, atol=1e-7)
+
+
+def test_tp_sharding_tree_rules():
+    from apla_tpu.parallel.mesh import tp_sharding_tree
+    mesh = make_mesh(n_data=2, n_model=4)
+    _, frozen = init_classifier(jax.random.PRNGKey(0), CFG, n_classes=10,
+                                apla_cfg=AplaConfig(partial_size=8))
+    sh = tp_sharding_tree(mesh, frozen)
+    blocks = sh["backbone"]["blocks"]
+    assert blocks["attn"]["qkv"]["kernel"].spec == \
+        jax.sharding.PartitionSpec(None, None, "model")   # column-parallel
+    assert blocks["attn"]["proj"]["kernel"].spec == \
+        jax.sharding.PartitionSpec(None, "model", None)   # row-parallel
+    assert blocks["mlp"]["fc1"]["kernel"].spec == \
+        jax.sharding.PartitionSpec(None, None, "model")
+    assert blocks["mlp"]["fc2"]["kernel"].spec == \
+        jax.sharding.PartitionSpec(None, "model", None)
+    # row-parallel bias + norms replicated
+    assert blocks["attn"]["proj"]["bias"].spec == \
+        jax.sharding.PartitionSpec()
+    assert blocks["norm1"]["scale"].spec == jax.sharding.PartitionSpec()
 
 
 def test_fsdp_sharding_tree_shards_large_leaves():
