@@ -106,7 +106,7 @@ def apla_attention(x, frozen, trainable, num_heads, scale=None, attn_drop=0.0,
     """
     rng_a, rng_p = (jax.random.split(rng) if rng is not None else (None, None))
     B, N, C = x.shape
-    if use_fused and attn_drop == 0.0 and segment_len == 0:
+    if use_fused and attn_drop == 0.0:
         from .pallas_apla_attn import fused_apla_attention, fused_fits
         if fused_fits(N, C, trainable["proj_wt"].shape[-1]):
             from .quant import maybe_quantized_dot
@@ -117,7 +117,8 @@ def apla_attention(x, frozen, trainable, num_heads, scale=None, attn_drop=0.0,
                 qkv, trainable["proj_wt"], trainable["proj_bt"],
                 frozen["proj"]["kernel"], frozen["proj"]["bias"],
                 frozen["inds"], num_heads,
-                float(scale if scale is not None else head_dim ** -0.5))
+                float(scale if scale is not None else head_dim ** -0.5),
+                int(segment_len))
             out = checkpoint_name(out, "attn_out")
             return _dropout(out, proj_drop, rng_p, deterministic)
     out = qkv_and_attend(

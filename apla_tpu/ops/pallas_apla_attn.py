@@ -45,9 +45,14 @@ def _pad_to(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
-def _masked_softmax(s, n_real):
+def _masked_softmax(s, n_real, seg=0):
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1)
-    s = jnp.where(col < n_real, s, NEG_INF)
+    valid = col < n_real
+    if seg:
+        # block-diagonal: packed crops attend only within their segment
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 2)
+        valid &= (col // seg) == (row // seg)
+    s = jnp.where(valid, s, NEG_INF)
     s = s - jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s)
     return p / jnp.sum(p, axis=-1, keepdims=True)
@@ -68,7 +73,7 @@ _B_NN = (((2,), (1,)), ((0,), (0,)))   # [BB,N,M] x [BB,M,D] -> [BB,N,D]
 _B_TN = (((1,), (1,)), ((0,), (0,)))   # [BB,M,N]^T-style contraction
 
 
-def _fwd_kernel(qkv_ref, w_ref, o_ref, *, H, Dh, scale, n_real):
+def _fwd_kernel(qkv_ref, w_ref, o_ref, *, H, Dh, scale, n_real, seg):
     C = H * Dh
     qkv_b = qkv_ref[...]                     # [BB, Np, 3C] bf16
     outs = []
@@ -77,7 +82,7 @@ def _fwd_kernel(qkv_ref, w_ref, o_ref, *, H, Dh, scale, n_real):
         s = jax.lax.dot_general(
             q, k, _B_NT,
             preferred_element_type=jnp.float32) * scale  # [BB, Np, Np] f32
-        p = _masked_softmax(s, n_real).astype(qkv_b.dtype)
+        p = _masked_softmax(s, n_real, seg).astype(qkv_b.dtype)
         outs.append(jax.lax.dot_general(
             p, v, _B_NN, preferred_element_type=jnp.float32))
     o_cat = jnp.concatenate(outs, axis=2).astype(qkv_b.dtype)  # [BB, Np, C]
@@ -88,7 +93,7 @@ def _fwd_kernel(qkv_ref, w_ref, o_ref, *, H, Dh, scale, n_real):
 
 
 def _bwd_kernel(qkv_ref, w_ref, g_ref, gt_ref, dqkv_ref, dwt_ref, *,
-                H, Dh, scale, n_real):
+                H, Dh, scale, n_real, seg):
     C = H * Dh
     qkv_b = qkv_ref[...]                     # [BB, Np, 3C] bf16
     g = g_ref[...]                           # [BB, Np, C]  bf16
@@ -105,7 +110,7 @@ def _bwd_kernel(qkv_ref, w_ref, g_ref, gt_ref, dqkv_ref, dwt_ref, *,
         s = jax.lax.dot_general(
             q, k, _B_NT,
             preferred_element_type=jnp.float32) * scale
-        p = _masked_softmax(s, n_real)                   # [BB, Np, Np] f32
+        p = _masked_softmax(s, n_real, seg)              # [BB, Np, Np] f32
         pb = p.astype(qkv_b.dtype)
         o = jax.lax.dot_general(pb, v, _B_NN,
                                 preferred_element_type=jnp.float32)
@@ -188,7 +193,7 @@ def fused_fits(n: int, c: int, k: int = 128) -> bool:
     return _bwd_bytes(1, np_, c, kp) <= _VMEM_BUDGET
 
 
-def _call_fwd(qkv, w, H, Dh, scale, n_real):
+def _call_fwd(qkv, w, H, Dh, scale, n_real, seg=0):
     B, Np, C3 = qkv.shape
     C = C3 // 3
     # images per grid step: amortises per-dispatch overhead (192 dispatches
@@ -196,7 +201,7 @@ def _call_fwd(qkv, w, H, Dh, scale, n_real):
     BB = _cap_bb(_env_bb("APLA_FUSED_BB_FWD", 4), B,
                  lambda bb: _fwd_bytes(bb, Np, C))
     kern = functools.partial(_fwd_kernel, H=H, Dh=Dh, scale=scale,
-                             n_real=n_real)
+                             n_real=n_real, seg=seg)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, Np, C), qkv.dtype),
@@ -217,14 +222,14 @@ def _call_fwd(qkv, w, H, Dh, scale, n_real):
     )(qkv, w)
 
 
-def _call_bwd(qkv, w, g, g_t, H, Dh, scale, n_real):
+def _call_bwd(qkv, w, g, g_t, H, Dh, scale, n_real, seg=0):
     B, Np, C3 = qkv.shape
     C = C3 // 3
     Kp = g_t.shape[-1]
     BB = _cap_bb(_env_bb("APLA_FUSED_BB_BWD", 2), B,
                  lambda bb: _bwd_bytes(bb, Np, C, Kp))
     kern = functools.partial(_bwd_kernel, H=H, Dh=Dh, scale=scale,
-                             n_real=n_real)
+                             n_real=n_real, seg=seg)
     return pl.pallas_call(
         kern,
         out_shape=(
@@ -266,16 +271,16 @@ def _assemble(w_t, b_t, w_frozen, b_frozen, inds):
     return w, b
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def fused_apla_attention(qkv, w_t, b_t, w_frozen, b_frozen, inds,
-                         num_heads, scale):
+                         num_heads, scale, segment_len=0):
     """qkv: [B, N, 3C] packed activations -> [B, N, C] projected output.
 
     Differentiable in (qkv, w_t, b_t); the frozen kernel/bias and inds get
     no cotangent.  `w_t` [C, k] / `b_t` [k] follow apla_proj's convention.
     """
     out, _ = _fused_fwd(qkv, w_t, b_t, w_frozen, b_frozen, inds,
-                        num_heads, scale)
+                        num_heads, scale, segment_len)
     return out
 
 
@@ -286,7 +291,8 @@ def _prep(qkv, n_pad):
     return qkv
 
 
-def _fused_fwd(qkv, w_t, b_t, w_frozen, b_frozen, inds, num_heads, scale):
+def _fused_fwd(qkv, w_t, b_t, w_frozen, b_frozen, inds, num_heads, scale,
+               segment_len=0):
     B, N, C3 = qkv.shape
     C = C3 // 3
     Dh = C // num_heads
@@ -294,13 +300,13 @@ def _fused_fwd(qkv, w_t, b_t, w_frozen, b_frozen, inds, num_heads, scale):
     w, b = _assemble(w_t, b_t, w_frozen, b_frozen, inds)
     qkv_p = _prep(qkv, Np)
     out = _call_fwd(qkv_p, w.astype(qkv.dtype), num_heads, Dh,
-                    float(scale), N)
+                    float(scale), N, seg=int(segment_len))
     out = out[:, :N] + b.astype(out.dtype)
     # w_t/b_t ride along only for their shape/dtype (tiny arrays)
     return out, (qkv_p, w, inds, w_t, b_t)
 
 
-def _fused_bwd(num_heads, scale, res, g):
+def _fused_bwd(num_heads, scale, segment_len, res, g):
     qkv_p, w, inds, w_t_tpl, b_t_tpl = res
     k, bt_dtype, wt_dtype = w_t_tpl.shape[-1], b_t_tpl.dtype, w_t_tpl.dtype
     B, Np, C3 = qkv_p.shape
@@ -314,7 +320,7 @@ def _fused_bwd(num_heads, scale, res, g):
         g_t = jnp.pad(g_t, ((0, 0), (0, 0), (0, Kp - k)))
     dqkv, dwt = _call_bwd(qkv_p, w.astype(g.dtype), g_p.astype(qkv_p.dtype),
                           g_t.astype(qkv_p.dtype), num_heads, Dh,
-                          float(scale), N)
+                          float(scale), N, seg=int(segment_len))
     dqkv = dqkv[:, :N]
     dw_t = dwt[:, :k].astype(wt_dtype)
     db_t = jnp.sum(jnp.take(g, inds, axis=-1).astype(jnp.float32),

@@ -137,3 +137,40 @@ def test_model_path_use_fused_apla():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=5e-3, atol=5e-3,
             err_msg=jax.tree_util.keystr(path_r))
+
+
+def test_fused_segment_mask():
+    """Fused kernel with a block-diagonal segment mask == per-segment
+    separate-ops oracle (packed DINOv2 local crops through the fused
+    path)."""
+    s, T = 2, 8
+    qkv, w_t, b_t, w_frozen, b_frozen, inds, H, scale = _make(N=s * T)
+
+    # oracle: run each segment independently through the separate-ops path
+    refs = []
+    for i in range(s):
+        seg_qkv = qkv[:, i * T:(i + 1) * T]
+        refs.append(_ref_forward(seg_qkv, w_t, b_t, w_frozen, b_frozen,
+                                 inds, H, scale))
+    ref = jnp.concatenate(refs, axis=1)
+
+    out = fused_apla_attention(qkv, w_t, b_t, w_frozen, b_frozen, inds,
+                               H, scale, T)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+    def loss_fused(qkv, w_t, b_t):
+        return jnp.sum(fused_apla_attention(
+            qkv, w_t, b_t, w_frozen, b_frozen, inds, H, scale, T) ** 2)
+
+    def loss_ref(qkv, w_t, b_t):
+        parts = [_ref_forward(qkv[:, i * T:(i + 1) * T], w_t, b_t,
+                              w_frozen, b_frozen, inds, H, scale)
+                 for i in range(s)]
+        return jnp.sum(jnp.concatenate(parts, axis=1) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(qkv, w_t, b_t)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(qkv, w_t, b_t)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3)
