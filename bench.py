@@ -49,6 +49,10 @@ A100_BASELINE_IPS = 280.0
 # 16 -> 748.6).
 BATCH = int(os.environ.get("BENCH_BATCH", 64))
 ACCUM = int(os.environ.get("BENCH_ACCUM", 8))
+# attention path: 'base' (XLA), 'flash' (VMEM Pallas), 'fused' (attention +
+# APLA projection in one kernel — wins the monolithic regime, BASELINE.md
+# round-3 study; the accum-8 recipe default stays XLA)
+KERNEL = os.environ.get("BENCH_KERNEL", "base")
 STEPS = 40
 
 
@@ -68,7 +72,9 @@ def build(device_aug_cfg=None):
         # exact-erf variant costs 15.4 ms of the 128.5 ms step on v5e
         # (BASELINE.md round-2 anatomy); exact is ViTConfig's default for
         # torch-import parity, the TPU recipe opts in here
-        gelu_tanh=True)
+        gelu_tanh=True,
+        use_flash=(KERNEL == "flash"),
+        use_fused_apla=(KERNEL == "fused"))
     trainable, frozen = init_classifier(
         jax.random.PRNGKey(0), cfg, n_classes=1000,
         apla_cfg=AplaConfig(partial_size=128))

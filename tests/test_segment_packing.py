@@ -146,3 +146,47 @@ def test_dinov2_step_pack_parity():
         np.testing.assert_allclose(
             results[True][key], results[False][key], rtol=1e-4,
             err_msg=f"{key}: packed {results[True]} vs {results[False]}")
+
+
+def test_dinov2_step_pack_parity_with_accum():
+    """pack_local_crops composes with accum_steps: the packed accum-2 step
+    equals the unpacked accum-2 step on one collated batch (micro_split
+    keeps crop-major order, so per-micro packing sees whole images)."""
+    import os
+    import tempfile
+
+    from apla_tpu.ssl.dinov2 import Dinov2Trainer, DINOv2Wrapper
+    from apla_tpu.utils.config import load_merged_params
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    params = load_merged_params(
+        os.path.join(repo, "params/synthetic/vit_tiny/dinov2.yml"))
+    params.system_params.n_devices = 1
+    params.training_params.epochs = 1
+    params.training_params.is_dry = True
+    params.training_params.use_mixed_precision = False
+    params.training_params.accum_steps = 2
+    params.dataset_params.synthetic_size = 4
+    for ld in ("trainloader", "valloader", "testloader"):
+        params.dataloader_params[ld].batch_size = 4
+        params.dataloader_params[ld].num_workers = 0
+    params.training_params.save_dir = tempfile.mkdtemp(prefix="packacc_")
+
+    wrapper = DINOv2Wrapper(params)
+    wrapper.instantiate()
+    trainer = Dinov2Trainer(wrapper)
+    loader = wrapper.dataloaders.trainloader
+    loader.set_epoch(0)
+    batch = next(iter(loader))
+    dbatch = trainer._device_batch(batch)
+
+    results = {}
+    for packed in (False, True):
+        trainer._steps = {}
+        trainer._pack_local_crops = lambda packed=packed: packed
+        step_fn = trainer._get_step(True)
+        state0 = jax.tree.map(jnp.array, trainer.state)
+        _, m = step_fn(state0, trainer.frozen, dbatch,
+                       1e-4, 0.04, 0.994, 0.04, trainer.rng)
+        results[packed] = float(m["loss"])
+    np.testing.assert_allclose(results[True], results[False], rtol=1e-4)
