@@ -698,6 +698,7 @@ class DINOv2Wrapper(DINOWrapper):
             # kernel path is opt-in (`is_memory_efficient: true`), not the
             # default as in the reference.
             use_flash=bool(sp.get("is_memory_efficient", False)),
+            use_fused_apla=bool(sp.get("use_fused_apla", False)),
             gelu_tanh=bool(sp.get("gelu_tanh", False)),
             remat=sp.get("remat", "dots"),
         )

@@ -167,6 +167,7 @@ class DefaultWrapper:
             num_register_tokens=int(tp.get("num_register_tokens", 0)),
             compute_dtype=jnp.bfloat16 if use_mp else jnp.float32,
             use_flash=bool(tp.get("is_memory_efficient", False)),
+            use_fused_apla=bool(tp.get("use_fused_apla", False)),
             # TPU perf knobs (see BASELINE.md round-2 step anatomy):
             # tanh-approx GELU (flax default; exact erf costs ~12% step
             # time) and the remat policy

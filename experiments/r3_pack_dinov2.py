@@ -31,7 +31,7 @@ def emit(rec):
     print(json.dumps(rec), flush=True)
 
 
-def bench(batch_size, packed, device_aug=False):
+def bench(batch_size, packed, device_aug=False, fused=False):
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
@@ -50,6 +50,8 @@ def bench(batch_size, packed, device_aug=False):
     sp.layerscale = 1.0
     sp.gelu_tanh = True
     sp.pack_local_crops = bool(packed)
+    if fused:
+        sp.use_fused_apla = True
     params.model_params.adaptation.params.partial_size = 128
     params.dataset_params.ssl_global_size = 224
     params.dataset_params.ssl_local_size = 98
@@ -90,7 +92,7 @@ def bench(batch_size, packed, device_aug=False):
 
     emit({"study": "pack_dinov2", "batch": batch_size,
           "packed": bool(packed), "device_aug": bool(device_aug),
-          "ms_per_step": round(dt * 1e3, 1),
+          "fused": bool(fused), "ms_per_step": round(dt * 1e3, 1),
           "img_s": round(batch_size / dt, 1), "loss": round(loss, 4)})
 
 
@@ -100,6 +102,10 @@ VARIANTS = {
     "b16_unpacked": lambda: bench(16, False),
     "b16_packed": lambda: bench(16, True),
     "b8_packed_devaug": lambda: bench(8, True, device_aug=True),
+    # attention+APLA-proj fused kernel for every crop forward (global
+    # N=257 and packed local N=400 both fit the fused VMEM budget)
+    "b8_packed_fused": lambda: bench(8, True, fused=True),
+    "b8_unpacked_fused": lambda: bench(8, False, fused=True),
 }
 
 
