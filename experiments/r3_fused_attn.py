@@ -155,7 +155,7 @@ def chain(kind):
           "fwd_ms": round(t_f * 1e3, 2), "fwdbwd_ms": round(t_b * 1e3, 2)})
 
 
-def step(kind, accum=8):
+def step(kind, accum=8, batch=64):
     jax = setup_jax()
     import jax.numpy as jnp
     import numpy as np
@@ -184,24 +184,24 @@ def step(kind, accum=8):
     stepf = make_train_step(cfg, tx, cross_entropy, accum_steps=accum)
 
     rng = np.random.default_rng(0)
-    batch = {"image": jnp.asarray(rng.standard_normal((64, 224, 224, 3)),
-                                  jnp.bfloat16),
-             "label": jnp.asarray(rng.integers(0, 1000, 64), jnp.int32)}
+    batch_d = {"image": jnp.asarray(
+        rng.standard_normal((batch, 224, 224, 3)), jnp.bfloat16),
+        "label": jnp.asarray(rng.integers(0, 1000, batch), jnp.int32)}
     key = jax.random.PRNGKey(1)
-    state, m = stepf(state, frozen, batch, 3e-5, key)
+    state, m = stepf(state, frozen, batch_d, 3e-5, key)
     _ = float(m["loss"])
     for _ in range(3):
-        state, m = stepf(state, frozen, batch, 3e-5, key)
+        state, m = stepf(state, frozen, batch_d, 3e-5, key)
     _ = float(m["loss"])
     t0 = time.perf_counter()
     reps = 20
     for _ in range(reps):
-        state, m = stepf(state, frozen, batch, 3e-5, key)
+        state, m = stepf(state, frozen, batch_d, 3e-5, key)
     _ = float(m["loss"])
     dt = (time.perf_counter() - t0) / reps
-    emit({"study": "step", "kind": kind, "batch": 64, "accum": accum,
+    emit({"study": "step", "kind": kind, "batch": batch, "accum": accum,
           "bb": os.environ.get("APLA_FUSED_BB_FWD", "4"),
-          "ms_step": round(dt * 1e3, 1), "img_s": round(64 / dt, 1)})
+          "ms_step": round(dt * 1e3, 1), "img_s": round(batch / dt, 1)})
 
 
 VARIANTS = {
@@ -230,12 +230,18 @@ def _bb_variant(name, fwd_bb, bwd_bb, accum):
     step("fused", accum)
 
 
-# re-sweep with the image-batched (BB) fused kernel
+# re-sweep with the image-batched (BB) fused kernel + fused batch sweep
+# (per-image cost rises with batch for XLA; the kernel's memory-traffic
+# profile may move the optimum)
 SWEEP3 = ["step_fused_a2", "step_fused_a4", "step_fused",
-          "step_fused_bb8a1", "step_fused_bb1a8"]
+          "step_fused_bb8a1", "step_fused_bb1a8",
+          "step_fused_b32a1", "step_fused_b48a1", "step_fused_b96a1"]
 VARIANTS_EXTRA = {
     "step_fused_bb8a1": lambda: _bb_variant("bb8a1", 8, 4, 1),
     "step_fused_bb1a8": lambda: _bb_variant("bb1a8", 1, 1, 8),
+    "step_fused_b32a1": lambda: step("fused", 1, 32),
+    "step_fused_b48a1": lambda: step("fused", 1, 48),
+    "step_fused_b96a1": lambda: step("fused", 1, 96),
 }
 
 
