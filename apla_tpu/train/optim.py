@@ -59,14 +59,23 @@ def build_optimizer(opt_type: str, opt_params: dict, trainable_template,
     wd0 = float(opt_params.pop("weight_decay", 0.0))
     betas = opt_params.pop("betas", (0.9, 0.999))
     eps = float(opt_params.pop("eps", 1e-8))
-    momentum = float(opt_params.pop("momentum", 0.9))
+    # torch.optim defaults: SGD/RMSprop momentum 0 unless configured
+    momentum = float(opt_params.pop("momentum", 0.0))
+    alpha = float(opt_params.pop("alpha", 0.99))  # RMSprop decay
 
     mask = wd_mask(trainable_template)
 
     def core(lr, wd):
-        if opt_type in ("AdamW", "Adam"):
+        if opt_type == "AdamW":
             return optax.adamw(lr, b1=betas[0], b2=betas[1], eps=eps,
                                weight_decay=wd, mask=mask)
+        if opt_type == "Adam":
+            # torch.optim.Adam COUPLES weight decay into the gradient
+            # (L2 regularization) before the moment updates — not AdamW's
+            # decoupled decay
+            return optax.chain(
+                optax.add_decayed_weights(wd, mask=mask),
+                optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps))
         if opt_type == "SGD":
             chain = [optax.add_decayed_weights(wd, mask=mask)]
             chain.append(optax.sgd(lr, momentum=momentum,
@@ -74,9 +83,17 @@ def build_optimizer(opt_type: str, opt_params: dict, trainable_template,
                                                                 False))))
             return optax.chain(*chain)
         if opt_type == "RMSprop":
+            # torch.optim.RMSprop semantics: alpha (decay) defaults 0.99,
+            # eps added OUTSIDE the sqrt, weight decay coupled into the
+            # grad, and the momentum buffer accumulates UNSCALED updates
+            # (lr applied last — optax.rmsprop scales by lr before the
+            # trace, which diverges under lr schedules)
             return optax.chain(
                 optax.add_decayed_weights(wd, mask=mask),
-                optax.rmsprop(lr, momentum=momentum, eps=eps))
+                optax.scale_by_rms(decay=alpha, eps=eps, eps_in_sqrt=False),
+                (optax.trace(decay=momentum) if momentum
+                 else optax.identity()),
+                optax.scale_by_learning_rate(lr))
         if opt_type == "LAMB":
             return optax.lamb(lr, b1=betas[0], b2=betas[1], eps=eps,
                               weight_decay=wd, mask=mask)
