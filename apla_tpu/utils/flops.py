@@ -28,6 +28,7 @@ _PEAK_TFLOPS_BF16 = {
     "v6": 918.0,
     "v5p": 459.0,
     "v5litepod": 197.0,
+    "v5lite": 197.0,   # axon reports device_kind 'TPU v5 lite'
     "v5e": 197.0,
     "v4": 275.0,
     "cpu": 1.0,  # placeholder; MFU on CPU is not meaningful
@@ -138,11 +139,14 @@ def vit_train_step_flops(cfg: Any, n_classes: int, batch: int,
 
 def mfu(img_per_sec: float, flops_per_image: float,
         device_kind: str | None = None) -> Dict[str, float]:
-    """Model-FLOPs-utilisation given measured throughput."""
+    """Model-FLOPs-utilisation given measured throughput.  Omits the
+    peak-relative fields when the device kind is unknown (NaN would break
+    the bench's one-line JSON contract)."""
+    import math
     peak = peak_tflops(device_kind)
     achieved_tflops = img_per_sec * flops_per_image / 1e12
-    return {
-        "model_tflops": round(achieved_tflops, 1),
-        "peak_tflops": peak,
-        "mfu_pct": round(100.0 * achieved_tflops / peak, 1),
-    }
+    out = {"model_tflops": round(achieved_tflops, 1)}
+    if not math.isnan(peak):
+        out["peak_tflops"] = peak
+        out["mfu_pct"] = round(100.0 * achieved_tflops / peak, 1)
+    return out
