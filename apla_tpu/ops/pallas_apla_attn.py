@@ -177,6 +177,15 @@ def _bwd_bytes(bb: int, np_: int, c: int, kp: int) -> int:
                  + 4 * np_ * np_ * 4) + c * c * 2 + c * kp * 4
 
 
+# Empirical v5e regime rule (r3_fused_attn.jsonl): at batch >= 16 XLA
+# stages the whole remat-saved qkv operand in scoped VMEM next to the
+# kernel ("scoped allocation 20-22M > 16M" compile failures at micro-b16+
+# and monolithic b32+ with BB>=2), so large batches must run conservative
+# block sizes.  micro-b8 with fwd BB 2 / bwd BB 2 is the measured champion
+# (937.5 img/s, +9% over XLA).
+_STAGING_SAFE_B = 8
+
+
 def _cap_bb(bb: int, b: int, bytes_fn) -> int:
     bb = _pick_bb(b, bb)
     while bb > 1 and bytes_fn(bb) > _VMEM_BUDGET:
@@ -198,8 +207,10 @@ def _call_fwd(qkv, w, H, Dh, scale, n_real, seg=0):
     C = C3 // 3
     # images per grid step: amortises per-dispatch overhead (192 dispatches
     # per accum-8 train step at BB=1); capped so the working set fits VMEM
-    BB = _cap_bb(_env_bb("APLA_FUSED_BB_FWD", 4), B,
-                 lambda bb: _fwd_bytes(bb, Np, C))
+    req = _env_bb("APLA_FUSED_BB_FWD", 4)
+    if B > _STAGING_SAFE_B:
+        req = min(req, 2)
+    BB = _cap_bb(req, B, lambda bb: _fwd_bytes(bb, Np, C))
     kern = functools.partial(_fwd_kernel, H=H, Dh=Dh, scale=scale,
                              n_real=n_real, seg=seg)
     return pl.pallas_call(
@@ -226,8 +237,10 @@ def _call_bwd(qkv, w, g, g_t, H, Dh, scale, n_real, seg=0):
     B, Np, C3 = qkv.shape
     C = C3 // 3
     Kp = g_t.shape[-1]
-    BB = _cap_bb(_env_bb("APLA_FUSED_BB_BWD", 2), B,
-                 lambda bb: _bwd_bytes(bb, Np, C, Kp))
+    req = _env_bb("APLA_FUSED_BB_BWD", 2)
+    if B > _STAGING_SAFE_B:
+        req = 1  # see _STAGING_SAFE_B note
+    BB = _cap_bb(req, B, lambda bb: _bwd_bytes(bb, Np, C, Kp))
     kern = functools.partial(_bwd_kernel, H=H, Dh=Dh, scale=scale,
                              n_real=n_real, seg=seg)
     return pl.pallas_call(

@@ -49,10 +49,10 @@ A100_BASELINE_IPS = 280.0
 # 16 -> 748.6).
 BATCH = int(os.environ.get("BENCH_BATCH", 64))
 ACCUM = int(os.environ.get("BENCH_ACCUM", 8))
-# attention path: 'base' (XLA), 'flash' (VMEM Pallas), 'fused' (attention +
-# APLA projection in one kernel — wins the monolithic regime, BASELINE.md
-# round-3 study; the accum-8 recipe default stays XLA)
-KERNEL = os.environ.get("BENCH_KERNEL", "base")
+# attention path: 'fused' (attention + APLA projection in one Pallas
+# kernel) is the measured champion at the accum-8 recipe — 937.5 img/s vs
+# 860.5 for XLA ('base') and 776 for 'flash' (BASELINE.md round-3 study)
+KERNEL = os.environ.get("BENCH_KERNEL", "fused")
 STEPS = 40
 
 

@@ -236,24 +236,30 @@ def _bb_variant(name, fwd_bb, bwd_bb, accum):
 SWEEP3 = ["step_fused_a2", "step_fused_a4", "step_fused",
           "step_fused_bb8a1", "step_fused_bb1a8",
           "step_fused_b32a1", "step_fused_b48a1", "step_fused_b96a1"]
+# confirmation after the staging-safe BB rule (B>8 -> fwd<=2, bwd=1)
+SWEEP4 = ["step_fused", "step_fused_a2", "step_fused_a4",
+          "step_fused_b32a1", "step_fused_a1", "step_fused_a16"]
 VARIANTS_EXTRA = {
     "step_fused_bb8a1": lambda: _bb_variant("bb8a1", 8, 4, 1),
     "step_fused_bb1a8": lambda: _bb_variant("bb1a8", 1, 1, 8),
     "step_fused_b32a1": lambda: step("fused", 1, 32),
     "step_fused_b48a1": lambda: step("fused", 1, 48),
     "step_fused_b96a1": lambda: step("fused", 1, 96),
+    "step_fused_a1": lambda: step("fused", 1),
+    "step_fused_a16": lambda: step("fused", 16),
 }
 
 
 def main():
     VARIANTS.update(VARIANTS_EXTRA)
-    if len(sys.argv) > 1 and sys.argv[1] not in ("sweep2", "sweep3"):
+    if len(sys.argv) > 1 and not sys.argv[1].startswith("sweep"):
         VARIANTS[sys.argv[1]]()
         return
     me = os.path.abspath(__file__)
     names = list(VARIANTS)
     if len(sys.argv) > 1:
-        names = {"sweep2": SWEEP2, "sweep3": SWEEP3}[sys.argv[1]]
+        names = {"sweep2": SWEEP2, "sweep3": SWEEP3,
+                 "sweep4": SWEEP4}[sys.argv[1]]
     for name in names:
         print(f"=== {name} ===", flush=True)
         r = subprocess.run([sys.executable, me, name], timeout=1800)
