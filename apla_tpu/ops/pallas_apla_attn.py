@@ -238,8 +238,11 @@ def _call_bwd(qkv, w, g, g_t, H, Dh, scale, n_real, seg=0):
     C = C3 // 3
     Kp = g_t.shape[-1]
     req = _env_bb("APLA_FUSED_BB_BWD", 2)
-    if B > _STAGING_SAFE_B:
-        req = 1  # see _STAGING_SAFE_B note
+    if B != _STAGING_SAFE_B:
+        # bwd BB=2 compiles only in the measured micro-b8 envelope; both
+        # larger batches (a2/a4/monolithic) AND micro-b4 (accum 16) hit
+        # the scoped-VMEM staging failure with BB=2 (see _STAGING_SAFE_B)
+        req = 1
     BB = _cap_bb(req, B, lambda bb: _bwd_bytes(bb, Np, C, Kp))
     kern = functools.partial(_bwd_kernel, H=H, Dh=Dh, scale=scale,
                              n_real=n_real, seg=seg)
