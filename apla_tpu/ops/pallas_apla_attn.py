@@ -206,11 +206,11 @@ def _call_fwd(qkv, w, H, Dh, scale, n_real, seg=0):
     B, Np, C3 = qkv.shape
     C = C3 // 3
     # images per grid step: amortises per-dispatch overhead (192 dispatches
-    # per accum-8 train step at BB=1); capped so the working set fits VMEM
-    req = _env_bb("APLA_FUSED_BB_FWD", 4)
-    if B > _STAGING_SAFE_B:
-        req = min(req, 2)
-    BB = _cap_bb(req, B, lambda bb: _fwd_bytes(bb, Np, C))
+    # per accum-8 train step at BB=1); capped so the working set fits VMEM.
+    # (No batch clamp here: the scoped-VMEM staging failures are specific
+    # to the BACKWARD under remat — forward-only calls keep full BB.)
+    BB = _cap_bb(_env_bb("APLA_FUSED_BB_FWD", 4), B,
+                 lambda bb: _fwd_bytes(bb, Np, C))
     kern = functools.partial(_fwd_kernel, H=H, Dh=Dh, scale=scale,
                              n_real=n_real, seg=seg)
     return pl.pallas_call(

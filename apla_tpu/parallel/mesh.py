@@ -72,9 +72,15 @@ def tp_sharding_tree(mesh: Mesh, tree, axis: str = "model"):
       everything else (norms, embeddings, LayerScale, inds, biases of
       row-parallel layers) replicated.
 
-    Pure GSPMD: annotate the placements, XLA inserts the block-boundary
-    psums.  Leaves whose target dim is not divisible by the axis size stay
-    replicated.  Kernels are stacked [L, d_in, d_out]; biases [L, d]."""
+    Pure GSPMD: annotate the placements, XLA inserts the collectives.
+    Numerically exact (pinned vs replicated in tests).  KNOWN LIMIT: the
+    qkv kernel packs [q|k|v] contiguously on its 3C output dim, so the
+    contiguous column shard is not head-aligned — GSPMD re-gathers the
+    qkv activation before attention rather than partitioning attention
+    per head (the MLP halves partition cleanly).  Head-aligned TP needs a
+    per-head interleaved qkv layout — future work.  Leaves whose target
+    dim is not divisible by the axis size stay replicated.  Kernels are
+    stacked [L, d_in, d_out]; biases [L, d]."""
     n = mesh.shape[axis]
     col_names = {"qkv", "fc1", "w12"}
     row_names = {"proj", "fc2", "w3"}

@@ -142,6 +142,14 @@ class DefaultWrapper:
         n_devices = self.system_params.get("n_devices")  # None => all
         n_model = int(self.system_params.get("tensor_parallel", 1) or 1)
         if n_model > 1:
+            # a model axis without the 'tp' placement would replicate all
+            # compute across it (throughput silently halved) — default the
+            # placement policy to 'tp' when TP is requested
+            if self.system_params.get("param_sharding",
+                                      "replicated") == "replicated":
+                self.system_params["param_sharding"] = "tp"
+                print("tensor_parallel > 1: defaulting param_sharding "
+                      "to 'tp'")
             # data axis takes the rest; n_devices (if given) is the TOTAL
             total = n_devices or len(jax.devices())
             assert total % n_model == 0, (total, n_model)

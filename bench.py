@@ -53,6 +53,8 @@ ACCUM = int(os.environ.get("BENCH_ACCUM", 8))
 # kernel) is the measured champion at the accum-8 recipe — 937.5 img/s vs
 # 860.5 for XLA ('base') and 776 for 'flash' (BASELINE.md round-3 study)
 KERNEL = os.environ.get("BENCH_KERNEL", "fused")
+if KERNEL not in ("base", "flash", "fused"):
+    raise SystemExit(f"BENCH_KERNEL must be base|flash|fused, got {KERNEL!r}")
 STEPS = 40
 
 
@@ -213,6 +215,7 @@ def main():
         "metric": "vit_b_apla128_finetune_throughput",
         "batch": BATCH,
         "accum_steps": ACCUM,
+        "kernel": KERNEL,
         "value": round(device_ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(device_ips / A100_BASELINE_IPS, 2),
