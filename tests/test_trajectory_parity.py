@@ -441,3 +441,77 @@ def test_teacher_momentum_sequence(ref_mods):
                                leaves_t[0].numpy(), rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(np.asarray(teacher_j["b"]),
                                leaves_t[1].numpy(), rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_full_mode_trajectory_parity(ref_mods):
+    """partial_size='full' (the shipped ISIC2019 SSL recipe's adaptation):
+    the reference realises it as requires_grad on every attn.proj
+    (build_apla is_multi_gpu branch, apla_vit.py:65-74).  10 supervised
+    steps, constant lr AdamW: loss trajectory + final proj params match."""
+    ref_vit, _, ref_apla = ref_mods
+
+    torch.manual_seed(2)
+    model = ref_vit.VisionTransformer(
+        img_size=[IMG], patch_size=PATCH, embed_dim=DIM, depth=DEPTH,
+        num_heads=HEADS, mlp_ratio=4, qkv_bias=True,
+        norm_layer=lambda d: torch.nn.LayerNorm(d, eps=1e-6),
+        pretrained_type="dinov2")
+    plain_sd = copy.deepcopy(model.state_dict())
+    head = torch.nn.Linear(DIM, N_CLASSES)
+    head0 = (head.weight.detach().numpy().T.copy(),
+             head.bias.detach().numpy().copy())
+
+    model = ref_apla.build_apla(EasyDict({"partial_size": "full"}), model,
+                                "apla_attn", is_multi_gpu=True)
+    params = _dino_param_groups(
+        list(model.named_parameters()) + list(head.named_parameters()), WD)
+    optimizer = torch.optim.AdamW(params, lr=1e-3, weight_decay=WD)
+
+    rng = np.random.default_rng(2)
+    batches = [(rng.standard_normal((BATCH, IMG, IMG, 3)).astype(np.float32),
+                rng.integers(0, N_CLASSES, BATCH).astype(np.int64))
+               for _ in range(10)]
+    t_losses = []
+    model.train(); head.train()
+    for x_np, y_np in batches:
+        optimizer.zero_grad()
+        logits = head(model(torch.from_numpy(x_np.transpose(0, 3, 1, 2))))
+        loss = torch.nn.functional.cross_entropy(
+            logits, torch.from_numpy(y_np))
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(
+            list(model.parameters()) + list(head.parameters()), CLIP)
+        optimizer.step()
+        t_losses.append(float(loss.detach()))
+
+    cfg = ViTConfig(img_size=IMG, patch_size=PATCH, embed_dim=DIM,
+                    depth=DEPTH, num_heads=HEADS,
+                    compute_dtype=jnp.float32)
+    from apla_tpu.apla.core import build_apla as our_build_apla
+    vit_params = jax.tree.map(
+        jnp.asarray, convert_torch_vit_state_dict(plain_sd, depth=DEPTH))
+    bt, bf = our_build_apla(vit_params, cfg, AplaConfig(partial_size="full"))
+    trainable = {"backbone": bt,
+                 "fc": {"kernel": jnp.asarray(head0[0]),
+                        "bias": jnp.asarray(head0[1])}}
+    frozen = {"backbone": bf}
+    tx = build_optimizer("AdamW", {"lr": 1e-3, "weight_decay": WD},
+                         trainable, grad_clip=CLIP)
+    state = TrainState.create(trainable, tx)
+    step = make_train_step(cfg, tx, cross_entropy)
+    o_losses = []
+    key = jax.random.PRNGKey(0)
+    for x_np, y_np in batches:
+        batch = {"image": jnp.asarray(x_np),
+                 "label": jnp.asarray(y_np.astype(np.int32))}
+        state, m = step(state, frozen, batch, 1e-3, key)
+        o_losses.append(float(m["loss"]))
+    np.testing.assert_allclose(o_losses, t_losses, rtol=2e-3, atol=2e-4)
+
+    ours_proj = np.asarray(
+        state.trainable["backbone"]["blocks"]["attn"]["proj"]["kernel"])
+    for i in range(DEPTH):
+        ref_w = model.blocks[i].attn.proj.weight.detach().numpy()  # [d,d]
+        np.testing.assert_allclose(ours_proj[i].T, ref_w,
+                                   rtol=5e-3, atol=5e-5)
