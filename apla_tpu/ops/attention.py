@@ -107,8 +107,10 @@ def apla_attention(x, frozen, trainable, num_heads, scale=None, attn_drop=0.0,
     rng_a, rng_p = (jax.random.split(rng) if rng is not None else (None, None))
     B, N, C = x.shape
     if use_fused and attn_drop == 0.0:
-        from .pallas_apla_attn import fused_apla_attention, fused_fits
-        if fused_fits(N, C, trainable["proj_wt"].shape[-1]):
+        from .pallas_apla_attn import (fused_apla_attention, fused_available,
+                                       fused_fits)
+        if fused_available() and fused_fits(N, C,
+                                            trainable["proj_wt"].shape[-1]):
             from .quant import maybe_quantized_dot
             head_dim = C // num_heads
             qkv = maybe_quantized_dot(x, frozen["qkv"]["kernel"],

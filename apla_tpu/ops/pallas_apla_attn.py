@@ -193,6 +193,18 @@ def _cap_bb(bb: int, b: int, bytes_fn) -> int:
     return bb
 
 
+def fused_available() -> bool:
+    """The compiled kernel needs a TPU backend; interpret mode (tests)
+    works anywhere.  Lets configs ship `use_fused_apla: true` without
+    breaking CPU smoke runs (graceful fallback to the XLA path)."""
+    if INTERPRET:
+        return True
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 def fused_fits(n: int, c: int, k: int = 128) -> bool:
     """Whether the fused kernel's BACKWARD fits VMEM at BB=1 for this
     geometry (its footprint is several times pallas_mha's per-head blocks —
