@@ -193,16 +193,31 @@ def _cap_bb(bb: int, b: int, bytes_fn) -> int:
     return bb
 
 
+def effective_bb_fwd(b: int, np_: int, c: int) -> int:
+    """Images per FORWARD grid step — the single source of truth (the
+    experiment harnesses log this instead of re-deriving the policy).
+    Only BB in {1, 2} has ever compiled on hardware; BB=3 shapes (batches
+    divisible by 3) were never validated, so the ceiling is 2."""
+    return _cap_bb(min(_env_bb("APLA_FUSED_BB_FWD", 2), 2), b,
+                   lambda bb: _fwd_bytes(bb, np_, c))
+
+
+def effective_bb_bwd(b: int, np_: int, c: int, kp: int) -> int:
+    req = _env_bb("APLA_FUSED_BB_BWD", 2)
+    if b != _STAGING_SAFE_B:
+        # bwd BB=2 compiles only in the measured micro-b8 envelope; both
+        # larger batches (a2/a4/monolithic) AND micro-b4 (accum 16) hit
+        # the scoped-VMEM staging failure with BB=2 (see _STAGING_SAFE_B)
+        req = 1
+    return _cap_bb(req, b, lambda bb: _bwd_bytes(bb, np_, c, kp))
+
+
 def fused_available() -> bool:
     """The compiled kernel needs a TPU backend; interpret mode (tests)
     works anywhere.  Lets configs ship `use_fused_apla: true` without
     breaking CPU smoke runs (graceful fallback to the XLA path)."""
-    if INTERPRET:
-        return True
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
+    from .flash_attention import _on_tpu
+    return INTERPRET or _on_tpu()
 
 
 def fused_fits(n: int, c: int, k: int = 128) -> bool:
@@ -217,12 +232,7 @@ def fused_fits(n: int, c: int, k: int = 128) -> bool:
 def _call_fwd(qkv, w, H, Dh, scale, n_real, seg=0):
     B, Np, C3 = qkv.shape
     C = C3 // 3
-    # images per grid step: amortises per-dispatch overhead (192 dispatches
-    # per accum-8 train step at BB=1); capped so the working set fits VMEM.
-    # (No batch clamp here: the scoped-VMEM staging failures are specific
-    # to the BACKWARD under remat — forward-only calls keep full BB.)
-    BB = _cap_bb(_env_bb("APLA_FUSED_BB_FWD", 4), B,
-                 lambda bb: _fwd_bytes(bb, Np, C))
+    BB = effective_bb_fwd(B, Np, C)
     kern = functools.partial(_fwd_kernel, H=H, Dh=Dh, scale=scale,
                              n_real=n_real, seg=seg)
     return pl.pallas_call(
@@ -249,13 +259,7 @@ def _call_bwd(qkv, w, g, g_t, H, Dh, scale, n_real, seg=0):
     B, Np, C3 = qkv.shape
     C = C3 // 3
     Kp = g_t.shape[-1]
-    req = _env_bb("APLA_FUSED_BB_BWD", 2)
-    if B != _STAGING_SAFE_B:
-        # bwd BB=2 compiles only in the measured micro-b8 envelope; both
-        # larger batches (a2/a4/monolithic) AND micro-b4 (accum 16) hit
-        # the scoped-VMEM staging failure with BB=2 (see _STAGING_SAFE_B)
-        req = 1
-    BB = _cap_bb(req, B, lambda bb: _bwd_bytes(bb, Np, C, Kp))
+    BB = effective_bb_bwd(B, Np, C, Kp)
     kern = functools.partial(_bwd_kernel, H=H, Dh=Dh, scale=scale,
                              n_real=n_real, seg=seg)
     return pl.pallas_call(

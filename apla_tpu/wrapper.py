@@ -144,12 +144,18 @@ class DefaultWrapper:
         if n_model > 1:
             # a model axis without the 'tp' placement would replicate all
             # compute across it (throughput silently halved) — default the
-            # placement policy to 'tp' when TP is requested
-            if self.system_params.get("param_sharding",
-                                      "replicated") == "replicated":
+            # placement policy to 'tp' when the user left it UNSET, and
+            # warn (without overriding) when another policy was explicit
+            policy = self.system_params.get("param_sharding")
+            if policy is None:
                 self.system_params["param_sharding"] = "tp"
                 print("tensor_parallel > 1: defaulting param_sharding "
                       "to 'tp'")
+            elif policy != "tp":
+                print(f"WARNING: tensor_parallel={n_model} with "
+                      f"param_sharding '{policy}' replicates all compute "
+                      "across the model axis (use 'tp' unless this is a "
+                      "numerics A/B)")
             # data axis takes the rest; n_devices (if given) is the TOTAL
             total = n_devices or len(jax.devices())
             assert total % n_model == 0, (total, n_model)

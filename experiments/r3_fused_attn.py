@@ -199,21 +199,15 @@ def step(kind, accum=8, batch=64):
         state, m = stepf(state, frozen, batch_d, 3e-5, key)
     _ = float(m["loss"])
     dt = (time.perf_counter() - t0) / reps
-    # record the BB the kernel ACTUALLY ran (the staging-safe regime rule
-    # can override the env request)
+    # record the BB the kernel ACTUALLY ran (query the kernel's own policy
+    # — do not re-derive it here)
     eff_bb = None
     if kind == "fused":
-        from apla_tpu.ops.pallas_apla_attn import (_bwd_bytes, _cap_bb,
-                                                   _env_bb, _fwd_bytes,
-                                                   _STAGING_SAFE_B)
+        from apla_tpu.ops.pallas_apla_attn import (effective_bb_bwd,
+                                                   effective_bb_fwd)
         mb = batch // accum
-        fwd_req = _env_bb("APLA_FUSED_BB_FWD", 4)
-        bwd_req = _env_bb("APLA_FUSED_BB_BWD", 2)
-        if mb != _STAGING_SAFE_B:
-            bwd_req = 1
-        eff_bb = [_cap_bb(fwd_req, mb, lambda b: _fwd_bytes(b, 272, 768)),
-                  _cap_bb(bwd_req, mb, lambda b: _bwd_bytes(b, 272, 768,
-                                                            128))]
+        eff_bb = [effective_bb_fwd(mb, 272, 768),
+                  effective_bb_bwd(mb, 272, 768, 128)]
     emit({"study": "step", "kind": kind, "batch": batch, "accum": accum,
           "bb_req": os.environ.get("APLA_FUSED_BB_FWD", "4"),
           "bb_eff": eff_bb,

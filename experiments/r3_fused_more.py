@@ -74,7 +74,8 @@ def vitl(fused):
         state, m = stepf(state, frozen, batch, 3e-5, key)
     _ = float(m["loss"])
     dt = (time.perf_counter() - t0) / 12
-    emit({"study": "vitl_fused", "fused": fused, "batch": 64, "accum": 8,
+    emit({"study": "vitl_fused", "model": "vit_large", "fused": fused,
+          "batch": 64, "accum": 8,
           "ms_step": round(dt * 1e3, 1), "img_s": round(64 / dt, 1)})
 
 
@@ -128,7 +129,8 @@ def byol(fused):
                                       1e-3, 0.99, trainer.rng)
     loss = float(m["loss"])
     dt = (time.perf_counter() - t0) / 12
-    emit({"study": "byol_fused", "fused": fused, "batch": 64, "accum": 8,
+    emit({"study": "byol_fused", "model": "vit_base@224", "fused": fused,
+          "batch": 64, "accum": 8,
           "ms_step": round(dt * 1e3, 1), "img_s": round(64 / dt, 1),
           "loss": round(loss, 4)})
 

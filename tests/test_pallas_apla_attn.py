@@ -174,3 +174,42 @@ def test_fused_segment_mask():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-3)
+
+
+def test_fused_under_data_parallel_mesh():
+    """The fused kernel inside a train step over an 8-device data-sharded
+    mesh computes the same loss as the XLA path (multi-chip correctness;
+    single-chip perf is benched on hardware — r3_bench_final2.json)."""
+    from apla_tpu.apla.core import AplaConfig
+    from apla_tpu.models.classifier import init_classifier
+    from apla_tpu.models.vit import ViTConfig
+    from apla_tpu.parallel.mesh import (make_mesh, replicated_sharding,
+                                        shard_batch, shard_params)
+    from apla_tpu.train.losses import cross_entropy
+    from apla_tpu.train.optim import build_optimizer
+    from apla_tpu.train.steps import make_train_step
+    from apla_tpu.train.train_state import TrainState
+
+    mesh = make_mesh(n_data=8)
+    losses = {}
+    for fused in (False, True):
+        cfg = ViTConfig(img_size=32, patch_size=8, embed_dim=64, depth=2,
+                        num_heads=4, compute_dtype=jnp.float32,
+                        use_fused_apla=fused)
+        trainable, frozen = init_classifier(
+            jax.random.PRNGKey(0), cfg, n_classes=10,
+            apla_cfg=AplaConfig(partial_size=8))
+        tx = build_optimizer("AdamW", {"lr": 1e-3}, trainable,
+                             grad_clip=1.0)
+        state = jax.device_put(TrainState.create(trainable, tx),
+                               replicated_sharding(mesh))
+        fz = shard_params(frozen, mesh)
+        rng = np.random.default_rng(0)
+        batch = shard_batch(
+            {"image": rng.standard_normal((16, 32, 32, 3)).astype(
+                np.float32),
+             "label": (np.arange(16) % 10).astype(np.int32)}, mesh)
+        step = make_train_step(cfg, tx, cross_entropy)
+        state, m = step(state, fz, batch, 1e-3, jax.random.PRNGKey(1))
+        losses[fused] = float(m["loss"])
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)
