@@ -169,7 +169,8 @@ def step(kind, accum=8, batch=64):
     from apla_tpu.train.train_state import TrainState
 
     kw = dict(img_size=224, patch_size=14, has_layerscale=True,
-              layerscale_init=1.0, drop_path_rate=0.0, gelu_tanh=True)
+              layerscale_init=1.0, drop_path_rate=0.0, gelu_tanh=True,
+              remat=os.environ.get("APLA_BENCH_REMAT", "dots"))
     if kind == "flash":
         kw["use_flash"] = True
     elif kind == "fused":
@@ -211,6 +212,7 @@ def step(kind, accum=8, batch=64):
     emit({"study": "step", "kind": kind, "batch": batch, "accum": accum,
           "bb_req": os.environ.get("APLA_FUSED_BB_FWD", "4"),
           "bb_eff": eff_bb,
+          "remat": os.environ.get("APLA_BENCH_REMAT", "dots"),
           "ms_step": round(dt * 1e3, 1), "img_s": round(batch / dt, 1)})
 
 
