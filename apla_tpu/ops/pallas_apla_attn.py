@@ -212,6 +212,19 @@ def effective_bb_bwd(b: int, np_: int, c: int, kp: int) -> int:
     return _cap_bb(req, b, lambda bb: _bwd_bytes(bb, np_, c, kp))
 
 
+# Below this many tokens the kernel's per-grid-step work is too small to
+# amortise Pallas overhead and the padded 8-sublane blocks underfill the
+# MXU — XLA's batched attention wins (the DINOv2 50-token local crops
+# measured 7.1 img/s fused vs 141.2 XLA, r3_pack_dinov2.jsonl).  Static
+# gate: sequence length is a Python int under jit.
+FUSED_MIN_N = 128
+
+
+def fused_min_n() -> int:
+    import os
+    return int(os.environ.get("APLA_FUSED_MIN_N", FUSED_MIN_N))
+
+
 def fused_available() -> bool:
     """The compiled kernel needs a TPU backend; interpret mode (tests)
     works anywhere.  Lets configs ship `use_fused_apla: true` without

@@ -90,9 +90,11 @@ def bench(batch_size, packed, device_aug=False, fused=False):
     loss = float(m["loss"])
     dt = (time.perf_counter() - t0) / STEPS
 
+    from apla_tpu.ops.pallas_apla_attn import fused_min_n
     emit({"study": "pack_dinov2", "batch": batch_size,
           "packed": bool(packed), "device_aug": bool(device_aug),
-          "fused": bool(fused), "ms_per_step": round(dt * 1e3, 1),
+          "fused": bool(fused), "fused_min_n": fused_min_n(),
+          "ms_per_step": round(dt * 1e3, 1),
           "img_s": round(batch_size / dt, 1), "loss": round(loss, 4)})
 
 
@@ -106,6 +108,7 @@ VARIANTS = {
     # N=257 and packed local N=400 both fit the fused VMEM budget)
     "b8_packed_fused": lambda: bench(8, True, fused=True),
     "b8_unpacked_fused": lambda: bench(8, False, fused=True),
+    "b16_unpacked_fused": lambda: bench(16, False, fused=True),
 }
 
 

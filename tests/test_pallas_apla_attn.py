@@ -18,10 +18,46 @@ from apla_tpu.ops.pallas_apla_attn import fused_apla_attention
 
 
 @pytest.fixture(autouse=True)
-def interpret_mode():
+def interpret_mode(monkeypatch):
     pallas_apla_attn.INTERPRET = True
+    # the tiny-N test geometries sit below the production min-seq gate
+    monkeypatch.setenv("APLA_FUSED_MIN_N", "0")
     yield
     pallas_apla_attn.INTERPRET = False
+
+
+def test_min_seq_gate_falls_back_to_xla(monkeypatch):
+    """Below FUSED_MIN_N tokens, apla_attention must not call the kernel
+    (the DINOv2 50-token local crops measured 20x slower through it)."""
+    import apla_tpu.ops.attention as attention_mod
+    from apla_tpu.ops.attention import apla_attention
+
+    monkeypatch.delenv("APLA_FUSED_MIN_N", raising=False)
+    qkv, w_t, b_t, w_frozen, b_frozen, inds, H, scale = _make(N=17)
+    calls = []
+    real = pallas_apla_attn.fused_apla_attention
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(pallas_apla_attn, "fused_apla_attention", spy)
+    C = w_frozen.shape[0]
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, 17, C))
+    frozen = {"qkv": {"kernel": jax.random.normal(
+        jax.random.PRNGKey(10), (C, 3 * C)) * 0.05},
+        "proj": {"kernel": w_frozen, "bias": b_frozen}, "inds": inds}
+    trainable = {"proj_wt": w_t, "proj_bt": b_t}
+    out_gated = apla_attention(x, frozen, trainable, H, scale=scale,
+                               use_fused=True)
+    assert not calls, "fused kernel ran below the min-seq gate"
+    # and with the gate lifted the kernel path produces the same output
+    monkeypatch.setenv("APLA_FUSED_MIN_N", "0")
+    out_fused = apla_attention(x, frozen, trainable, H, scale=scale,
+                               use_fused=True)
+    assert calls, "fused kernel did not run with the gate lifted"
+    np.testing.assert_allclose(np.asarray(out_gated), np.asarray(out_fused),
+                               rtol=2e-3, atol=2e-3)
 
 
 def _make(B=2, N=17, H=2, Dh=16, k=8, seed=0):
