@@ -109,6 +109,8 @@ VARIANTS = {
     "b8_packed_fused": lambda: bench(8, True, fused=True),
     "b8_unpacked_fused": lambda: bench(8, False, fused=True),
     "b16_unpacked_fused": lambda: bench(16, False, fused=True),
+    # device-side multi-crop + gated fused kernel (the e2e recipe combo)
+    "b8_devaug_fused": lambda: bench(8, False, device_aug=True, fused=True),
 }
 
 
