@@ -1,0 +1,244 @@
+"""AOT inference export + serving predictor (jax.export / StableHLO).
+
+The reference's deployment story ends at `--test` — an eval loop over a
+live torch module (`src/defaults/trainer.py:247-345`).  TPU-native
+serving inverts that: compile the forward ONCE, ahead of time, for a
+fixed set of batch shapes, and ship a self-contained artifact that a
+host with the same runtime can execute WITHOUT the model code.  The
+artifact is a directory:
+
+  meta.json               img_size / n_classes / batch_sizes / config echo
+  params.msgpack          {"trainable": ..., "frozen": ...} — flax msgpack,
+                          restored WITHOUT templates (plain nested dicts)
+  program_b{B}.jaxexport  serialized jax.export program per batch size
+
+Each program computes (logits, embedding) so both the classification and
+the kNN/feature-bank serving paths (reference `trainer.py:347-455`) run
+from one artifact.  `Predictor` chunks a request over the exported batch
+sizes, padding the tail to the smallest covering shape (XLA static-shape
+discipline: no recompiles, ever, at serve time).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+from jax import export as jexport
+
+_PARAMS_FILE = "params.msgpack"
+_META_FILE = "meta.json"
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def _struct(tree):
+    # leaves are host numpy arrays by the time this runs
+    return jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                        tree)
+
+
+def export_classifier(path: str, trainable, frozen, vit_cfg,
+                      batch_sizes=(1, 8, 64), platforms=None) -> dict:
+    """Write a serving artifact for a (trainable, frozen) classifier.
+
+    `platforms`: optional sequence like ("cpu", "tpu") for multi-platform
+    lowering; default = the current backend only.  Returns the meta dict.
+    """
+    from .models.classifier import classifier_forward
+
+    batch_sizes = sorted(set(int(b) for b in batch_sizes))
+    if not batch_sizes or batch_sizes[0] < 1:
+        raise ValueError(f"batch_sizes must be positive, got {batch_sizes}")
+    os.makedirs(path, exist_ok=True)
+
+    host_t, host_f = _to_host(trainable), _to_host(frozen)
+    with open(os.path.join(path, _PARAMS_FILE), "wb") as f:
+        f.write(serialization.to_bytes({"trainable": host_t,
+                                        "frozen": host_f}))
+
+    def fwd(tr, fz, images):
+        logits, emb = classifier_forward(tr, fz, images, vit_cfg,
+                                         deterministic=True,
+                                         return_embedding=True)
+        return logits.astype(jnp.float32), emb.astype(jnp.float32)
+
+    n_classes = int(np.shape(host_t["fc"]["bias"])[0])
+    img = int(vit_cfg.img_size)
+    kw = {"platforms": tuple(platforms)} if platforms else {}
+    for b in batch_sizes:
+        exp = jexport.export(jax.jit(fwd), **kw)(
+            _struct(host_t), _struct(host_f),
+            jax.ShapeDtypeStruct((b, img, img, 3), jnp.float32))
+        with open(os.path.join(path, f"program_b{b}.jaxexport"), "wb") as f:
+            f.write(exp.serialize())
+
+    cfg_echo = dataclasses.asdict(vit_cfg)
+    cfg_echo["compute_dtype"] = str(cfg_echo["compute_dtype"].__name__
+                                    if hasattr(cfg_echo["compute_dtype"],
+                                               "__name__")
+                                    else cfg_echo["compute_dtype"])
+    meta = {
+        "format": "apla_tpu.serve/1",
+        "img_size": img,
+        "n_classes": n_classes,
+        "embed_dim": int(vit_cfg.embed_dim),
+        "batch_sizes": batch_sizes,
+        "platforms": list(platforms) if platforms else [jax.default_backend()],
+        "vit_config": cfg_echo,
+    }
+    with open(os.path.join(path, _META_FILE), "w") as f:
+        json.dump(meta, f, indent=2)
+    return meta
+
+
+class Predictor:
+    """Executes an exported artifact.  No model code involved: the programs
+    are deserialized StableHLO, the params plain arrays."""
+
+    def __init__(self, meta: dict, params: dict, programs: dict):
+        self.meta = meta
+        self._params = params
+        self._programs = programs           # batch_size -> Exported
+        self.batch_sizes = sorted(programs)
+
+    # -------------------------------------------------------------- #
+    def _run_chunks(self, images: np.ndarray):
+        n = images.shape[0]
+        img = self.meta["img_size"]
+        if images.ndim != 4 or images.shape[1:3] != (img, img):
+            raise ValueError(
+                f"expected [n, {img}, {img}, 3] images, got {images.shape}")
+        images = np.asarray(images, np.float32)
+        out_l, out_e = [], []
+        i = 0
+        while i < n:
+            rem = n - i
+            # largest exported batch that fits, else smallest covering one
+            fits = [b for b in self.batch_sizes if b <= rem]
+            b = max(fits) if fits else min(
+                bb for bb in self.batch_sizes if bb >= rem)
+            m = min(b, rem)                    # real images in this call
+            chunk = images[i:i + m]
+            if m < b:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((b - m,) + chunk.shape[1:],
+                                     np.float32)])
+            logits, emb = self._programs[b].call(
+                self._params["trainable"], self._params["frozen"],
+                jnp.asarray(chunk))
+            out_l.append(np.asarray(logits)[:m])
+            out_e.append(np.asarray(emb)[:m])
+            i += m
+        return (np.concatenate(out_l) if out_l
+                else np.zeros((0, self.meta["n_classes"]), np.float32),
+                np.concatenate(out_e) if out_e
+                else np.zeros((0, self.meta["embed_dim"]), np.float32))
+
+    def predict(self, images: np.ndarray) -> np.ndarray:
+        """[n, H, W, 3] float images (normalized) -> [n, n_classes] logits."""
+        return self._run_chunks(images)[0]
+
+    def embed(self, images: np.ndarray) -> np.ndarray:
+        """[n, H, W, 3] -> [n, embed_dim] backbone features (kNN serving)."""
+        return self._run_chunks(images)[1]
+
+
+def load_predictor(path: str) -> Predictor:
+    with open(os.path.join(path, _META_FILE)) as f:
+        meta = json.load(f)
+    if meta.get("format") != "apla_tpu.serve/1":
+        raise ValueError(f"not an apla_tpu serving artifact: {path}")
+    with open(os.path.join(path, _PARAMS_FILE), "rb") as f:
+        params = serialization.msgpack_restore(f.read())
+    programs = {}
+    for b in meta["batch_sizes"]:
+        with open(os.path.join(path, f"program_b{b}.jaxexport"), "rb") as f:
+            programs[int(b)] = jexport.deserialize(f.read())
+    return Predictor(meta, params, programs)
+
+
+# ------------------------------------------------------------------ #
+# CLI: python -m apla_tpu.serve export --params_path ... --out ...
+# ------------------------------------------------------------------ #
+
+def _build_from_params(params_path: str, pretrained_path: str | None,
+                       n_classes: int | None):
+    from .data import datasets as datasets_mod
+    from .utils.config import load_merged_params
+    from .wrapper import DefaultWrapper
+
+    params = load_merged_params(params_path)
+    wrapper = DefaultWrapper(params)
+    if n_classes is None:
+        ds_cls = datasets_mod.get_dataset_class(
+            wrapper.dataset_params.dataset)
+        n_classes = int(ds_cls.n_classes)
+        if not bool(getattr(ds_cls, "is_multiclass", True)) \
+                and n_classes <= 2:
+            n_classes = 1
+    wrapper.model_params.n_classes = n_classes
+    vit_cfg = wrapper.build_vit_config()
+    apla_cfg = wrapper.build_apla_config()
+    from .models.classifier import init_classifier
+    trainable, frozen = init_classifier(
+        jax.random.PRNGKey(0), vit_cfg, n_classes, apla_cfg=apla_cfg,
+        freeze_backbone=bool(wrapper.model_params.get("freeze_backbone",
+                                                      False)))
+    if wrapper.model_params.get("pretrained"):
+        from .utils.pretrained import maybe_load_pretrained_backbone
+        trainable, frozen = maybe_load_pretrained_backbone(
+            trainable, frozen, wrapper.model_params, vit_cfg)
+    ckpt = pretrained_path or wrapper.transfer_learning_params.get(
+        "pretrained_path")
+    if ckpt:
+        from .train.checkpoint import transfer_into
+        trainable, frozen = transfer_into(trainable, frozen, ckpt,
+                                          where="serve-export")
+    return trainable, frozen, vit_cfg
+
+
+def main(argv=None):
+    import argparse
+    ap = argparse.ArgumentParser(
+        prog="apla_tpu.serve",
+        description="Export / inspect AOT serving artifacts")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    ex = sub.add_parser("export", help="export a serving artifact")
+    ex.add_argument("--params_path", required=True)
+    ex.add_argument("--pretrained_path", default=None,
+                    help="checkpoint dir to adopt weights from")
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--batch_sizes", default="1,8,64")
+    ex.add_argument("--n_classes", type=int, default=None)
+    ex.add_argument("--platforms", default=None,
+                    help="comma list, e.g. cpu,tpu (default: current)")
+    info = sub.add_parser("info", help="print an artifact's meta")
+    info.add_argument("artifact")
+    args = ap.parse_args(argv)
+
+    if args.cmd == "info":
+        with open(os.path.join(args.artifact, _META_FILE)) as f:
+            print(json.dumps(json.load(f), indent=2))
+        return
+
+    trainable, frozen, vit_cfg = _build_from_params(
+        args.params_path, args.pretrained_path, args.n_classes)
+    bs = [int(x) for x in str(args.batch_sizes).split(",") if x]
+    platforms = (args.platforms.split(",") if args.platforms else None)
+    meta = export_classifier(args.out, trainable, frozen, vit_cfg,
+                             batch_sizes=bs, platforms=platforms)
+    print(f"Exported {meta['vit_config'].get('depth')}-block classifier "
+          f"(img {meta['img_size']}, {meta['n_classes']} classes) at "
+          f"batch sizes {meta['batch_sizes']} -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()
