@@ -35,8 +35,7 @@ _PARAMS_FILE = "params.msgpack"
 _META_FILE = "meta.json"
 
 
-def _to_host(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+from .train.checkpoint import _to_host
 
 
 def _struct(tree):
@@ -58,6 +57,26 @@ def export_classifier(path: str, trainable, frozen, vit_cfg,
     if not batch_sizes or batch_sizes[0] < 1:
         raise ValueError(f"batch_sizes must be positive, got {batch_sizes}")
     os.makedirs(path, exist_ok=True)
+
+    # The fused Pallas kernel only lowers for TPU.  Its in-model gate keys
+    # on the CURRENT backend (fused_available), which is wrong for an
+    # explicit cross-platform export: a cpu (or multi-platform) artifact
+    # must not contain Mosaic calls.  With explicit platforms including a
+    # non-TPU target, fall back to XLA attention (same numerics); with
+    # platforms=None the in-model gate already matches the lowering
+    # backend.
+    if (platforms and vit_cfg.use_fused_apla
+            and any(p.lower() != "tpu" for p in platforms)):
+        vit_cfg = dataclasses.replace(vit_cfg, use_fused_apla=False)
+    elif platforms and vit_cfg.use_fused_apla:
+        from .ops.pallas_apla_attn import fused_available
+        if not fused_available():
+            import warnings
+            warnings.warn(
+                "exporting for tpu from a non-TPU host: the fused "
+                "APLA-attention kernel cannot be traced here, the artifact "
+                "will use XLA attention (slower at serve time — export on "
+                "a TPU host to keep the kernel)", stacklevel=2)
 
     host_t, host_f = _to_host(trainable), _to_host(frozen)
     with open(os.path.join(path, _PARAMS_FILE), "wb") as f:
@@ -110,10 +129,25 @@ class Predictor:
         self.batch_sizes = sorted(programs)
 
     # -------------------------------------------------------------- #
+    def _pick_batch(self, rem: int) -> int:
+        """Exported batch for the next call on `rem` remaining images.
+
+        Padding up to a covering batch costs wasted compute (~linear in
+        the pad); decomposing costs extra dispatches (fixed overhead per
+        call).  Rule: pad to the smallest covering batch when the waste
+        is at most half that batch (n=63 over {1,8,64} -> one padded b64
+        call, not 7x b8 + 7x b1), otherwise take the largest batch that
+        fits and recurse on the tail."""
+        covers = [b for b in self.batch_sizes if b >= rem]
+        fits = [b for b in self.batch_sizes if b <= rem]
+        if covers and (not fits or min(covers) - rem <= min(covers) // 2):
+            return min(covers)
+        return max(fits)
+
     def _run_chunks(self, images: np.ndarray):
         n = images.shape[0]
         img = self.meta["img_size"]
-        if images.ndim != 4 or images.shape[1:3] != (img, img):
+        if images.ndim != 4 or images.shape[1:] != (img, img, 3):
             raise ValueError(
                 f"expected [n, {img}, {img}, 3] images, got {images.shape}")
         images = np.asarray(images, np.float32)
@@ -121,10 +155,7 @@ class Predictor:
         i = 0
         while i < n:
             rem = n - i
-            # largest exported batch that fits, else smallest covering one
-            fits = [b for b in self.batch_sizes if b <= rem]
-            b = max(fits) if fits else min(
-                bb for bb in self.batch_sizes if bb >= rem)
+            b = self._pick_batch(rem)
             m = min(b, rem)                    # real images in this call
             chunk = images[i:i + m]
             if m < b:

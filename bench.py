@@ -114,6 +114,40 @@ def bench_device_step():
     return BATCH * STEPS / dt, mem
 
 
+def bench_infer():
+    """Serving-side rate: forward-only eval step at the b64 sweet spot
+    (BASELINE.md round-3d; the --test/--knn/export serving path)."""
+    from apla_tpu.train.losses import cross_entropy
+    from apla_tpu.train.steps import make_eval_step
+    from apla_tpu.apla.core import AplaConfig
+    from apla_tpu.models.classifier import init_classifier
+    from apla_tpu.models.vit import VIT_BUILDERS
+
+    cfg = VIT_BUILDERS["vit_base"](
+        img_size=224, patch_size=14, has_layerscale=True,
+        layerscale_init=1.0, drop_path_rate=0.0, gelu_tanh=True,
+        use_flash=(KERNEL == "flash"), use_fused_apla=(KERNEL == "fused"))
+    trainable, frozen = init_classifier(
+        jax.random.PRNGKey(0), cfg, n_classes=1000,
+        apla_cfg=AplaConfig(partial_size=128))
+    ev = make_eval_step(cfg, cross_entropy)
+    rng = np.random.default_rng(0)
+    b = 64
+    batch = {"image": jnp.asarray(rng.standard_normal((b, 224, 224, 3)),
+                                  jnp.bfloat16),
+             "label": jnp.asarray(rng.integers(0, 1000, b), jnp.int32)}
+    losses, _ = ev(trainable, frozen, batch)
+    _ = float(losses[0])
+    for _ in range(3):
+        losses, _ = ev(trainable, frozen, batch)
+    _ = float(losses[0])
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        losses, _ = ev(trainable, frozen, batch)
+    _ = float(losses[0])
+    return b * STEPS / (time.perf_counter() - t0)
+
+
 def bench_end_to_end():
     """Real input pipeline: DataLoader threads decode/ship uint8 256px
     images, H2D every step, device-side augmentation inside the step."""
@@ -203,6 +237,7 @@ def main():
 
     device_ips, mem = bench_device_step()
     mem.update(device_memory_stats())  # runtime stats where exposed
+    infer_ips = bench_infer()
     host_ips = bench_host_pipeline()
     e2e_ips = bench_end_to_end()
 
@@ -220,6 +255,7 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(device_ips / A100_BASELINE_IPS, 2),
         "host_pipeline_img_s": round(host_ips, 1),
+        "infer_img_s": round(infer_ips, 1),
         "e2e_img_s": round(e2e_ips, 1),
         "e2e_note": "e2e is tunnel-H2D-bound on axon (~34 MiB/s); "
                     "host pipeline rate is the input-side signal",
