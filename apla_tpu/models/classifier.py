@@ -56,11 +56,18 @@ def _backbone_params(trainable, frozen):
 
 
 def classifier_forward(trainable, frozen, x, vit_cfg: ViTConfig, rng=None,
-                       deterministic=True, return_embedding=False):
-    """Forward: [B, H, W, C] -> logits [B, n_classes] (and embedding if asked)."""
+                       deterministic=True, return_embedding=False,
+                       pipeline=None, token_sharding=None):
+    """Forward: [B, H, W, C] -> logits [B, n_classes] (and embedding if asked).
+
+    `pipeline`: optional `parallel.pipeline.PipelineSpec` — run the trunk
+    as a collective pipeline over the mesh model axis.
+    `token_sharding`: optional `NamedSharding` for the token stream
+    (sequence parallelism over the model axis)."""
     params, apla_t = _backbone_params(trainable, frozen)
     emb = vit_features(params, x, vit_cfg, trainable=apla_t, rng=rng,
-                       deterministic=deterministic)
+                       deterministic=deterministic, pipeline=pipeline,
+                       token_sharding=token_sharding)
     fc = trainable["fc"]
     logits = jnp.dot(emb, fc["kernel"].astype(emb.dtype),
                      preferred_element_type=emb.dtype) + fc["bias"].astype(emb.dtype)

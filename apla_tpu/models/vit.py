@@ -326,7 +326,8 @@ def _prepare_tokens(params, x, cfg: ViTConfig, rng, deterministic,
 
 def vit_features(params, x, cfg: ViTConfig, trainable=None, rng=None,
                  deterministic=True, return_all_tokens=False,
-                 return_layers=False, masks=None, pack_segments=0):
+                 return_layers=False, masks=None, pack_segments=0,
+                 pipeline=None, token_sharding=None):
     """Run the ViT trunk.  `x`: [B, H, W, C] (NHWC).
 
     Returns the final-norm cls token [B, d] by default (reference
@@ -340,6 +341,17 @@ def vit_features(params, x, cfg: ViTConfig, trainable=None, rng=None,
     local-crop trick — xformers BlockDiagonalMask analogue, reference
     dinov2/layers/block.py:243-298).  Outputs are unpacked back to [s*B, ...]
     (return_layers is unsupported while packed).
+
+    `pipeline`: a `parallel.pipeline.PipelineSpec` — run the block trunk
+    as a collective pipeline over the mesh 'model' axis (stage-sharded
+    stacked blocks, ppermute microbatch rotation) instead of the local
+    scan.  Token prep and the final norm stay outside (GSPMD-placed).
+
+    `token_sharding`: a `NamedSharding` for the [B, N, D] token stream
+    (sequence parallelism — `system_params.sequence_parallel`): the
+    constraint is re-applied on every block's output so LN / MLP /
+    projections run token-sharded over the mesh model axis and XLA
+    gathers only around attention (Megatron SP, composes with TP).
     """
     if rng is not None:
         rng, r_tok = jax.random.split(rng)
@@ -349,6 +361,9 @@ def vit_features(params, x, cfg: ViTConfig, trainable=None, rng=None,
         block_rngs = None
 
     x = _prepare_tokens(params, x, cfg, r_tok, deterministic, masks=masks)
+    if token_sharding is not None:
+        assert pipeline is None, "sequence parallel + pipeline unsupported"
+        x = jax.lax.with_sharding_constraint(x, token_sharding)
 
     if pack_segments > 1:
         assert not return_layers, "return_layers unsupported with packing"
@@ -400,16 +415,29 @@ def vit_features(params, x, cfg: ViTConfig, trainable=None, rng=None,
         h = block_fn(h, bp, tb, dp, cfg,
                      br if block_rngs is not None else None,
                      deterministic)
+        if token_sharding is not None:
+            # re-assert sequence sharding each layer: LN/MLP/projections
+            # stay token-parallel; XLA gathers only around attention
+            h = jax.lax.with_sharding_constraint(h, token_sharding)
         return h, (h if return_layers else None)
 
-    rngs_in = (block_rngs if block_rngs is not None
-               else jnp.zeros((cfg.depth, 2), jnp.uint32))
-    if trainable_blocks is not None:
-        scanned = (params["blocks"], trainable_blocks, dp_rates, rngs_in)
+    if pipeline is not None and pipeline.n_stages > 1:
+        assert not return_layers, "return_layers unsupported with pipeline"
+        assert pack_segments <= 1, "crop packing + pipeline unsupported"
+        from ..parallel.pipeline import pipeline_blocks
+        x = pipeline_blocks(x, params["blocks"], trainable_blocks,
+                            dp_rates, block_rngs, block_fn, cfg,
+                            deterministic, pipeline)
+        layer_outs = None
     else:
-        scanned = (params["blocks"], dp_rates, rngs_in)
-    x, layer_outs = jax.lax.scan(body, x, scanned,
-                                 unroll=cfg.scan_unroll)
+        rngs_in = (block_rngs if block_rngs is not None
+                   else jnp.zeros((cfg.depth, 2), jnp.uint32))
+        if trainable_blocks is not None:
+            scanned = (params["blocks"], trainable_blocks, dp_rates, rngs_in)
+        else:
+            scanned = (params["blocks"], dp_rates, rngs_in)
+        x, layer_outs = jax.lax.scan(body, x, scanned,
+                                     unroll=cfg.scan_unroll)
 
     x = layer_norm(x, params["norm"]["scale"], params["norm"]["bias"],
                    cfg.norm_eps)

@@ -112,6 +112,26 @@ def tp_sharding_tree(mesh: Mesh, tree, axis: str = "model"):
     return jax.tree_util.tree_map_with_path(decide, tree)
 
 
+def pp_sharding_tree(mesh: Mesh, tree, axis: str = "model"):
+    """Pipeline-parallel placement: stacked block leaves ([depth, ...],
+    any leaf under a 'blocks' key) sharded over `axis` on the depth dim so
+    each stage group holds its depth/S consecutive layers; everything else
+    (embeddings, norms, head) replicated.  Matches the shard_map in_specs
+    of `parallel.pipeline.pipeline_blocks` — placing the params this way
+    makes the step's in-shardings an identity reshard."""
+    n = mesh.shape[axis]
+
+    def decide(path, x):
+        names = [str(e.key) for e in path
+                 if isinstance(e, jax.tree_util.DictKey)]
+        if n > 1 and "blocks" in names and x.ndim >= 1 \
+                and x.shape[0] % n == 0:
+            return NamedSharding(mesh, P(axis))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(decide, tree)
+
+
 def _global_put(x, sh: NamedSharding):
     """device_put that also works on a MULTI-PROCESS mesh, where a plain
     device_put cannot address other hosts' devices.  Every process holds the
@@ -133,6 +153,9 @@ def shard_params(tree, mesh: Mesh, policy: str = "replicated",
         return jax.tree.map(_global_put, tree, sh)
     if policy == "tp":
         sh = tp_sharding_tree(mesh, tree)
+        return jax.tree.map(_global_put, tree, sh)
+    if policy == "pp":
+        sh = pp_sharding_tree(mesh, tree)
         return jax.tree.map(_global_put, tree, sh)
     if policy != "replicated":
         raise ValueError(f"unknown param_sharding policy: {policy!r}")

@@ -21,7 +21,8 @@ from .train_state import TrainState
 
 def make_train_step(vit_cfg, tx, criterion: Callable,
                     device_aug_cfg=None, accum_steps: int = 1,
-                    skip_nonfinite: bool = False) -> Callable:
+                    skip_nonfinite: bool = False,
+                    pipeline=None, token_sharding=None) -> Callable:
     """Returns train_step(state, frozen, batch, lr, rng) -> (state, metrics).
 
     `frozen` is passed as an argument (not closed over) so the same compiled
@@ -34,6 +35,15 @@ def make_train_step(vit_cfg, tx, criterion: Callable,
     on v5e RISES with batch (b64 1.77 ms/img vs b32 1.42, BASELINE.md
     round-2 sweep), so scanning microbatches is strictly faster for the
     same recipe semantics.
+
+    `pipeline` (`parallel.pipeline.PipelineSpec`): run the ViT trunk as a
+    collective pipeline over the mesh model axis (stage-sharded blocks +
+    ppermute microbatch rotation) — `system_params.pipeline_parallel`.
+
+    `token_sharding` (`NamedSharding`): sequence parallelism — the token
+    stream is constrained to this sharding every layer so LN/MLP run
+    token-parallel over the model axis — `system_params.sequence_parallel`
+    (composes with tensor_parallel; Megatron TP+SP).
 
     `skip_nonfinite` (`training_params.skip_nonfinite_updates`): when the
     loss or any gradient is NaN/Inf, the optimizer update and state
@@ -53,7 +63,8 @@ def make_train_step(vit_cfg, tx, criterion: Callable,
         def loss_fn(trainable):
             logits = classifier_forward(
                 trainable, frozen, images, vit_cfg,
-                rng=step_rng, deterministic=False)
+                rng=step_rng, deterministic=False, pipeline=pipeline,
+                token_sharding=token_sharding)
             loss = criterion(logits, labels)
             return loss, logits
 

@@ -59,7 +59,9 @@ class Trainer:
             self.vit_cfg, wrapper.tx, self.criterion,
             device_aug_cfg=getattr(wrapper, "device_aug_cfg", None),
             accum_steps=int(tp.get("accum_steps", 1)),
-            skip_nonfinite=bool(tp.get("skip_nonfinite_updates", False)))
+            skip_nonfinite=bool(tp.get("skip_nonfinite_updates", False)),
+            pipeline=getattr(wrapper, "pipeline_spec", None),
+            token_sharding=getattr(wrapper, "token_sharding", None))
         self.eval_step = make_eval_step(self.vit_cfg, self.criterion)
         self.embed_step = make_embed_step(self.vit_cfg)
 

@@ -141,6 +141,32 @@ class DefaultWrapper:
     def init_mesh(self):
         n_devices = self.system_params.get("n_devices")  # None => all
         n_model = int(self.system_params.get("tensor_parallel", 1) or 1)
+        n_pp = int(self.system_params.get("pipeline_parallel", 1) or 1)
+        self.pipeline_spec = None
+        self.token_sharding = None
+        if n_pp > 1:
+            # pipeline stages live on the mesh 'model' axis (mutually
+            # exclusive with tensor parallelism over the same axis)
+            assert n_model == 1, \
+                "pipeline_parallel and tensor_parallel both use the mesh " \
+                "model axis — pick one"
+            policy = self.system_params.get("param_sharding")
+            if policy is None:
+                self.system_params["param_sharding"] = "pp"
+                print("pipeline_parallel > 1: defaulting param_sharding "
+                      "to 'pp'")
+            elif policy != "pp":
+                print(f"WARNING: pipeline_parallel={n_pp} with "
+                      f"param_sharding '{policy}' — the pipeline reshards "
+                      "the stacked blocks every step (use 'pp')")
+            total = n_devices or len(jax.devices())
+            assert total % n_pp == 0, (total, n_pp)
+            mesh = make_mesh(n_data=total // n_pp, n_model=n_pp)
+            from .parallel.pipeline import PipelineSpec
+            n_micro = int(self.system_params.get("pp_microbatches",
+                                                 n_pp) or n_pp)
+            self.pipeline_spec = PipelineSpec(mesh, n_pp, n_micro)
+            return mesh
         if n_model > 1:
             # a model axis without the 'tp' placement would replicate all
             # compute across it (throughput silently halved) — default the
@@ -159,7 +185,19 @@ class DefaultWrapper:
             # data axis takes the rest; n_devices (if given) is the TOTAL
             total = n_devices or len(jax.devices())
             assert total % n_model == 0, (total, n_model)
-            return make_mesh(n_data=total // n_model, n_model=n_model)
+            mesh = make_mesh(n_data=total // n_model, n_model=n_model)
+            if self.system_params.get("sequence_parallel"):
+                # Megatron-style SP composing with TP: the token stream is
+                # constrained token-sharded over the model axis each layer
+                # (LN/MLP token-parallel; XLA gathers around attention)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                self.token_sharding = NamedSharding(
+                    mesh, P("data", "model", None))
+                print("sequence_parallel: token stream sharded over the "
+                      "model axis")
+            return mesh
+        assert not self.system_params.get("sequence_parallel"), \
+            "sequence_parallel needs a model axis — set tensor_parallel N"
         return make_mesh(n_data=n_devices)
 
     def build_vit_config(self):
@@ -234,8 +272,13 @@ class DefaultWrapper:
         # per-chip HBM by the mesh size (ZeRO-3-style; see parallel/mesh.py)
         from .parallel.mesh import shard_params
         policy = self.system_params.get("param_sharding", "replicated")
-        self.trainable = jax.device_put(trainable,
-                                        replicated_sharding(self.mesh))
+        if policy == "pp":
+            # pipeline: the TRAINABLE stacked blocks are stage-sharded too
+            # (each stage owns its layers' APLA slices + optimizer state)
+            self.trainable = shard_params(trainable, self.mesh, policy="pp")
+        else:
+            self.trainable = jax.device_put(trainable,
+                                            replicated_sharding(self.mesh))
         self.frozen = shard_params(frozen, self.mesh, policy=policy)
         if policy != "replicated":
             print(f"Frozen params placed with policy '{policy}' over "
@@ -258,7 +301,12 @@ class DefaultWrapper:
             steps_per_epoch=steps_per_epoch,
             epochs=self.training_params.epochs)
         state = TrainState.create(self.trainable, self.tx)
-        self.state = jax.device_put(state, replicated_sharding(self.mesh))
+        if self.system_params.get("param_sharding") == "pp":
+            # trainable (and its optax mirrors, built with zeros_like) are
+            # already stage-sharded — a blanket replicate would undo it
+            self.state = state
+        else:
+            self.state = jax.device_put(state, replicated_sharding(self.mesh))
 
     @property
     def is_rank0(self):

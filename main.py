@@ -23,12 +23,23 @@ def parse_arguments():
     p.add_argument("--gpu", type=str,
                    help="reference-compat alias: comma list of device ids ('0,1') -> mesh data-axis size")
     p.add_argument("--param_sharding", type=str,
-                   choices=["replicated", "fsdp", "tp"],
+                   choices=["replicated", "fsdp", "tp", "pp"],
                    help="frozen-param placement policy over the mesh")
     p.add_argument("--tensor_parallel", type=int,
                    help="size of the mesh 'model' axis (Megatron-style TP "
                         "over attention heads / MLP; composes with "
                         "--param_sharding tp)")
+    p.add_argument("--pipeline_parallel", type=int,
+                   help="pipeline stages over the mesh 'model' axis "
+                        "(GPipe-style collective pipelining of the block "
+                        "trunk; mutually exclusive with --tensor_parallel)")
+    p.add_argument("--pp_microbatches", type=int,
+                   help="microbatches per device-local batch in the "
+                        "pipeline schedule (default = #stages; bubble "
+                        "fraction is (S-1)/(M+S-1))")
+    p.add_argument("--sequence_parallel", action="store_true", default=False,
+                   help="shard the token stream over the mesh model axis "
+                        "(Megatron-style SP; requires --tensor_parallel N)")
     p.add_argument("--batch_size", type=int)
     p.add_argument("--val_every", type=float)
     p.add_argument("--log_every", type=int)
@@ -95,6 +106,12 @@ def update_params_from_args(params, args):
         params.system_params.param_sharding = args.param_sharding
     if args.tensor_parallel:
         params.system_params.tensor_parallel = args.tensor_parallel
+    if args.pipeline_parallel:
+        params.system_params.pipeline_parallel = args.pipeline_parallel
+    if args.pp_microbatches:
+        params.system_params.pp_microbatches = args.pp_microbatches
+    if args.sequence_parallel:
+        params.system_params.sequence_parallel = True
     if args.model_name:
         params.training_params.model_name = args.model_name
     if args.save_dir:

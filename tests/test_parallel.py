@@ -22,10 +22,14 @@ CFG = ViTConfig(img_size=32, patch_size=8, embed_dim=64, depth=2, num_heads=4,
 
 
 def _run_steps(n_devices, n_steps=3, param_sharding="replicated",
-               accum=1, n_model=1):
+               accum=1, n_model=1, sp=False):
     from apla_tpu.parallel.mesh import shard_params
     mesh = make_mesh(n_data=n_devices // n_model, n_model=n_model,
                      devices=jax.devices()[:n_devices])
+    token_sharding = None
+    if sp:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        token_sharding = NamedSharding(mesh, P("data", "model", None))
     trainable, frozen = init_classifier(
         jax.random.PRNGKey(0), CFG, n_classes=10,
         apla_cfg=AplaConfig(partial_size=8))
@@ -34,7 +38,8 @@ def _run_steps(n_devices, n_steps=3, param_sharding="replicated",
     state = jax.device_put(TrainState.create(trainable, tx),
                            replicated_sharding(mesh))
     frozen = shard_params(frozen, mesh, policy=param_sharding)
-    step = make_train_step(CFG, tx, cross_entropy, accum_steps=accum)
+    step = make_train_step(CFG, tx, cross_entropy, accum_steps=accum,
+                           token_sharding=token_sharding)
     rng = np.random.default_rng(0)
     losses = []
     for i in range(n_steps):
@@ -74,6 +79,16 @@ def test_tp_matches_replicated():
     l_tp, w_tp = _run_steps(8, param_sharding="tp", n_model=4)
     np.testing.assert_allclose(l_rep, l_tp, rtol=1e-5)
     np.testing.assert_allclose(w_rep, w_tp, rtol=1e-5, atol=1e-7)
+
+
+def test_tp_sp_matches_replicated():
+    """Sequence parallelism (token stream constrained over the model axis
+    every layer, Megatron TP+SP) is a pure GSPMD placement change: same
+    losses and updates as the replicated run."""
+    l_rep, w_rep = _run_steps(8)
+    l_sp, w_sp = _run_steps(8, param_sharding="tp", n_model=4, sp=True)
+    np.testing.assert_allclose(l_rep, l_sp, rtol=1e-5)
+    np.testing.assert_allclose(w_rep, w_sp, rtol=1e-5, atol=1e-7)
 
 
 def test_tp_sharding_tree_rules():
