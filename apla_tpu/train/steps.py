@@ -123,16 +123,35 @@ def make_train_step(vit_cfg, tx, criterion: Callable,
     return jax.jit(train_step, donate_argnums=(0,))
 
 
-def make_eval_step(vit_cfg, criterion: Callable) -> Callable:
+def _usable_pipeline(pipeline, batch_dim: int):
+    """The pipeline schedule needs the per-device batch divisible by the
+    microbatch count; eval/kNN batch shapes vary (padded final batches), so
+    fall back to the plain trunk per compiled shape when it doesn't."""
+    if pipeline is None:
+        return None
+    n_data = pipeline.mesh.shape[pipeline.data_axis]
+    if batch_dim % (n_data * pipeline.n_micro) == 0:
+        return pipeline
+    return None
+
+
+def make_eval_step(vit_cfg, criterion: Callable, pipeline=None,
+                   token_sharding=None) -> Callable:
     """Returns eval_step(trainable, frozen, batch) -> (losses [B], logits).
 
     Losses are PER-SAMPLE so the host can trim padding (short final val
     batches are padded to the compiled shape) before averaging — a padded
-    mean would bias val_loss, which drives ReduceLROnPlateau."""
+    mean would bias val_loss, which drives ReduceLROnPlateau.
+
+    `pipeline`/`token_sharding`: keep the training run's PP/SP placement in
+    eval (without them a pp run would replicate eval compute over the model
+    axis and re-gather the stage-sharded blocks every layer)."""
 
     def eval_step(trainable, frozen, batch):
-        logits = classifier_forward(trainable, frozen, batch["image"],
-                                    vit_cfg, deterministic=True)
+        logits = classifier_forward(
+            trainable, frozen, batch["image"], vit_cfg, deterministic=True,
+            pipeline=_usable_pipeline(pipeline, batch["image"].shape[0]),
+            token_sharding=token_sharding)
         losses = jax.vmap(lambda lg, lb: criterion(lg[None], lb[None]))(
             logits, batch["label"])
         return losses, logits
@@ -140,13 +159,16 @@ def make_eval_step(vit_cfg, criterion: Callable) -> Callable:
     return jax.jit(eval_step)
 
 
-def make_embed_step(vit_cfg) -> Callable:
+def make_embed_step(vit_cfg, pipeline=None, token_sharding=None) -> Callable:
     """Returns embed_step(trainable, frozen, images) -> L2-normalised
     embeddings — used by the kNN feature bank (reference trainer.py:347-393)."""
 
     def embed_step(trainable, frozen, images):
-        _, emb = classifier_forward(trainable, frozen, images, vit_cfg,
-                                    deterministic=True, return_embedding=True)
+        _, emb = classifier_forward(
+            trainable, frozen, images, vit_cfg,
+            deterministic=True, return_embedding=True,
+            pipeline=_usable_pipeline(pipeline, images.shape[0]),
+            token_sharding=token_sharding)
         emb = emb.astype(jnp.float32)
         return emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-12)
 

@@ -62,8 +62,14 @@ class Trainer:
             skip_nonfinite=bool(tp.get("skip_nonfinite_updates", False)),
             pipeline=getattr(wrapper, "pipeline_spec", None),
             token_sharding=getattr(wrapper, "token_sharding", None))
-        self.eval_step = make_eval_step(self.vit_cfg, self.criterion)
-        self.embed_step = make_embed_step(self.vit_cfg)
+        self.eval_step = make_eval_step(
+            self.vit_cfg, self.criterion,
+            pipeline=getattr(wrapper, "pipeline_spec", None),
+            token_sharding=getattr(wrapper, "token_sharding", None))
+        self.embed_step = make_embed_step(
+            self.vit_cfg,
+            pipeline=getattr(wrapper, "pipeline_spec", None),
+            token_sharding=getattr(wrapper, "token_sharding", None))
 
         self.iters = 0
         self.epoch0 = 0
