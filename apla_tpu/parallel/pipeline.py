@@ -12,8 +12,9 @@ cannot idle), so pipeline-bubble utilisation is the usual M/(M+S-1);
 larger M amortises the bubble.
 
 Autodiff: the whole schedule lives inside ONE `jax.shard_map` with
-`check_vma=True`.  Inputs are explicitly `lax.pvary`'d onto the axes
-they arrive replicated over; pvary's transpose is `psum`, which yields
+`check_vma=True`.  Inputs are explicitly lifted (`pcast(to='varying')`,
+the pvary successor) onto the axes they arrive replicated over; the
+lift's transpose is `psum`, which yields
 exactly the right collectives in backward — psum over 'data' for the
 (stage-sharded) trainable block grads (the DP gradient reduction) and
 psum over 'model' for the token-stream cotangent (stages other than 0
@@ -39,7 +40,10 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 
-@dataclasses.dataclass(frozen=True)
+# eq=False: identity semantics (hash/eq contract intact) — specs are
+# CLOSED OVER by the jitted step, never used as jit static arguments, so
+# value equality across instances is not needed.
+@dataclasses.dataclass(frozen=True, eq=False)
 class PipelineSpec:
     """Static pipeline configuration, closed over by the jitted step.
 
@@ -59,11 +63,11 @@ class PipelineSpec:
         assert self.mesh.shape[self.stage_axis] == self.n_stages, \
             (dict(self.mesh.shape), self.n_stages)
 
-    # Mesh objects hash by identity; make specs usable as static closure
-    # values across step re-creation.
-    def __hash__(self):
-        return hash((id(self.mesh), self.n_stages, self.n_micro,
-                     self.data_axis, self.stage_axis))
+
+def _pvary(x, axis_names):
+    """Lift `x` onto mesh axes it arrived replicated over (transpose:
+    psum).  jax.lax.pvary is deprecated in favor of pcast(to='varying')."""
+    return lax.pcast(x, axis_names, to="varying")
 
 
 def pipeline_blocks(x, blocks, trainable_blocks, dp_rates, block_rngs,
@@ -100,14 +104,14 @@ def pipeline_blocks(x, blocks, trainable_blocks, dp_rates, block_rngs,
         # pvary adds the axes it arrived replicated over — its transpose
         # is psum, see module docstring)
         both = (d_ax, s_ax)
-        stage = lax.pvary(lax.axis_index(s_ax), d_ax)
-        x_loc = lax.pvary(x_loc, s_ax)
-        lift = lambda t: jax.tree.map(lambda a: lax.pvary(a, d_ax), t)
+        stage = _pvary(lax.axis_index(s_ax), d_ax)
+        x_loc = _pvary(x_loc, s_ax)
+        lift = lambda t: jax.tree.map(lambda a: _pvary(a, d_ax), t)
         blocks_loc = lift(blocks_loc)
         dp_loc = lift(dp_loc)
         tb_loc = lift(tb_loc) if has_tb else None
         rngs_loc = (lift(rngs_loc) if has_rng
-                    else lax.pvary(jnp.zeros((L // S, 2), jnp.uint32), both))
+                    else _pvary(jnp.zeros((L // S, 2), jnp.uint32), both))
 
         mb = x_loc.shape[0] // M
         micro = x_loc.reshape((M, mb) + x_loc.shape[1:])
@@ -132,9 +136,9 @@ def pipeline_blocks(x, blocks, trainable_blocks, dp_rates, block_rngs,
             return h
 
         perm = [(s, s + 1) for s in range(S - 1)]
-        zeros = lax.pvary(jnp.zeros((mb,) + x_loc.shape[1:], x_loc.dtype),
+        zeros = _pvary(jnp.zeros((mb,) + x_loc.shape[1:], x_loc.dtype),
                           both)
-        outbuf0 = lax.pvary(
+        outbuf0 = _pvary(
             jnp.zeros((M, mb) + x_loc.shape[1:], x_loc.dtype), both)
 
         def tick_fn(carry, t):
@@ -151,7 +155,7 @@ def pipeline_blocks(x, blocks, trainable_blocks, dp_rates, block_rngs,
             outbuf = jnp.where(valid, upd, outbuf)
             return (y, outbuf), None
 
-        ticks = lax.pvary(jnp.arange(M + S - 1), both)
+        ticks = _pvary(jnp.arange(M + S - 1), both)
         (_, outbuf), _ = lax.scan(tick_fn, (zeros, outbuf0), ticks)
         # Collect from the last stage and re-replicate over the stage
         # axis (stages != S-1 contribute zeros).  In backward this psum

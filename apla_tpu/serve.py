@@ -58,23 +58,25 @@ def export_classifier(path: str, trainable, frozen, vit_cfg,
         raise ValueError(f"batch_sizes must be positive, got {batch_sizes}")
     os.makedirs(path, exist_ok=True)
 
-    # The fused Pallas kernel only lowers for TPU.  Its in-model gate keys
-    # on the CURRENT backend (fused_available), which is wrong for an
-    # explicit cross-platform export: a cpu (or multi-platform) artifact
-    # must not contain Mosaic calls.  With explicit platforms including a
-    # non-TPU target, fall back to XLA attention (same numerics); with
-    # platforms=None the in-model gate already matches the lowering
-    # backend.
-    if (platforms and vit_cfg.use_fused_apla
+    # The Pallas kernels (fused APLA attention AND the flash/VMEM MHA)
+    # only lower for TPU, and their in-model gates key on the CURRENT
+    # backend — wrong for an explicit cross-platform export: a cpu (or
+    # multi-platform) artifact must not contain Mosaic calls.  With
+    # explicit platforms including a non-TPU target, fall back to XLA
+    # attention (same numerics); with platforms=None the in-model gates
+    # already match the lowering backend.
+    uses_pallas = vit_cfg.use_fused_apla or vit_cfg.use_flash
+    if (platforms and uses_pallas
             and any(p.lower() != "tpu" for p in platforms)):
-        vit_cfg = dataclasses.replace(vit_cfg, use_fused_apla=False)
-    elif platforms and vit_cfg.use_fused_apla:
+        vit_cfg = dataclasses.replace(vit_cfg, use_fused_apla=False,
+                                      use_flash=False)
+    elif platforms and uses_pallas:
         from .ops.pallas_apla_attn import fused_available
         if not fused_available():
             import warnings
             warnings.warn(
-                "exporting for tpu from a non-TPU host: the fused "
-                "APLA-attention kernel cannot be traced here, the artifact "
+                "exporting for tpu from a non-TPU host: the Pallas "
+                "attention kernels cannot be traced here, the artifact "
                 "will use XLA attention (slower at serve time — export on "
                 "a TPU host to keep the kernel)", stacklevel=2)
 

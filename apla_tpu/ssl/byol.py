@@ -74,6 +74,10 @@ class BYOLWrapper(DefaultWrapper):
     is_supervised = False
     use_momentum = True  # False => SimSiam
     strategy_name = "byol"
+    # SSL train steps don't take the PP/SP placements yet; init_mesh
+    # rejects pipeline_parallel/sequence_parallel instead of silently
+    # replicating compute over the model axis (inherited by DINO/DINOv2)
+    consumes_pipeline = False
 
     def __init__(self, parameters, use_momentum=None):
         if use_momentum is not None:

@@ -144,12 +144,25 @@ class DefaultWrapper:
         n_pp = int(self.system_params.get("pipeline_parallel", 1) or 1)
         self.pipeline_spec = None
         self.token_sharding = None
+        if (n_pp > 1 or self.system_params.get("sequence_parallel")) \
+                and not getattr(self, "consumes_pipeline", True):
+            # SSL wrappers build their own train steps, which do not take
+            # the PP/SP placements yet — a silent pass-through would
+            # replicate all compute over the model axis
+            raise ValueError(
+                "pipeline_parallel / sequence_parallel are supported for "
+                "the supervised trainer only (SSL steps don't consume the "
+                "placement) — use param_sharding fsdp for SSL memory")
         if n_pp > 1:
             # pipeline stages live on the mesh 'model' axis (mutually
             # exclusive with tensor parallelism over the same axis)
             assert n_model == 1, \
                 "pipeline_parallel and tensor_parallel both use the mesh " \
                 "model axis — pick one"
+            if self.system_params.get("sequence_parallel"):
+                raise ValueError(
+                    "sequence_parallel composes with tensor_parallel, not "
+                    "pipeline_parallel — pick one of PP or TP(+SP)")
             policy = self.system_params.get("param_sharding")
             if policy is None:
                 self.system_params["param_sharding"] = "pp"

@@ -58,14 +58,13 @@ if KERNEL not in ("base", "flash", "fused"):
 STEPS = 40
 
 
-def build(device_aug_cfg=None):
+def build_model():
+    """The ONE benchmarked model: ViT-B/14 @224 APLA-128 with the TPU
+    recipe knobs — shared by the train-step and infer benches so a recipe
+    change cannot silently diverge the two rows."""
     from apla_tpu.apla.core import AplaConfig
     from apla_tpu.models.classifier import init_classifier
     from apla_tpu.models.vit import VIT_BUILDERS
-    from apla_tpu.train.losses import cross_entropy
-    from apla_tpu.train.optim import build_optimizer
-    from apla_tpu.train.steps import make_train_step
-    from apla_tpu.train.train_state import TrainState
 
     cfg = VIT_BUILDERS["vit_base"](
         img_size=224, patch_size=14, has_layerscale=True,
@@ -80,6 +79,16 @@ def build(device_aug_cfg=None):
     trainable, frozen = init_classifier(
         jax.random.PRNGKey(0), cfg, n_classes=1000,
         apla_cfg=AplaConfig(partial_size=128))
+    return cfg, trainable, frozen
+
+
+def build(device_aug_cfg=None):
+    from apla_tpu.train.losses import cross_entropy
+    from apla_tpu.train.optim import build_optimizer
+    from apla_tpu.train.steps import make_train_step
+    from apla_tpu.train.train_state import TrainState
+
+    cfg, trainable, frozen = build_model()
     tx = build_optimizer("AdamW", {"lr": 3e-5, "weight_decay": 1e-5},
                          trainable, grad_clip=1.0)
     state = TrainState.create(trainable, tx)
@@ -119,17 +128,8 @@ def bench_infer():
     (BASELINE.md round-3d; the --test/--knn/export serving path)."""
     from apla_tpu.train.losses import cross_entropy
     from apla_tpu.train.steps import make_eval_step
-    from apla_tpu.apla.core import AplaConfig
-    from apla_tpu.models.classifier import init_classifier
-    from apla_tpu.models.vit import VIT_BUILDERS
 
-    cfg = VIT_BUILDERS["vit_base"](
-        img_size=224, patch_size=14, has_layerscale=True,
-        layerscale_init=1.0, drop_path_rate=0.0, gelu_tanh=True,
-        use_flash=(KERNEL == "flash"), use_fused_apla=(KERNEL == "fused"))
-    trainable, frozen = init_classifier(
-        jax.random.PRNGKey(0), cfg, n_classes=1000,
-        apla_cfg=AplaConfig(partial_size=128))
+    cfg, trainable, frozen = build_model()
     ev = make_eval_step(cfg, cross_entropy)
     rng = np.random.default_rng(0)
     b = 64

@@ -145,6 +145,34 @@ def test_pipeline_dropout_rng_runs():
     assert np.isfinite(float(loss))
 
 
+def test_ssl_wrapper_rejects_pipeline(tmp_path):
+    """SSL train steps don't consume the PP/SP placements; the wrapper must
+    reject the knobs instead of silently replicating compute over the
+    model axis (review finding)."""
+    import os as _os
+
+    from apla_tpu.ssl.byol import BYOLWrapper
+    from apla_tpu.utils.config import load_merged_params
+    params = load_merged_params(_os.path.join(
+        _os.path.dirname(__file__), "..", "params", "synthetic",
+        "vit_tiny", "apla.yml"))
+    params.training_params.save_dir = str(tmp_path)
+    params.system_params.pipeline_parallel = 2
+    wrapper = BYOLWrapper(params, use_momentum=True)
+    with pytest.raises(ValueError, match="supervised trainer only"):
+        wrapper.init_mesh()
+
+
+def test_pp_plus_sp_rejected():
+    from apla_tpu.utils.config import EDict
+    from apla_tpu.wrapper import DefaultWrapper
+    w = DefaultWrapper.__new__(DefaultWrapper)
+    w.system_params = EDict({"pipeline_parallel": 2,
+                             "sequence_parallel": True})
+    with pytest.raises(ValueError, match="composes with tensor_parallel"):
+        w.init_mesh()
+
+
 def test_pp_sharding_tree_shards_only_blocks():
     from apla_tpu.parallel.mesh import pp_sharding_tree
     trainable, frozen = _init()
