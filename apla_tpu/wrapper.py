@@ -221,6 +221,13 @@ class DefaultWrapper:
         img_size = tp.get("img_size", [224])
         img_size = img_size[0] if isinstance(img_size, (list, tuple)) else img_size
         use_mp = self.training_params.get("use_mixed_precision", True)
+        if tp.get("fused_vmem_mb"):
+            # config-surfaced form of the APLA_FUSED_VMEM_MB env knob (the
+            # fused kernel's fit gate reads the env at call time); 15 +
+            # accum_steps 8 makes the fused kernel a ViT-giant win
+            # (BASELINE.md round-3e)
+            import os
+            os.environ["APLA_FUSED_VMEM_MB"] = str(tp["fused_vmem_mb"])
         return builder(
             img_size=int(img_size),
             patch_size=int(tp.get("patch_size", 16)),
