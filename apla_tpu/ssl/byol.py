@@ -74,10 +74,6 @@ class BYOLWrapper(DefaultWrapper):
     is_supervised = False
     use_momentum = True  # False => SimSiam
     strategy_name = "byol"
-    # SSL train steps don't take the PP/SP placements yet; init_mesh
-    # rejects pipeline_parallel/sequence_parallel instead of silently
-    # replicating compute over the model axis (inherited by DINO/DINOv2)
-    consumes_pipeline = False
 
     def __init__(self, parameters, use_momentum=None):
         if use_momentum is not None:
@@ -172,14 +168,18 @@ class BYOLWrapper(DefaultWrapper):
             teacher["head"] = deepcopy(trainable["head"])
 
         repl = replicated_sharding(self.mesh)
-        self.trainable = jax.device_put(trainable, repl)
-        self.teacher = jax.device_put(teacher, repl)
-        self.model_state = jax.device_put(model_state, repl)
         from ..parallel.mesh import shard_params
-        self.frozen = shard_params(
-            bb_frozen, self.mesh,
-            policy=self.system_params.get("param_sharding",
-                                          "replicated"))
+        policy = self.system_params.get("param_sharding", "replicated")
+        if policy == "pp":
+            # stage-shard the student AND teacher stacked blocks (the EMA
+            # update is elementwise, so placements are preserved)
+            self.trainable = shard_params(trainable, self.mesh, policy="pp")
+            self.teacher = shard_params(teacher, self.mesh, policy="pp")
+        else:
+            self.trainable = jax.device_put(trainable, repl)
+            self.teacher = jax.device_put(teacher, repl)
+        self.model_state = jax.device_put(model_state, repl)
+        self.frozen = shard_params(bb_frozen, self.mesh, policy=policy)
 
     def init_optimization(self):
         opt = self.optimization_params.default
@@ -201,20 +201,32 @@ class BYOLWrapper(DefaultWrapper):
             step=jnp.zeros((), jnp.int32), trainable=self.trainable,
             teacher=self.teacher, model_state=self.model_state,
             opt_state=self.tx.init(self.trainable))
-        self.state = jax.device_put(state,
-                                    replicated_sharding(self.mesh))
+        if self.system_params.get("param_sharding") == "pp":
+            # trainable/teacher (and the optax zeros_like mirrors) are
+            # already stage-sharded — a blanket replicate would undo it
+            self.state = state
+        else:
+            self.state = jax.device_put(state,
+                                        replicated_sharding(self.mesh))
 
 
-def _encode(backbone_trainable, frozen, images, vit_cfg, rng, deterministic):
-    """Backbone features for one view, handling the APLA/full/frozen split."""
+def _encode(backbone_trainable, frozen, images, vit_cfg, rng, deterministic,
+            pipeline=None, token_sharding=None, **kw):
+    """Backbone features for one view, handling the APLA/full/frozen split.
+
+    `pipeline`/`token_sharding`: the PP / SP placements (see
+    models/vit.py) — threaded through every SSL trunk call so the
+    parallelism knobs work for the SSL objectives too."""
     t = {"backbone": backbone_trainable} if backbone_trainable else {}
     params, apla_t = _backbone_params(t, frozen)
     return vit_features(params, images, vit_cfg, trainable=apla_t, rng=rng,
-                        deterministic=deterministic)
+                        deterministic=deterministic, pipeline=pipeline,
+                        token_sharding=token_sharding, **kw)
 
 
 def make_byol_train_step(vit_cfg, tx, use_momentum: bool,
-                         device_crop_cfgs=None, accum_steps: int = 1):
+                         device_crop_cfgs=None, accum_steps: int = 1,
+                         pipeline=None, token_sharding=None):
     """`accum_steps`: scan the whole per-batch computation over microbatches
     with one optimizer/EMA update at the end.  BatchNorm statistics in the
     BYOL heads are then per-micro — the same batch decoupling the
@@ -242,7 +254,9 @@ def make_byol_train_step(vit_cfg, tx, use_momentum: bool,
                 preds = []
                 for v, view in enumerate(mviews):
                     emb = _encode(trainable.get("backbone"), frozen, view,
-                                  vit_cfg, mrngs[v], deterministic=False)
+                                  vit_cfg, mrngs[v], deterministic=False,
+                                  pipeline=pipeline,
+                                  token_sharding=token_sharding)
                     proj, new_head_s = byol_head_forward(
                         emb, trainable["head"], new_head_s, train=True)
                     pred, new_pred_s = prediction_mlp_forward(
@@ -262,7 +276,8 @@ def make_byol_train_step(vit_cfg, tx, use_momentum: bool,
                     t_head = jax.lax.stop_gradient(trainable["head"])
                 for view in mviews[::-1]:
                     emb = _encode(t_bb, frozen, view, vit_cfg, None,
-                                  deterministic=True)
+                                  deterministic=True, pipeline=pipeline,
+                                  token_sharding=token_sharding)
                     proj, t_head_s = byol_head_forward(emb, t_head,
                                                        t_head_s, train=True)
                     targets.append(jax.lax.stop_gradient(proj))
@@ -369,7 +384,9 @@ class BYOLTrainer:
         self.train_step = make_byol_train_step(
             self.vit_cfg, wrapper.tx, self.use_momentum,
             device_crop_cfgs=getattr(wrapper, "ssl_device_crop_cfgs", None),
-            accum_steps=int(tp.get("accum_steps", 1)))
+            accum_steps=int(tp.get("accum_steps", 1)),
+            pipeline=getattr(wrapper, "pipeline_spec", None),
+            token_sharding=getattr(wrapper, "token_sharding", None))
         self.iters = 0
         self.epoch0 = 0
         self.best_val_target = -np.inf

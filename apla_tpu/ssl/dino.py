@@ -122,13 +122,15 @@ class DINOWrapper(BYOLWrapper):
         self.dino_args = dino_args
 
         repl = replicated_sharding(self.mesh)
-        self.trainable = jax.device_put(trainable, repl)
-        self.teacher = jax.device_put(teacher, repl)
         from ..parallel.mesh import shard_params
-        self.frozen = shard_params(
-            bb_frozen, self.mesh,
-            policy=self.system_params.get("param_sharding",
-                                          "replicated"))
+        policy = self.system_params.get("param_sharding", "replicated")
+        if policy == "pp":
+            self.trainable = shard_params(trainable, self.mesh, policy="pp")
+            self.teacher = shard_params(teacher, self.mesh, policy="pp")
+        else:
+            self.trainable = jax.device_put(trainable, repl)
+            self.teacher = jax.device_put(teacher, repl)
+        self.frozen = shard_params(bb_frozen, self.mesh, policy=policy)
 
     def init_optimization(self):
         opt = self.optimization_params.default
@@ -161,13 +163,18 @@ class DINOWrapper(BYOLWrapper):
             teacher=self.teacher,
             center=jnp.zeros((1, self.proj_size), jnp.float32),
             opt_state=self.tx.init(self.trainable))
-        self.state = jax.device_put(state, replicated_sharding(self.mesh))
+        if self.system_params.get("param_sharding") == "pp":
+            self.state = state  # trainable/teacher already stage-sharded
+        else:
+            self.state = jax.device_put(state,
+                                        replicated_sharding(self.mesh))
 
 
 def make_dino_train_step(vit_cfg, tx, n_global: int, n_local: int,
                          student_temp=0.1, center_momentum=0.9,
                          freeze_last_layer: bool = False,
-                         device_crop_cfgs=None, accum_steps: int = 1):
+                         device_crop_cfgs=None, accum_steps: int = 1,
+                         pipeline=None, token_sharding=None):
     """Jitted DINO step.  `views` = (global_stack [G*B,H,W,C],
     local_stack [L*B,h,w,C] or None).  With `device_crop_cfgs`,
     `global_stack` is the raw uint8 batch and all crops are generated on
@@ -194,7 +201,8 @@ def make_dino_train_step(vit_cfg, tx, n_global: int, n_local: int,
         t_bb = jax.lax.stop_gradient(state.teacher.get("backbone"))
         t_head = jax.lax.stop_gradient(state.teacher["head"])
         emb_t = _encode(t_bb, frozen, global_stack, vit_cfg, None,
-                        deterministic=True)
+                        deterministic=True, pipeline=pipeline,
+                        token_sharding=token_sharding)
         t_out = jax.lax.stop_gradient(dino_head_forward(emb_t, t_head))
         t_chunks = list(jnp.split(t_out, n_global))
         t_sm = [jax.lax.stop_gradient(
@@ -208,12 +216,15 @@ def make_dino_train_step(vit_cfg, tx, n_global: int, n_local: int,
         def student_loss(trainable, g_c, l_c, t_sm_c, rg, rl):
             # student: one fixed-shape forward per resolution
             emb_g = _encode(trainable.get("backbone"), frozen, g_c,
-                            vit_cfg, rg, deterministic=False)
+                            vit_cfg, rg, deterministic=False,
+                            pipeline=pipeline, token_sharding=token_sharding)
             outs = dino_head_forward(emb_g, trainable["head"])
             student_out = list(jnp.split(outs, n_global))
             if l_c is not None:
                 emb_l = _encode(trainable.get("backbone"), frozen, l_c,
-                                vit_cfg, rl, deterministic=False)
+                                vit_cfg, rl, deterministic=False,
+                                pipeline=pipeline,
+                                token_sharding=token_sharding)
                 outs_l = dino_head_forward(emb_l, trainable["head"])
                 student_out += list(jnp.split(outs_l, n_local))
             return dino_pair_ce(student_out, t_sm_c,
@@ -310,7 +321,10 @@ class DINOTrainer(BYOLTrainer):
                 device_crop_cfgs=getattr(self.wrapper,
                                          "ssl_device_crop_cfgs", None),
                 accum_steps=int(self.wrapper.training_params.get(
-                    "accum_steps", 1)))
+                    "accum_steps", 1)),
+                pipeline=getattr(self.wrapper, "pipeline_spec", None),
+                token_sharding=getattr(self.wrapper, "token_sharding",
+                                       None))
         return self._steps[freeze]
 
     def _stack_views(self, batch):

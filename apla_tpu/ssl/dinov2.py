@@ -632,6 +632,10 @@ class DINOv2Wrapper(DINOWrapper):
     strategy_name = "dinov2"
     is_supervised = False
     use_momentum = True
+    # the DINOv2 step (multi-crop + iBOT gathers + Sinkhorn) doesn't take
+    # the PP/SP placements yet; init_mesh rejects the knobs rather than
+    # silently replicating compute over the model axis
+    consumes_pipeline = False
 
     def set_crops_params(self):
         # crop counts/sizes derive from the strategy in effect (a user

@@ -146,13 +146,13 @@ class DefaultWrapper:
         self.token_sharding = None
         if (n_pp > 1 or self.system_params.get("sequence_parallel")) \
                 and not getattr(self, "consumes_pipeline", True):
-            # SSL wrappers build their own train steps, which do not take
-            # the PP/SP placements yet — a silent pass-through would
+            # wrappers whose train steps do not take the PP/SP placements
+            # must reject the knobs — a silent pass-through would
             # replicate all compute over the model axis
             raise ValueError(
-                "pipeline_parallel / sequence_parallel are supported for "
-                "the supervised trainer only (SSL steps don't consume the "
-                "placement) — use param_sharding fsdp for SSL memory")
+                f"pipeline_parallel / sequence_parallel are not supported "
+                f"by {type(self).__name__} (its step doesn't consume the "
+                "placement) — use param_sharding fsdp for memory")
         if n_pp > 1:
             # pipeline stages live on the mesh 'model' axis (mutually
             # exclusive with tensor parallelism over the same axis)

@@ -145,21 +145,22 @@ def test_pipeline_dropout_rng_runs():
     assert np.isfinite(float(loss))
 
 
-def test_ssl_wrapper_rejects_pipeline(tmp_path):
-    """SSL train steps don't consume the PP/SP placements; the wrapper must
-    reject the knobs instead of silently replicating compute over the
-    model axis (review finding)."""
+def test_dinov2_wrapper_rejects_pipeline(tmp_path):
+    """The DINOv2 step doesn't consume the PP/SP placements; its wrapper
+    must reject the knobs instead of silently replicating compute over the
+    model axis (review finding).  BYOL/DINO-v1 DO consume them (see
+    test_byol_pipeline_matches_plain)."""
     import os as _os
 
-    from apla_tpu.ssl.byol import BYOLWrapper
+    from apla_tpu.ssl.dinov2 import DINOv2Wrapper
     from apla_tpu.utils.config import load_merged_params
     params = load_merged_params(_os.path.join(
         _os.path.dirname(__file__), "..", "params", "synthetic",
         "vit_tiny", "apla.yml"))
     params.training_params.save_dir = str(tmp_path)
     params.system_params.pipeline_parallel = 2
-    wrapper = BYOLWrapper(params, use_momentum=True)
-    with pytest.raises(ValueError, match="supervised trainer only"):
+    wrapper = DINOv2Wrapper(params)
+    with pytest.raises(ValueError, match="not supported"):
         wrapper.init_mesh()
 
 
@@ -171,6 +172,94 @@ def test_pp_plus_sp_rejected():
                              "sequence_parallel": True})
     with pytest.raises(ValueError, match="composes with tensor_parallel"):
         w.init_mesh()
+
+
+def _ssl_params(tmp_path, **system):
+    import os as _os
+
+    from apla_tpu.utils.config import load_merged_params
+    params = load_merged_params(_os.path.join(
+        _os.path.dirname(__file__), "..", "params", "synthetic",
+        "vit_tiny", "apla.yml"))
+    params.training_params.epochs = 1
+    params.training_params.save_dir = str(tmp_path)
+    # f32: in bf16 the pipeline's different reduction order drifts ~1e-3
+    # by step 2, which would force a vacuous tolerance
+    params.training_params.use_mixed_precision = False
+    params.dataset_params.synthetic_size = 64
+    for ld in ("trainloader", "valloader", "testloader"):
+        params.dataloader_params[ld].batch_size = 16
+    params.dataset_params.ssl_global_size = 32
+    params.dataset_params.ssl_local_size = 16
+    for k, v in system.items():
+        params.system_params[k] = v
+    return params
+
+
+def _byol_two_steps(tmp_path, **system):
+    from apla_tpu.ssl.byol import BYOLTrainer, BYOLWrapper
+    wrapper = BYOLWrapper(_ssl_params(tmp_path, **system),
+                          use_momentum=True)
+    wrapper.instantiate()
+    trainer = BYOLTrainer(wrapper)
+    loader = wrapper.dataloaders.trainloader
+    loader.set_epoch(0)
+    state, losses = trainer.state, []
+    for i, batch in enumerate(loader):
+        if i == 2:
+            break
+        views = trainer._device_views(batch)
+        state, m = trainer.train_step(state, trainer.frozen, views,
+                                      1e-3, 0.99, trainer.rng)
+        losses.append(float(m["loss"]))
+    wt = np.asarray(state.trainable["backbone"]["blocks"]["proj_wt"])
+    return losses, wt
+
+
+@pytest.mark.slow
+def test_byol_pipeline_matches_plain(tmp_path):
+    """The BYOL step consumes the PP placement: two trainer steps through
+    the real wrapper produce identical losses/updates with and without
+    pipeline_parallel (vit_tiny has zero dropout, so rng folding
+    differences are inert)."""
+    l_ref, w_ref = _byol_two_steps(tmp_path / "plain")
+    l_pp, w_pp = _byol_two_steps(tmp_path / "pp", pipeline_parallel=2,
+                                 pp_microbatches=2)
+    np.testing.assert_allclose(l_ref, l_pp, rtol=2e-4)
+    # early AdamW steps amplify f32 reduction-order grad noise to ~±lr on
+    # near-zero-grad coords (update ≈ lr·sign(g) under bias correction), so
+    # weights get an absolute tolerance of ~2·lr; the losses above pin the
+    # actual computation
+    np.testing.assert_allclose(w_ref, w_pp, atol=2.5e-3)
+
+
+@pytest.mark.slow
+def test_dino_pipeline_matches_plain(tmp_path):
+    from apla_tpu.ssl.dino import DINOTrainer, DINOWrapper
+
+    def two_steps(path, **system):
+        wrapper = DINOWrapper(_ssl_params(path, **system))
+        wrapper.instantiate()
+        trainer = DINOTrainer(wrapper)
+        loader = wrapper.dataloaders.trainloader
+        loader.set_epoch(0)
+        state, losses = trainer.state, []
+        step = trainer._get_step(False)
+        for i, batch in enumerate(loader):
+            if i == 2:
+                break
+            g, l = trainer._stack_views(batch)
+            state, m = step(state, trainer.frozen, g, l, 1e-3, 1e-5,
+                            0.99, 0.04, trainer.rng)
+            losses.append(float(m["loss"]))
+        wt = np.asarray(state.trainable["backbone"]["blocks"]["proj_wt"])
+        return losses, wt
+
+    l_ref, w_ref = two_steps(tmp_path / "plain")
+    l_pp, w_pp = two_steps(tmp_path / "pp", pipeline_parallel=2,
+                           pp_microbatches=2)
+    np.testing.assert_allclose(l_ref, l_pp, rtol=2e-4)
+    np.testing.assert_allclose(w_ref, w_pp, rtol=1e-3, atol=1e-6)
 
 
 def test_pp_sharding_tree_shards_only_blocks():
