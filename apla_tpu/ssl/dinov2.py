@@ -340,7 +340,8 @@ class DINOv2TrainState:
 def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
                            n_local: int, freeze_last_layer: bool,
                            device_crop_cfgs=None, accum_steps: int = 1,
-                           pack_local_crops: bool = False):
+                           pack_local_crops: bool = False,
+                           pipeline=None, token_sharding=None):
     """cfg: model_params.dinov2 subtree (dino/ibot weights, centering).
 
     `device_crop_cfgs`: list of DeviceAugConfig (one per crop) — the batch
@@ -361,6 +362,9 @@ def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
     centering = cfg.get("centering", "centering")
     do_dino, do_ibot = dino_w > 0, ibot_w > 0
     do_koleo = koleo_w > 0
+    assert not (pack_local_crops and pipeline is not None), \
+        "pack_local_crops + pipeline_parallel unsupported (the packed " \
+        "block-diagonal sequence conflicts with the pipeline's batch split)"
     center_momentum = 0.9
     student_temp = 0.1
 
@@ -389,7 +393,9 @@ def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
         t_bb = jax.lax.stop_gradient(state.teacher.get("backbone"))
         t_heads = jax.lax.stop_gradient(
             {k: v for k, v in state.teacher.items() if k != "backbone"})
-        t_tokens = _encode_tokens(t_bb, frozen, g_crops, vit_cfg, None, True)
+        t_tokens = _encode_tokens(t_bb, frozen, g_crops, vit_cfg, None, True,
+                                  pipeline=pipeline,
+                                  token_sharding=token_sharding)
         t_cls = t_tokens[:, 0]                         # [2B, D]
         t_patches = t_tokens[:, 1 + vit_cfg.num_register_tokens:]
         # swap global chunks so crop A pairs with crop B (models.py:235-238)
@@ -428,7 +434,9 @@ def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
                          t_ibot_c, m_weight, m_valid, rg, rl, n_imgs_g):
             s_bb = trainable.get("backbone")
             s_tokens_g = _encode_tokens(s_bb, frozen, g_c, vit_cfg, rg,
-                                        False, masks=masks_c)
+                                        False, masks=masks_c,
+                                        pipeline=pipeline,
+                                        token_sharding=token_sharding)
             s_cls_g = s_tokens_g[:, 0]
             s_patches_g = s_tokens_g[:, 1 + vit_cfg.num_register_tokens:]
             head_in = [s_cls_g]
@@ -438,7 +446,9 @@ def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
                 # attention badly underfills the 128-lane MXU at N=50
                 s_cls_l = _encode_tokens(
                     s_bb, frozen, l_c, vit_cfg, rl, False,
-                    pack_segments=n_local if pack_local_crops else 0)[:, 0]
+                    pack_segments=n_local if pack_local_crops else 0,
+                    pipeline=pipeline,
+                    token_sharding=token_sharding)[:, 0]
                 head_in.append(s_cls_l)
             s_masked = s_patches_g.reshape(
                 -1, s_patches_g.shape[-1])[m_idx]
@@ -614,14 +624,16 @@ def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
 
 
 def _encode_tokens(backbone_trainable, frozen, images, vit_cfg, rng,
-                   deterministic, masks=None, pack_segments=0):
+                   deterministic, masks=None, pack_segments=0,
+                   pipeline=None, token_sharding=None):
     from ..models.classifier import _backbone_params
     from ..models.vit import vit_features
     t = {"backbone": backbone_trainable} if backbone_trainable else {}
     params, apla_t = _backbone_params(t, frozen)
     return vit_features(params, images, vit_cfg, trainable=apla_t, rng=rng,
                         deterministic=deterministic, return_all_tokens=True,
-                        masks=masks, pack_segments=pack_segments)
+                        masks=masks, pack_segments=pack_segments,
+                        pipeline=pipeline, token_sharding=token_sharding)
 
 
 # --------------------------------------------------------------------------- #
@@ -632,10 +644,6 @@ class DINOv2Wrapper(DINOWrapper):
     strategy_name = "dinov2"
     is_supervised = False
     use_momentum = True
-    # the DINOv2 step (multi-crop + iBOT gathers + Sinkhorn) doesn't take
-    # the PP/SP placements yet; init_mesh rejects the knobs rather than
-    # silently replicating compute over the model axis
-    consumes_pipeline = False
 
     def set_crops_params(self):
         # crop counts/sizes derive from the strategy in effect (a user
@@ -761,13 +769,15 @@ class DINOv2Wrapper(DINOWrapper):
                 trainable, bb_frozen, tl_path, where="dinov2")
         teacher = deepcopy(trainable)
         repl = replicated_sharding(self.mesh)
-        self.trainable = jax.device_put(trainable, repl)
-        self.teacher = jax.device_put(teacher, repl)
         from ..parallel.mesh import shard_params
-        self.frozen = shard_params(
-            bb_frozen, self.mesh,
-            policy=self.system_params.get("param_sharding",
-                                          "replicated"))
+        policy = self.system_params.get("param_sharding", "replicated")
+        if policy == "pp":
+            self.trainable = shard_params(trainable, self.mesh, policy="pp")
+            self.teacher = shard_params(teacher, self.mesh, policy="pp")
+        else:
+            self.trainable = jax.device_put(trainable, repl)
+            self.teacher = jax.device_put(teacher, repl)
+        self.frozen = shard_params(bb_frozen, self.mesh, policy=policy)
         self.n_prototypes = int(dino.head_n_prototypes)
         self.ibot_prototypes = (int(d2.ibot.head_n_prototypes)
                                 if d2.ibot.get("separate_head", False)
@@ -797,7 +807,11 @@ class DINOv2Wrapper(DINOWrapper):
             dino_center=jnp.zeros((1, self.n_prototypes), jnp.float32),
             ibot_center=jnp.zeros((1, self.ibot_prototypes), jnp.float32),
             opt_state=self.tx.init(self.trainable))
-        self.state = jax.device_put(state, replicated_sharding(self.mesh))
+        if self.system_params.get("param_sharding") == "pp":
+            self.state = state  # trainable/teacher already stage-sharded
+        else:
+            self.state = jax.device_put(state,
+                                        replicated_sharding(self.mesh))
         # BYOLTrainer compatibility
         from ..train.schedules import LRScheduler
         self.scheduler = LRScheduler(
@@ -832,7 +846,10 @@ class Dinov2Trainer(BYOLTrainer):
                                          "ssl_device_crop_cfgs", None),
                 accum_steps=int(self.wrapper.training_params.get(
                     "accum_steps", 1)),
-                pack_local_crops=self._pack_local_crops())
+                pack_local_crops=self._pack_local_crops(),
+                pipeline=getattr(self.wrapper, "pipeline_spec", None),
+                token_sharding=getattr(self.wrapper, "token_sharding",
+                                       None))
         return self._steps[freeze]
 
     def _pack_local_crops(self) -> bool:
