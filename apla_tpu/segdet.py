@@ -26,6 +26,25 @@ import optax
 from .data.loader import DataLoader
 
 
+def _mesh_setup(n_devices, param_sharding, batch_size):
+    """Optional multi-chip placement for the side-car loops: a 'data'-axis
+    mesh with the batch sharded over it (DP) and the frozen backbone either
+    replicated or FSDP-sharded (ZeRO-3 — the frozen ViT-L/Swin backbone
+    dominates side-car memory).  n_devices<=1 keeps the single-device path
+    untouched.  Returns (mesh_or_None, put_batch, place_params)."""
+    from .parallel.mesh import shard_batch, make_mesh, shard_params
+    if not n_devices or n_devices <= 1:
+        asarray = lambda b: jax.tree.map(jnp.asarray, b)
+        return None, asarray, lambda tree, policy="replicated": tree
+    if batch_size % n_devices:
+        raise ValueError(f"batch_size {batch_size} not divisible by "
+                         f"n_devices {n_devices}")
+    mesh = make_mesh(n_data=n_devices)
+    return (mesh, lambda b: shard_batch(b, mesh),
+            lambda tree, policy="replicated": shard_params(tree, mesh,
+                                                           policy=policy))
+
+
 def _save(save_dir, name, trainable, frozen, meta):
     from flax import serialization
     os.makedirs(save_dir, exist_ok=True)
@@ -42,7 +61,8 @@ def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
                        patch_size=16, partial_size="full", channels=256,
                        save_dir="checkpoints/seg", num_workers=8,
                        log_every=10, eval_batches=None, seed=0,
-                       vit_cfg=None):
+                       vit_cfg=None, n_devices=1,
+                       param_sharding="replicated"):
     """APLA-SETR-PUP on an ADE20K-layout directory (reference recipe:
     apla_setr_vit-l_pup_8xb2-160k_ade20k-512x512.py — ViT-L backbone,
     'full' APLA = only attn out-projections train)."""
@@ -62,8 +82,13 @@ def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
     trainable, frozen = init_segmenter(
         jax.random.PRNGKey(seed), cfg, n_classes=train_ds.n_classes,
         apla_cfg=AplaConfig(partial_size=partial_size), channels=channels)
+    mesh, put_batch, place = _mesh_setup(n_devices, param_sharding,
+                                         batch_size)
     tx = optax.adamw(lr, weight_decay=weight_decay)
     opt_state = tx.init(trainable)
+    trainable = place(trainable)
+    opt_state = place(opt_state)
+    frozen = place(frozen, param_sharding)
     step = make_seg_train_step(cfg, tx)
 
     eval_fwd = jax.jit(lambda t, f, im: jnp.argmax(
@@ -81,8 +106,8 @@ def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
             n = b["image"].shape[0]
             if n < batch_size:  # pad the tail to the compiled shape
                 b, _ = pad_to_multiple(b, batch_size)
-            pred = np.asarray(eval_fwd(trainable, frozen,
-                                       jnp.asarray(b["image"])))[:n]
+            im = put_batch({"image": b["image"]})["image"]
+            pred = np.asarray(eval_fwd(trainable, frozen, im))[:n]
             ious.append(mean_iou(pred, b["label"][:n],
                                  n_classes=train_ds.n_classes))
         return float(np.mean(ious)) if ious else 0.0
@@ -92,8 +117,7 @@ def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
     for epoch in range(epochs):
         loader.set_epoch(epoch)
         for b in loader:
-            batch = {"image": jnp.asarray(b["image"]),
-                     "label": jnp.asarray(b["label"])}
+            batch = put_batch({"image": b["image"], "label": b["label"]})
             trainable, opt_state, m = step(trainable, opt_state, frozen,
                                            batch)
             it += 1
@@ -115,7 +139,8 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
                     num_heads=(3, 6, 12), max_boxes=32,
                     save_dir="checkpoints/det", num_workers=8,
                     log_every=10, eval_batches=None, seed=0,
-                    swin_ckpt=None, val_img_dir=None, val_ann=None):
+                    swin_ckpt=None, val_img_dir=None, val_ann=None,
+                    n_devices=1, param_sharding="replicated"):
     """APLA-Swin + FCOS on a COCO-format dataset (reference recipe:
     mask-rcnn_apla_swin-t ... coco.py — Swin backbone with only attn.proj
     trainable)."""
@@ -171,8 +196,13 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
                      for i in range(n_levels)],
     }
     strides = tuple(4 * (2 ** i) for i in range(n_levels))
+    mesh, put_batch, place = _mesh_setup(n_devices, param_sharding,
+                                         batch_size)
     tx = optax.adamw(lr, weight_decay=weight_decay)
     opt_state = tx.init(trainable)
+    trainable = place(trainable)
+    opt_state = place(opt_state)
+    bb_f = place(bb_f, param_sharding)
     step = make_detection_train_step(cfg, tx, strides=strides)
 
     fwd = jax.jit(lambda t, f, im: fcos_head_forward(
@@ -199,7 +229,8 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
             n = b["image"].shape[0]
             if n < batch_size:  # pad the tail to the compiled shape
                 b, _ = pad_to_multiple(b, batch_size)
-            outs = fwd(trainable, bb_f, jnp.asarray(b["image"]))
+            im = put_batch({"image": b["image"]})["image"]
+            outs = fwd(trainable, bb_f, im)
             for j in range(n):
                 per_img = [tuple(o[j:j + 1] for o in lvl) for lvl in outs]
                 boxes, scores, labels = decode_detections(per_img, strides)
@@ -213,9 +244,8 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
     for epoch in range(epochs):
         loader.set_epoch(epoch)
         for b in loader:
-            batch = {"image": jnp.asarray(b["image"]),
-                     "boxes": jnp.asarray(b["boxes"]),
-                     "labels": jnp.asarray(b["labels"])}
+            batch = put_batch({"image": b["image"], "boxes": b["boxes"],
+                               "labels": b["labels"]})
             trainable, opt_state, m = step(trainable, opt_state, bb_f, batch)
             it += 1
             if it % log_every == 0:
@@ -243,6 +273,11 @@ def main(argv=None):
     ps.add_argument("--backbone", default="vit_large")
     ps.add_argument("--patch_size", type=int, default=16)
     ps.add_argument("--save_dir", default="checkpoints/seg")
+    ps.add_argument("--n_devices", type=int, default=1,
+                    help="data-parallel mesh size (1 = single device)")
+    ps.add_argument("--param_sharding", default="replicated",
+                    choices=("replicated", "fsdp"),
+                    help="frozen-backbone placement on the mesh")
     pd = sub.add_parser("det")
     pd.add_argument("--img_dir", required=True)
     pd.add_argument("--ann", required=True)
@@ -254,18 +289,25 @@ def main(argv=None):
     pd.add_argument("--swin_ckpt", help="local HF SwinModel state_dict .pth")
     pd.add_argument("--val_img_dir")
     pd.add_argument("--val_ann")
+    pd.add_argument("--n_devices", type=int, default=1,
+                    help="data-parallel mesh size (1 = single device)")
+    pd.add_argument("--param_sharding", default="replicated",
+                    choices=("replicated", "fsdp"),
+                    help="frozen-backbone placement on the mesh")
     args = p.parse_args(argv)
     if args.task == "seg":
         out = train_segmentation(
             args.root, epochs=args.epochs, img_size=args.img_size,
             batch_size=args.batch_size, lr=args.lr, backbone=args.backbone,
-            patch_size=args.patch_size, save_dir=args.save_dir)
+            patch_size=args.patch_size, save_dir=args.save_dir,
+            n_devices=args.n_devices, param_sharding=args.param_sharding)
     else:
         out = train_detection(
             args.img_dir, args.ann, epochs=args.epochs,
             img_size=args.img_size, batch_size=args.batch_size, lr=args.lr,
             save_dir=args.save_dir, swin_ckpt=args.swin_ckpt,
-            val_img_dir=args.val_img_dir, val_ann=args.val_ann)
+            val_img_dir=args.val_img_dir, val_ann=args.val_ann,
+            n_devices=args.n_devices, param_sharding=args.param_sharding)
     print(json.dumps(out))
 
 

@@ -60,6 +60,83 @@ def test_segmentation_loop(tmp_path):
     assert os.path.exists(tmp_path / "ck" / "seg_best.msgpack")
 
 
+def test_seg_step_fsdp_mesh_matches_single_device():
+    """One seg train step with the frozen backbone FSDP-sharded on a
+    2-device mesh must reproduce the single-device update (the side-car
+    analogue of tests/test_parallel.py's supervised fsdp parity)."""
+    import jax
+    import optax
+
+    from apla_tpu.apla.core import AplaConfig
+    from apla_tpu.models.seg import init_segmenter, make_seg_train_step
+    from apla_tpu.parallel.mesh import (fsdp_sharding_tree, make_mesh,
+                                        shard_batch, shard_params)
+
+    # embed_dim 128 -> stacked fc1 kernel [2,128,512] = 131072 elems, above
+    # the fsdp min_size, so the placement genuinely shards
+    cfg = ViTConfig(img_size=32, patch_size=8, embed_dim=128, depth=2,
+                    num_heads=4, compute_dtype=jnp.float32)
+    trainable, frozen = init_segmenter(
+        jax.random.PRNGKey(0), cfg, n_classes=5,
+        apla_cfg=AplaConfig(partial_size=16), channels=16)
+    tx = optax.adamw(1e-3)
+    step = make_seg_train_step(cfg, tx)
+    rng = np.random.default_rng(0)
+    batch_np = {"image": rng.standard_normal((4, 32, 32, 3)).astype("f4"),
+                "label": rng.integers(0, 5, (4, 32, 32)).astype("i4")}
+
+    t1, o1, m1 = step(trainable, tx.init(trainable), frozen,
+                      jax.tree.map(jnp.asarray, batch_np))
+
+    # the step donates (trainable, opt_state) — re-init identically (same
+    # PRNGKey) for the mesh run rather than reusing the donated buffers
+    trainable, frozen = init_segmenter(
+        jax.random.PRNGKey(0), cfg, n_classes=5,
+        apla_cfg=AplaConfig(partial_size=16), channels=16)
+    mesh = make_mesh(n_data=2, devices=jax.devices()[:2])
+    from jax.sharding import PartitionSpec as P
+    specs = [s.spec for s in jax.tree.leaves(fsdp_sharding_tree(mesh, frozen))]
+    assert any(s != P() for s in specs), "nothing sharded at this scale"
+    t2, o2, m2 = step(shard_params(trainable, mesh),
+                      shard_params(tx.init(trainable), mesh),
+                      shard_params(frozen, mesh, policy="fsdp"),
+                      shard_batch(batch_np, mesh))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(t1), jax.tree.leaves(t2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_segmentation_loop_on_mesh(tmp_path):
+    """The runnable seg loop end-to-end on a 2-device DP mesh with the
+    frozen backbone FSDP-sharded (--n_devices/--param_sharding)."""
+    from apla_tpu.segdet import train_segmentation
+    root = make_ade(tmp_path)
+    cfg = ViTConfig(img_size=32, patch_size=8, embed_dim=64, depth=2,
+                    num_heads=4, compute_dtype=jnp.float32)
+    out = train_segmentation(
+        root, epochs=1, img_size=32, batch_size=2, lr=1e-3,
+        save_dir=str(tmp_path / "ck"), num_workers=2, log_every=1,
+        vit_cfg=cfg, n_devices=2, param_sharding="fsdp")
+    assert out["iters"] == 2
+    assert 0.0 <= out["best_miou"] <= 1.0
+    assert os.path.exists(tmp_path / "ck" / "seg_best.msgpack")
+
+
+def test_detection_loop_on_mesh(tmp_path):
+    from apla_tpu.segdet import train_detection
+    img_dir, ann = make_coco(tmp_path)
+    out = train_detection(
+        img_dir, ann, epochs=1, img_size=56, batch_size=2, lr=1e-3,
+        embed_dim=32, depths=(2, 2), num_heads=(2, 4),
+        save_dir=str(tmp_path / "ck"), num_workers=2, log_every=1,
+        n_devices=2, param_sharding="fsdp")
+    assert out["iters"] == 2
+    assert 0.0 <= out["best_map50"] <= 1.0
+
+
 def test_detection_loop(tmp_path):
     from apla_tpu.segdet import train_detection
     img_dir, ann = make_coco(tmp_path)
