@@ -44,33 +44,37 @@ def _struct(tree):
                         tree)
 
 
-def export_classifier(path: str, trainable, frozen, vit_cfg,
-                      batch_sizes=(1, 8, 64), platforms=None) -> dict:
-    """Write a serving artifact for a (trainable, frozen) classifier.
+def _maybe_quantize(frozen, quantize_frozen: bool):
+    """Optionally int8-quantize the large frozen backbone kernels
+    (qkv/fc1/fc2 -> {'w_int8','scale'}, `ops/quant.py`) — ~4x smaller
+    artifact params and serve-time weight memory for those leaves; the
+    exported program runs the W8A8 dense path.  No-op if the tree is
+    already quantized (e.g. a wrapper built with
+    `model_params.quantize_frozen`)."""
+    if not quantize_frozen:
+        return frozen
+    from .ops.quant import quantize_frozen_backbone
+    bb = frozen.get("backbone", frozen)
+    blocks = bb.get("blocks") or {}
+    already = isinstance(
+        blocks.get("attn", {}).get("qkv", {}).get("kernel"), dict)
+    return frozen if already else quantize_frozen_backbone(frozen)
 
-    `platforms`: optional sequence like ("cpu", "tpu") for multi-platform
-    lowering; default = the current backend only.  Returns the meta dict.
-    """
-    from .models.classifier import classifier_forward
 
-    batch_sizes = sorted(set(int(b) for b in batch_sizes))
-    if not batch_sizes or batch_sizes[0] < 1:
-        raise ValueError(f"batch_sizes must be positive, got {batch_sizes}")
-    os.makedirs(path, exist_ok=True)
-
-    # The Pallas kernels (fused APLA attention AND the flash/VMEM MHA)
-    # only lower for TPU, and their in-model gates key on the CURRENT
-    # backend — wrong for an explicit cross-platform export: a cpu (or
-    # multi-platform) artifact must not contain Mosaic calls.  With
-    # explicit platforms including a non-TPU target, fall back to XLA
-    # attention (same numerics); with platforms=None the in-model gates
-    # already match the lowering backend.
+def _gate_pallas(vit_cfg, platforms):
+    """The Pallas kernels (fused APLA attention AND the flash/VMEM MHA)
+    only lower for TPU, and their in-model gates key on the CURRENT
+    backend — wrong for an explicit cross-platform export: a cpu (or
+    multi-platform) artifact must not contain Mosaic calls.  With explicit
+    platforms including a non-TPU target, fall back to XLA attention (same
+    numerics); with platforms=None the in-model gates already match the
+    lowering backend."""
     uses_pallas = vit_cfg.use_fused_apla or vit_cfg.use_flash
     if (platforms and uses_pallas
             and any(p.lower() != "tpu" for p in platforms)):
-        vit_cfg = dataclasses.replace(vit_cfg, use_fused_apla=False,
-                                      use_flash=False)
-    elif platforms and uses_pallas:
+        return dataclasses.replace(vit_cfg, use_fused_apla=False,
+                                   use_flash=False)
+    if platforms and uses_pallas:
         from .ops.pallas_apla_attn import fused_available
         if not fused_available():
             import warnings
@@ -79,6 +83,29 @@ def export_classifier(path: str, trainable, frozen, vit_cfg,
                 "attention kernels cannot be traced here, the artifact "
                 "will use XLA attention (slower at serve time — export on "
                 "a TPU host to keep the kernel)", stacklevel=2)
+    return vit_cfg
+
+
+def export_classifier(path: str, trainable, frozen, vit_cfg,
+                      batch_sizes=(1, 8, 64), platforms=None,
+                      quantize_frozen=False) -> dict:
+    """Write a serving artifact for a (trainable, frozen) classifier.
+
+    `platforms`: optional sequence like ("cpu", "tpu") for multi-platform
+    lowering; default = the current backend only.  Returns the meta dict.
+
+    `quantize_frozen`: see `_maybe_quantize`.
+    """
+    from .models.classifier import classifier_forward
+
+    frozen = _maybe_quantize(frozen, quantize_frozen)
+
+    batch_sizes = sorted(set(int(b) for b in batch_sizes))
+    if not batch_sizes or batch_sizes[0] < 1:
+        raise ValueError(f"batch_sizes must be positive, got {batch_sizes}")
+    os.makedirs(path, exist_ok=True)
+
+    vit_cfg = _gate_pallas(vit_cfg, platforms)
 
     host_t, host_f = _to_host(trainable), _to_host(frozen)
     with open(os.path.join(path, _PARAMS_FILE), "wb") as f:
@@ -113,6 +140,63 @@ def export_classifier(path: str, trainable, frozen, vit_cfg,
         "embed_dim": int(vit_cfg.embed_dim),
         "batch_sizes": batch_sizes,
         "platforms": list(platforms) if platforms else [jax.default_backend()],
+        "quantized_frozen": bool(quantize_frozen),
+        "vit_config": cfg_echo,
+    }
+    with open(os.path.join(path, _META_FILE), "w") as f:
+        json.dump(meta, f, indent=2)
+    return meta
+
+
+def export_segmenter(path: str, trainable, frozen, vit_cfg,
+                     batch_sizes=(1, 4), platforms=None,
+                     quantize_frozen=False) -> dict:
+    """Write a serving artifact for a (trainable, frozen) SETR-PUP
+    segmenter (the side-car trained by `python -m apla_tpu.segdet seg`).
+    Programs compute per-pixel logits [B, H, W, n_classes] (f32); the
+    artifact loads back as a `SegPredictor` (predict -> logits,
+    masks -> argmax class map)."""
+    from .models.seg import segmenter_forward
+
+    frozen = _maybe_quantize(frozen, quantize_frozen)
+    batch_sizes = sorted(set(int(b) for b in batch_sizes))
+    if not batch_sizes or batch_sizes[0] < 1:
+        raise ValueError(f"batch_sizes must be positive, got {batch_sizes}")
+    os.makedirs(path, exist_ok=True)
+    vit_cfg = _gate_pallas(vit_cfg, platforms)
+
+    host_t, host_f = _to_host(trainable), _to_host(frozen)
+    with open(os.path.join(path, _PARAMS_FILE), "wb") as f:
+        f.write(serialization.to_bytes({"trainable": host_t,
+                                        "frozen": host_f}))
+
+    def fwd(tr, fz, images):
+        return segmenter_forward(tr, fz, images, vit_cfg,
+                                 deterministic=True).astype(jnp.float32)
+
+    n_classes = int(np.shape(host_t["head"]["cls"]["bias"])[0])
+    img = int(vit_cfg.img_size)
+    kw = {"platforms": tuple(platforms)} if platforms else {}
+    for b in batch_sizes:
+        exp = jexport.export(jax.jit(fwd), **kw)(
+            _struct(host_t), _struct(host_f),
+            jax.ShapeDtypeStruct((b, img, img, 3), jnp.float32))
+        with open(os.path.join(path, f"program_b{b}.jaxexport"), "wb") as f:
+            f.write(exp.serialize())
+
+    cfg_echo = dataclasses.asdict(vit_cfg)
+    cfg_echo["compute_dtype"] = str(cfg_echo["compute_dtype"].__name__
+                                    if hasattr(cfg_echo["compute_dtype"],
+                                               "__name__")
+                                    else cfg_echo["compute_dtype"])
+    meta = {
+        "format": "apla_tpu.serve/1",
+        "task": "segmenter",
+        "img_size": img,
+        "n_classes": n_classes,
+        "batch_sizes": batch_sizes,
+        "platforms": list(platforms) if platforms else [jax.default_backend()],
+        "quantized_frozen": bool(quantize_frozen),
         "vit_config": cfg_echo,
     }
     with open(os.path.join(path, _META_FILE), "w") as f:
@@ -184,18 +268,79 @@ class Predictor:
         return self._run_chunks(images)[1]
 
 
+class SegPredictor(Predictor):
+    """Executes a segmentation artifact: programs return per-pixel logits
+    [B, H, W, n_classes]."""
+
+    def _run_chunks(self, images: np.ndarray):
+        n = images.shape[0]
+        img = self.meta["img_size"]
+        if images.ndim != 4 or images.shape[1:] != (img, img, 3):
+            raise ValueError(
+                f"expected [n, {img}, {img}, 3] images, got {images.shape}")
+        images = np.asarray(images, np.float32)
+        out = []
+        i = 0
+        while i < n:
+            rem = n - i
+            b = self._pick_batch(rem)
+            m = min(b, rem)
+            chunk = images[i:i + m]
+            if m < b:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((b - m,) + chunk.shape[1:],
+                                     np.float32)])
+            logits = self._programs[b].call(
+                self._params["trainable"], self._params["frozen"],
+                jnp.asarray(chunk))
+            out.append(np.asarray(logits)[:m])
+            i += m
+        img_sz = self.meta["img_size"]
+        return (np.concatenate(out) if out
+                else np.zeros((0, img_sz, img_sz, self.meta["n_classes"]),
+                              np.float32))
+
+    def predict(self, images: np.ndarray) -> np.ndarray:
+        """[n, H, W, 3] -> [n, H, W, n_classes] per-pixel logits."""
+        return self._run_chunks(images)
+
+    def masks(self, images: np.ndarray) -> np.ndarray:
+        """[n, H, W, 3] -> [n, H, W] int32 argmax class map."""
+        return np.argmax(self._run_chunks(images), axis=-1).astype(np.int32)
+
+    def embed(self, images):
+        raise NotImplementedError("segmentation artifacts have no "
+                                  "embedding output")
+
+
+def _relist(tree):
+    """flax msgpack_restore returns Python lists as {'0': ..., '1': ...}
+    dicts when restored template-free; convert those back so the params
+    match the exported program's pytree structure (the PUP head's `convs`
+    and the det laterals are lists)."""
+    if isinstance(tree, dict):
+        keys = list(tree.keys())
+        if keys and all(isinstance(k, str) and k.isdigit() for k in keys):
+            ints = sorted(int(k) for k in keys)
+            if ints == list(range(len(ints))):
+                return [_relist(tree[str(i)]) for i in ints]
+        return {k: _relist(v) for k, v in tree.items()}
+    return tree
+
+
 def load_predictor(path: str) -> Predictor:
     with open(os.path.join(path, _META_FILE)) as f:
         meta = json.load(f)
     if meta.get("format") != "apla_tpu.serve/1":
         raise ValueError(f"not an apla_tpu serving artifact: {path}")
     with open(os.path.join(path, _PARAMS_FILE), "rb") as f:
-        params = serialization.msgpack_restore(f.read())
+        params = _relist(serialization.msgpack_restore(f.read()))
     programs = {}
     for b in meta["batch_sizes"]:
         with open(os.path.join(path, f"program_b{b}.jaxexport"), "rb") as f:
             programs[int(b)] = jexport.deserialize(f.read())
-    return Predictor(meta, params, programs)
+    cls = SegPredictor if meta.get("task") == "segmenter" else Predictor
+    return cls(meta, params, programs)
 
 
 # ------------------------------------------------------------------ #
@@ -253,6 +398,21 @@ def main(argv=None):
     ex.add_argument("--n_classes", type=int, default=None)
     ex.add_argument("--platforms", default=None,
                     help="comma list, e.g. cpu,tpu (default: current)")
+    ex.add_argument("--quantize_frozen", action="store_true",
+                    help="int8 frozen backbone kernels in the artifact "
+                         "(~4x smaller params, W8A8 serve path)")
+    exs = sub.add_parser("export_seg",
+                         help="export a segmentation artifact from a "
+                              "segdet checkpoint (seg_best.msgpack)")
+    exs.add_argument("--ckpt", required=True,
+                     help="segdet seg_best.msgpack ({'trainable','frozen'})")
+    exs.add_argument("--backbone", default="vit_large")
+    exs.add_argument("--img_size", type=int, default=512)
+    exs.add_argument("--patch_size", type=int, default=16)
+    exs.add_argument("--out", required=True)
+    exs.add_argument("--batch_sizes", default="1,4")
+    exs.add_argument("--platforms", default=None)
+    exs.add_argument("--quantize_frozen", action="store_true")
     info = sub.add_parser("info", help="print an artifact's meta")
     info.add_argument("artifact")
     args = ap.parse_args(argv)
@@ -262,12 +422,29 @@ def main(argv=None):
             print(json.dumps(json.load(f), indent=2))
         return
 
+    if args.cmd == "export_seg":
+        from .models.vit import VIT_BUILDERS
+        with open(args.ckpt, "rb") as f:
+            tree = serialization.msgpack_restore(f.read())
+        cfg = VIT_BUILDERS[args.backbone](img_size=args.img_size,
+                                          patch_size=args.patch_size)
+        bs = [int(x) for x in str(args.batch_sizes).split(",") if x]
+        platforms = (args.platforms.split(",") if args.platforms else None)
+        meta = export_segmenter(args.out, tree["trainable"], tree["frozen"],
+                                cfg, batch_sizes=bs, platforms=platforms,
+                                quantize_frozen=args.quantize_frozen)
+        print(f"Exported segmenter (img {meta['img_size']}, "
+              f"{meta['n_classes']} classes) at batch sizes "
+              f"{meta['batch_sizes']} -> {args.out}")
+        return
+
     trainable, frozen, vit_cfg = _build_from_params(
         args.params_path, args.pretrained_path, args.n_classes)
     bs = [int(x) for x in str(args.batch_sizes).split(",") if x]
     platforms = (args.platforms.split(",") if args.platforms else None)
     meta = export_classifier(args.out, trainable, frozen, vit_cfg,
-                             batch_sizes=bs, platforms=platforms)
+                             batch_sizes=bs, platforms=platforms,
+                             quantize_frozen=args.quantize_frozen)
     print(f"Exported {meta['vit_config'].get('depth')}-block classifier "
           f"(img {meta['img_size']}, {meta['n_classes']} classes) at "
           f"batch sizes {meta['batch_sizes']} -> {args.out}")

@@ -73,6 +73,95 @@ def test_chunking_and_padding(artifact):
     assert empty.shape == (0, 7)
 
 
+def test_quantized_export_matches_quantized_forward(artifact, tmp_path):
+    """--quantize_frozen: the artifact stores int8 frozen kernels (smaller
+    params file) and the exported program reproduces the live W8A8
+    forward exactly."""
+    import os
+
+    from apla_tpu.ops.quant import quantize_frozen_backbone
+
+    base_path, _, trainable, frozen, cfg = artifact
+    qpath = str(tmp_path / "artifact_q")
+    meta = export_classifier(qpath, trainable, frozen, cfg,
+                             batch_sizes=(2, 4), quantize_frozen=True)
+    assert meta["quantized_frozen"] is True
+
+    base_sz = os.path.getsize(os.path.join(base_path, "params.msgpack"))
+    q_sz = os.path.getsize(os.path.join(qpath, "params.msgpack"))
+    assert q_sz < base_sz  # qkv/fc kernels stored int8
+
+    pred = load_predictor(qpath)
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(2), (4, 32, 32, 3)),
+                   np.float32)
+    frozen_q = quantize_frozen_backbone(frozen)
+    live = np.asarray(classifier_forward(trainable, frozen_q,
+                                         jnp.asarray(x), cfg))
+    np.testing.assert_allclose(pred.predict(x), live, rtol=1e-5, atol=1e-5)
+    # quantization error is real but bounded: same top-1 as the float path
+    float_logits = np.asarray(classifier_forward(trainable, frozen,
+                                                 jnp.asarray(x), cfg))
+    assert (np.argmax(live, -1) == np.argmax(float_logits, -1)).mean() >= 0.5
+
+    # already-quantized tree: export must not double-quantize
+    q2 = str(tmp_path / "artifact_q2")
+    export_classifier(q2, trainable, frozen_q, cfg, batch_sizes=(2,),
+                      quantize_frozen=True)
+    pred2 = load_predictor(q2)
+    np.testing.assert_allclose(pred2.predict(x), live, rtol=1e-5, atol=1e-5)
+
+
+def test_segmenter_export_round_trip(tmp_path):
+    """export_segmenter: the artifact reproduces the live SETR-PUP forward,
+    chunks over batch sizes, and loads back as a SegPredictor (masks =
+    argmax class map).  Also drives the export_seg CLI from a segdet
+    checkpoint msgpack."""
+    from apla_tpu.models.seg import init_segmenter, segmenter_forward
+    from apla_tpu.serve import SegPredictor, export_segmenter
+
+    cfg = ViTConfig(img_size=32, patch_size=8, embed_dim=64, depth=2,
+                    num_heads=4, compute_dtype=jnp.float32)
+    trainable, frozen = init_segmenter(
+        jax.random.PRNGKey(0), cfg, n_classes=5, channels=16)
+    path = str(tmp_path / "seg_artifact")
+    meta = export_segmenter(path, trainable, frozen, cfg, batch_sizes=(2,))
+    assert meta["task"] == "segmenter" and meta["n_classes"] == 5
+
+    pred = load_predictor(path)
+    assert isinstance(pred, SegPredictor)
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (3, 32, 32, 3)),
+                   np.float32)
+    live = np.asarray(segmenter_forward(trainable, frozen, jnp.asarray(x),
+                                        cfg))
+    got = pred.predict(x)
+    assert got.shape == (3, 32, 32, 5)
+    np.testing.assert_allclose(got, live, rtol=1e-5, atol=1e-5)
+    m = pred.masks(x)
+    assert m.shape == (3, 32, 32) and m.dtype == np.int32
+    np.testing.assert_array_equal(m, np.argmax(live, -1))
+    with pytest.raises(NotImplementedError):
+        pred.embed(x)
+
+    # CLI path: segdet checkpoint msgpack -> artifact
+    from apla_tpu.segdet import _save
+    from apla_tpu.serve import main as serve_main
+    _save(str(tmp_path / "ck"), "seg_best", trainable, frozen, {"epoch": 0})
+    from apla_tpu.models.vit import VIT_BUILDERS
+    VIT_BUILDERS["_test_seg"] = lambda **kw: ViTConfig(
+        embed_dim=64, depth=2, num_heads=4, compute_dtype=jnp.float32, **kw)
+    try:
+        serve_main(["export_seg", "--ckpt",
+                    str(tmp_path / "ck" / "seg_best.msgpack"),
+                    "--backbone", "_test_seg", "--img_size", "32",
+                    "--patch_size", "8",
+                    "--out", str(tmp_path / "cli_artifact"),
+                    "--batch_sizes", "2"])
+    finally:
+        del VIT_BUILDERS["_test_seg"]
+    pred2 = load_predictor(str(tmp_path / "cli_artifact"))
+    np.testing.assert_allclose(pred2.predict(x), live, rtol=1e-5, atol=1e-5)
+
+
 def test_wrong_resolution_rejected(artifact):
     path = artifact[0]
     pred = load_predictor(path)
