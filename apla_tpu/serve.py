@@ -204,6 +204,57 @@ def export_segmenter(path: str, trainable, frozen, vit_cfg,
     return meta
 
 
+def export_detector(path: str, trainable, frozen, swin_cfg, strides,
+                    batch_sizes=(1, 8), platforms=None) -> dict:
+    """Write a serving artifact for the FCOS detection side-car
+    (`python -m apla_tpu.segdet det`): APLA-Swin pyramid + FCOS head.
+    Programs compute the RAW per-level maps (cls_logits [B,H,W,K],
+    box [B,H,W,4], ctr [B,H,W,1]) — score/NMS decoding is host-side and
+    per-image (`models/detection.decode_detections`), so it stays out of
+    the compiled program; `DetPredictor.detect` runs it."""
+    from .models.detection import fcos_head_forward
+    from .models.swin import swin_features
+
+    batch_sizes = sorted(set(int(b) for b in batch_sizes))
+    if not batch_sizes or batch_sizes[0] < 1:
+        raise ValueError(f"batch_sizes must be positive, got {batch_sizes}")
+    os.makedirs(path, exist_ok=True)
+
+    host_t, host_f = _to_host(trainable), _to_host(frozen)
+    with open(os.path.join(path, _PARAMS_FILE), "wb") as f:
+        f.write(serialization.to_bytes({"trainable": host_t,
+                                        "frozen": host_f}))
+
+    def fwd(tr, fz, images):
+        feats = swin_features(fz, images, swin_cfg,
+                              trainable=tr["backbone"])
+        outs = fcos_head_forward(feats, tr["head"], tr.get("laterals"))
+        return [tuple(o.astype(jnp.float32) for o in lvl) for lvl in outs]
+
+    n_classes = int(np.shape(host_t["head"]["cls"]["bias"])[0])
+    img = int(swin_cfg.img_size)
+    kw = {"platforms": tuple(platforms)} if platforms else {}
+    for b in batch_sizes:
+        exp = jexport.export(jax.jit(fwd), **kw)(
+            _struct(host_t), _struct(host_f),
+            jax.ShapeDtypeStruct((b, img, img, 3), jnp.float32))
+        with open(os.path.join(path, f"program_b{b}.jaxexport"), "wb") as f:
+            f.write(exp.serialize())
+
+    meta = {
+        "format": "apla_tpu.serve/1",
+        "task": "detector",
+        "img_size": img,
+        "n_classes": n_classes,
+        "strides": [int(s) for s in strides],
+        "batch_sizes": batch_sizes,
+        "platforms": list(platforms) if platforms else [jax.default_backend()],
+    }
+    with open(os.path.join(path, _META_FILE), "w") as f:
+        json.dump(meta, f, indent=2)
+    return meta
+
+
 class Predictor:
     """Executes an exported artifact.  No model code involved: the programs
     are deserialized StableHLO, the params plain arrays."""
@@ -313,6 +364,65 @@ class SegPredictor(Predictor):
                                   "embedding output")
 
 
+class DetPredictor(Predictor):
+    """Executes a detection artifact: programs return raw per-level FCOS
+    maps; `detect` decodes them per image on host (sigmoid + score
+    threshold + greedy NMS)."""
+
+    def _run_chunks(self, images: np.ndarray):
+        n = images.shape[0]
+        img = self.meta["img_size"]
+        if images.ndim != 4 or images.shape[1:] != (img, img, 3):
+            raise ValueError(
+                f"expected [n, {img}, {img}, 3] images, got {images.shape}")
+        images = np.asarray(images, np.float32)
+        chunks = []
+        i = 0
+        while i < n:
+            rem = n - i
+            b = self._pick_batch(rem)
+            m = min(b, rem)
+            chunk = images[i:i + m]
+            if m < b:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((b - m,) + chunk.shape[1:],
+                                     np.float32)])
+            outs = self._programs[b].call(
+                self._params["trainable"], self._params["frozen"],
+                jnp.asarray(chunk))
+            chunks.append([tuple(np.asarray(o)[:m] for o in lvl)
+                           for lvl in outs])
+            i += m
+        if not chunks:
+            return []
+        # concat chunks per level/output along the batch dim
+        return [tuple(np.concatenate([c[lvl][j] for c in chunks])
+                      for j in range(3))
+                for lvl in range(len(chunks[0]))]
+
+    def predict(self, images: np.ndarray):
+        """[n, H, W, 3] -> per-level raw maps
+        [(cls_logits [n,H_l,W_l,K], box [n,H_l,W_l,4], ctr [n,H_l,W_l,1])]."""
+        return self._run_chunks(images)
+
+    def detect(self, images: np.ndarray, score_thresh=0.05, top_k=100):
+        """[n, H, W, 3] -> list of n (boxes [M,4], scores [M], labels [M])
+        tuples (host-side decode + NMS per image)."""
+        from .models.detection import decode_detections
+        levels = self._run_chunks(images)
+        out = []
+        for j in range(images.shape[0]):
+            per_img = [tuple(o[j:j + 1] for o in lvl) for lvl in levels]
+            out.append(decode_detections(per_img, self.meta["strides"],
+                                         score_thresh=score_thresh,
+                                         top_k=top_k))
+        return out
+
+    def embed(self, images):
+        raise NotImplementedError("detection artifacts have no embedding "
+                                  "output")
+
+
 def _relist(tree):
     """flax msgpack_restore returns Python lists as {'0': ..., '1': ...}
     dicts when restored template-free; convert those back so the params
@@ -339,7 +449,8 @@ def load_predictor(path: str) -> Predictor:
     for b in meta["batch_sizes"]:
         with open(os.path.join(path, f"program_b{b}.jaxexport"), "rb") as f:
             programs[int(b)] = jexport.deserialize(f.read())
-    cls = SegPredictor if meta.get("task") == "segmenter" else Predictor
+    cls = {"segmenter": SegPredictor,
+           "detector": DetPredictor}.get(meta.get("task"), Predictor)
     return cls(meta, params, programs)
 
 
@@ -413,6 +524,18 @@ def main(argv=None):
     exs.add_argument("--batch_sizes", default="1,4")
     exs.add_argument("--platforms", default=None)
     exs.add_argument("--quantize_frozen", action="store_true")
+    exd = sub.add_parser("export_det",
+                         help="export a detection artifact from a segdet "
+                              "checkpoint (det_best.msgpack)")
+    exd.add_argument("--ckpt", required=True)
+    exd.add_argument("--img_size", type=int, default=224)
+    exd.add_argument("--embed_dim", type=int, default=96)
+    exd.add_argument("--depths", default="2,2,6")
+    exd.add_argument("--num_heads", default="3,6,12")
+    exd.add_argument("--window_size", type=int, default=7)
+    exd.add_argument("--out", required=True)
+    exd.add_argument("--batch_sizes", default="1,8")
+    exd.add_argument("--platforms", default=None)
     info = sub.add_parser("info", help="print an artifact's meta")
     info.add_argument("artifact")
     args = ap.parse_args(argv)
@@ -436,6 +559,28 @@ def main(argv=None):
         print(f"Exported segmenter (img {meta['img_size']}, "
               f"{meta['n_classes']} classes) at batch sizes "
               f"{meta['batch_sizes']} -> {args.out}")
+        return
+
+    if args.cmd == "export_det":
+        from .models.swin import SwinConfig
+        with open(args.ckpt, "rb") as f:
+            tree = _relist(serialization.msgpack_restore(f.read()))
+        depths = tuple(int(x) for x in args.depths.split(","))
+        cfg = SwinConfig(img_size=args.img_size, patch_size=4,
+                         embed_dim=args.embed_dim, depths=depths,
+                         num_heads=tuple(int(x)
+                                         for x in args.num_heads.split(",")),
+                         window_size=args.window_size,
+                         compute_dtype=jnp.float32)
+        strides = tuple(4 * (2 ** i) for i in range(len(depths)))
+        bs = [int(x) for x in str(args.batch_sizes).split(",") if x]
+        platforms = (args.platforms.split(",") if args.platforms else None)
+        meta = export_detector(args.out, tree["trainable"], tree["frozen"],
+                               cfg, strides, batch_sizes=bs,
+                               platforms=platforms)
+        print(f"Exported detector (img {meta['img_size']}, "
+              f"{meta['n_classes']} classes, strides {meta['strides']}) "
+              f"at batch sizes {meta['batch_sizes']} -> {args.out}")
         return
 
     trainable, frozen, vit_cfg = _build_from_params(

@@ -162,6 +162,56 @@ def test_segmenter_export_round_trip(tmp_path):
     np.testing.assert_allclose(pred2.predict(x), live, rtol=1e-5, atol=1e-5)
 
 
+def test_detector_export_round_trip(tmp_path):
+    """export_detector: raw per-level FCOS maps from the artifact match
+    the live forward; `detect` decodes boxes host-side."""
+    from apla_tpu.models.detection import (_conv_init, fcos_head_forward,
+                                           init_fcos_head)
+    from apla_tpu.models.swin import (SwinConfig, build_apla_swin,
+                                      init_swin_params, swin_features)
+    from apla_tpu.serve import DetPredictor, export_detector
+
+    cfg = SwinConfig(img_size=56, patch_size=4, embed_dim=32,
+                     depths=(2, 2), num_heads=(2, 4), window_size=7,
+                     compute_dtype=jnp.float32)
+    swin_params = init_swin_params(jax.random.PRNGKey(0), cfg)
+    bb_t, bb_f = build_apla_swin(swin_params)
+    trainable = {
+        "backbone": bb_t,
+        "head": init_fcos_head(jax.random.PRNGKey(1), 32, 3, channels=16,
+                               n_levels=2),
+        "laterals": [_conv_init(jax.random.PRNGKey(5), 1, 32, 32),
+                     _conv_init(jax.random.PRNGKey(6), 1, 64, 32)],
+    }
+    strides = (4, 8)
+    path = str(tmp_path / "det_artifact")
+    meta = export_detector(path, trainable, bb_f, cfg, strides,
+                           batch_sizes=(2,))
+    assert meta["task"] == "detector"
+    assert meta["strides"] == [4, 8] and meta["n_classes"] == 3
+
+    pred = load_predictor(path)
+    assert isinstance(pred, DetPredictor)
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(2), (3, 56, 56, 3)),
+                   np.float32)
+    live = fcos_head_forward(
+        swin_features(bb_f, jnp.asarray(x), cfg, trainable=bb_t),
+        trainable["head"], trainable["laterals"])
+    got = pred.predict(x)
+    assert len(got) == 2
+    for lvl in range(2):
+        for j in range(3):
+            np.testing.assert_allclose(got[lvl][j],
+                                       np.asarray(live[lvl][j]),
+                                       rtol=1e-4, atol=1e-4)
+    dets = pred.detect(x, score_thresh=0.0, top_k=5)
+    assert len(dets) == 3
+    boxes, scores, labels = dets[0]
+    assert boxes.shape[-1] == 4 and len(scores) == len(labels)
+    with pytest.raises(NotImplementedError):
+        pred.embed(x)
+
+
 def test_wrong_resolution_rejected(artifact):
     path = artifact[0]
     pred = load_predictor(path)
