@@ -223,11 +223,15 @@ def test_cli_export_and_info(tmp_path):
     """The module CLI builds from a params YAML (synthetic recipe) and the
     artifact loads + predicts."""
     out = str(tmp_path / "cli_artifact")
-    cmd = [sys.executable, "-m", "apla_tpu.serve", "export",
+    # Force the CPU platform INSIDE the subprocess (not just the lowering
+    # target): `python -m apla_tpu.serve` would otherwise initialize the
+    # axon TPU backend, grabbing the single-client TPU tunnel — which
+    # wedges any concurrently running TPU job (and this test with it).
+    prog = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "from apla_tpu.serve import main; main()")
+    cmd = [sys.executable, "-c", prog, "export",
            "--params_path", "params/synthetic/vit_tiny/apla.yml",
            "--out", out, "--batch_sizes", "2", "--n_classes", "10",
-           # the subprocess may default to the TPU backend; this test's
-           # process runs CPU-only (conftest), so pin the lowering target
            "--platforms", "cpu"]
     r = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, r.stderr[-2000:]
