@@ -538,11 +538,79 @@ def main(argv=None):
     exd.add_argument("--platforms", default=None)
     info = sub.add_parser("info", help="print an artifact's meta")
     info.add_argument("artifact")
+    pr = sub.add_parser("predict", help="run an artifact on images")
+    pr.add_argument("artifact")
+    pr.add_argument("inputs", nargs="+",
+                    help="a .npy [n,H,W,3] float batch (already "
+                         "normalized), or image files (decoded, resized, "
+                         "normalized with --mean/--std)")
+    pr.add_argument("--top_k", type=int, default=5)
+    pr.add_argument("--embed", action="store_true",
+                    help="print/save embeddings instead of logits "
+                         "(classifier artifacts)")
+    pr.add_argument("--score_thresh", type=float, default=0.05,
+                    help="detector decode threshold")
+    pr.add_argument("--mean", default="0.485,0.456,0.406")
+    pr.add_argument("--std", default="0.229,0.224,0.225")
+    pr.add_argument("--out", default=None,
+                    help="write the raw output array to this .npy")
     args = ap.parse_args(argv)
 
     if args.cmd == "info":
         with open(os.path.join(args.artifact, _META_FILE)) as f:
             print(json.dumps(json.load(f), indent=2))
+        return
+
+    if args.cmd == "predict":
+        pred = load_predictor(args.artifact)
+        img = pred.meta["img_size"]
+        if len(args.inputs) == 1 and args.inputs[0].endswith(".npy"):
+            x = np.load(args.inputs[0]).astype(np.float32)
+        else:
+            from PIL import Image
+            mean = np.asarray([float(v) for v in args.mean.split(",")],
+                              np.float32)
+            std = np.asarray([float(v) for v in args.std.split(",")],
+                             np.float32)
+            ims = []
+            for p in args.inputs:
+                im = Image.open(p).convert("RGB").resize((img, img),
+                                                         Image.BICUBIC)
+                ims.append((np.asarray(im, np.float32) / 255.0 - mean) / std)
+            x = np.stack(ims)
+        task = pred.meta.get("task", "classifier")
+        if task == "detector":
+            dets = pred.detect(x, score_thresh=args.score_thresh,
+                               top_k=args.top_k)
+            for i, (boxes, scores, labels) in enumerate(dets):
+                print(json.dumps({
+                    "image": i, "boxes": np.asarray(boxes).tolist(),
+                    "scores": np.round(np.asarray(scores), 4).tolist(),
+                    "labels": np.asarray(labels).tolist()}))
+            return
+        if task == "segmenter":
+            masks = pred.masks(x)
+            for i, m in enumerate(masks):
+                cls, cnt = np.unique(m, return_counts=True)
+                top = sorted(zip(cnt.tolist(), cls.tolist()), reverse=True)
+                print(f"image {i}: mask {m.shape}, top classes "
+                      + ", ".join(f"{c} ({n}px)" for n, c in top[:5]))
+            if args.out:
+                np.save(args.out, masks)
+                print(f"masks -> {args.out}")
+            return
+        out = pred.embed(x) if args.embed else pred.predict(x)
+        if args.embed:
+            print(f"embeddings {out.shape}")
+        else:
+            k = min(args.top_k, out.shape[-1])
+            for i, row in enumerate(out):
+                top = np.argsort(row)[::-1][:k]
+                print(f"image {i}: "
+                      + ", ".join(f"class {c}: {row[c]:.3f}" for c in top))
+        if args.out:
+            np.save(args.out, out)
+            print(f"output -> {args.out}")
         return
 
     if args.cmd == "export_seg":

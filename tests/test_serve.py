@@ -212,6 +212,30 @@ def test_detector_export_round_trip(tmp_path):
         pred.embed(x)
 
 
+def test_cli_predict(artifact, tmp_path, capsys):
+    """`python -m apla_tpu.serve predict`: .npy batch and image-file
+    inputs through a classifier artifact."""
+    from PIL import Image
+
+    from apla_tpu.serve import main as serve_main
+
+    path = artifact[0]
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(3), (2, 32, 32, 3)),
+                   np.float32)
+    npy = str(tmp_path / "batch.npy")
+    np.save(npy, x)
+    out = str(tmp_path / "logits.npy")
+    serve_main(["predict", path, npy, "--top_k", "3", "--out", out])
+    printed = capsys.readouterr().out
+    assert "image 0:" in printed and "image 1:" in printed
+    assert np.load(out).shape == (2, 7)
+
+    imgf = str(tmp_path / "im.png")
+    Image.fromarray(np.zeros((40, 50, 3), np.uint8)).save(imgf)
+    serve_main(["predict", path, imgf, "--embed"])
+    assert "embeddings (1," in capsys.readouterr().out
+
+
 def test_wrong_resolution_rejected(artifact):
     path = artifact[0]
     pred = load_predictor(path)
