@@ -56,8 +56,13 @@ def _maybe_quantize(frozen, quantize_frozen: bool):
     from .ops.quant import quantize_frozen_backbone
     bb = frozen.get("backbone", frozen)
     blocks = bb.get("blocks") or {}
-    already = isinstance(
-        blocks.get("attn", {}).get("qkv", {}).get("kernel"), dict)
+    # already-quantized probe must cover ANY quantizable kernel: a tree
+    # built with a custom `which` (e.g. fc-only) has a float qkv but
+    # re-quantizing it would crash on the fc quant dicts
+    candidates = [blocks.get("attn", {}).get("qkv", {})] + [
+        blocks.get("mlp", {}).get(name, {})
+        for name in ("fc1", "fc2", "w12", "w3")]
+    already = any(isinstance(c.get("kernel"), dict) for c in candidates)
     return frozen if already else quantize_frozen_backbone(frozen)
 
 
@@ -86,6 +91,37 @@ def _gate_pallas(vit_cfg, platforms):
     return vit_cfg
 
 
+def _check_batch_sizes(batch_sizes):
+    batch_sizes = sorted(set(int(b) for b in batch_sizes))
+    if not batch_sizes or batch_sizes[0] < 1:
+        raise ValueError(f"batch_sizes must be positive, got {batch_sizes}")
+    return batch_sizes
+
+
+def _write_params(path, host_t, host_f):
+    with open(os.path.join(path, _PARAMS_FILE), "wb") as f:
+        f.write(serialization.to_bytes({"trainable": host_t,
+                                        "frozen": host_f}))
+
+
+def _write_programs(path, fwd, host_t, host_f, batch_sizes, img, platforms):
+    kw = {"platforms": tuple(platforms)} if platforms else {}
+    for b in batch_sizes:
+        exp = jexport.export(jax.jit(fwd), **kw)(
+            _struct(host_t), _struct(host_f),
+            jax.ShapeDtypeStruct((b, img, img, 3), jnp.float32))
+        with open(os.path.join(path, f"program_b{b}.jaxexport"), "wb") as f:
+            f.write(exp.serialize())
+
+
+def _cfg_echo(vit_cfg):
+    echo = dataclasses.asdict(vit_cfg)
+    echo["compute_dtype"] = str(echo["compute_dtype"].__name__
+                                if hasattr(echo["compute_dtype"], "__name__")
+                                else echo["compute_dtype"])
+    return echo
+
+
 def export_classifier(path: str, trainable, frozen, vit_cfg,
                       batch_sizes=(1, 8, 64), platforms=None,
                       quantize_frozen=False) -> dict:
@@ -99,18 +135,12 @@ def export_classifier(path: str, trainable, frozen, vit_cfg,
     from .models.classifier import classifier_forward
 
     frozen = _maybe_quantize(frozen, quantize_frozen)
-
-    batch_sizes = sorted(set(int(b) for b in batch_sizes))
-    if not batch_sizes or batch_sizes[0] < 1:
-        raise ValueError(f"batch_sizes must be positive, got {batch_sizes}")
+    batch_sizes = _check_batch_sizes(batch_sizes)
     os.makedirs(path, exist_ok=True)
-
     vit_cfg = _gate_pallas(vit_cfg, platforms)
 
     host_t, host_f = _to_host(trainable), _to_host(frozen)
-    with open(os.path.join(path, _PARAMS_FILE), "wb") as f:
-        f.write(serialization.to_bytes({"trainable": host_t,
-                                        "frozen": host_f}))
+    _write_params(path, host_t, host_f)
 
     def fwd(tr, fz, images):
         logits, emb = classifier_forward(tr, fz, images, vit_cfg,
@@ -120,19 +150,8 @@ def export_classifier(path: str, trainable, frozen, vit_cfg,
 
     n_classes = int(np.shape(host_t["fc"]["bias"])[0])
     img = int(vit_cfg.img_size)
-    kw = {"platforms": tuple(platforms)} if platforms else {}
-    for b in batch_sizes:
-        exp = jexport.export(jax.jit(fwd), **kw)(
-            _struct(host_t), _struct(host_f),
-            jax.ShapeDtypeStruct((b, img, img, 3), jnp.float32))
-        with open(os.path.join(path, f"program_b{b}.jaxexport"), "wb") as f:
-            f.write(exp.serialize())
+    _write_programs(path, fwd, host_t, host_f, batch_sizes, img, platforms)
 
-    cfg_echo = dataclasses.asdict(vit_cfg)
-    cfg_echo["compute_dtype"] = str(cfg_echo["compute_dtype"].__name__
-                                    if hasattr(cfg_echo["compute_dtype"],
-                                               "__name__")
-                                    else cfg_echo["compute_dtype"])
     meta = {
         "format": "apla_tpu.serve/1",
         "img_size": img,
@@ -141,7 +160,7 @@ def export_classifier(path: str, trainable, frozen, vit_cfg,
         "batch_sizes": batch_sizes,
         "platforms": list(platforms) if platforms else [jax.default_backend()],
         "quantized_frozen": bool(quantize_frozen),
-        "vit_config": cfg_echo,
+        "vit_config": _cfg_echo(vit_cfg),
     }
     with open(os.path.join(path, _META_FILE), "w") as f:
         json.dump(meta, f, indent=2)
@@ -159,16 +178,12 @@ def export_segmenter(path: str, trainable, frozen, vit_cfg,
     from .models.seg import segmenter_forward
 
     frozen = _maybe_quantize(frozen, quantize_frozen)
-    batch_sizes = sorted(set(int(b) for b in batch_sizes))
-    if not batch_sizes or batch_sizes[0] < 1:
-        raise ValueError(f"batch_sizes must be positive, got {batch_sizes}")
+    batch_sizes = _check_batch_sizes(batch_sizes)
     os.makedirs(path, exist_ok=True)
     vit_cfg = _gate_pallas(vit_cfg, platforms)
 
     host_t, host_f = _to_host(trainable), _to_host(frozen)
-    with open(os.path.join(path, _PARAMS_FILE), "wb") as f:
-        f.write(serialization.to_bytes({"trainable": host_t,
-                                        "frozen": host_f}))
+    _write_params(path, host_t, host_f)
 
     def fwd(tr, fz, images):
         return segmenter_forward(tr, fz, images, vit_cfg,
@@ -176,19 +191,8 @@ def export_segmenter(path: str, trainable, frozen, vit_cfg,
 
     n_classes = int(np.shape(host_t["head"]["cls"]["bias"])[0])
     img = int(vit_cfg.img_size)
-    kw = {"platforms": tuple(platforms)} if platforms else {}
-    for b in batch_sizes:
-        exp = jexport.export(jax.jit(fwd), **kw)(
-            _struct(host_t), _struct(host_f),
-            jax.ShapeDtypeStruct((b, img, img, 3), jnp.float32))
-        with open(os.path.join(path, f"program_b{b}.jaxexport"), "wb") as f:
-            f.write(exp.serialize())
+    _write_programs(path, fwd, host_t, host_f, batch_sizes, img, platforms)
 
-    cfg_echo = dataclasses.asdict(vit_cfg)
-    cfg_echo["compute_dtype"] = str(cfg_echo["compute_dtype"].__name__
-                                    if hasattr(cfg_echo["compute_dtype"],
-                                               "__name__")
-                                    else cfg_echo["compute_dtype"])
     meta = {
         "format": "apla_tpu.serve/1",
         "task": "segmenter",
@@ -197,7 +201,7 @@ def export_segmenter(path: str, trainable, frozen, vit_cfg,
         "batch_sizes": batch_sizes,
         "platforms": list(platforms) if platforms else [jax.default_backend()],
         "quantized_frozen": bool(quantize_frozen),
-        "vit_config": cfg_echo,
+        "vit_config": _cfg_echo(vit_cfg),
     }
     with open(os.path.join(path, _META_FILE), "w") as f:
         json.dump(meta, f, indent=2)
@@ -215,15 +219,11 @@ def export_detector(path: str, trainable, frozen, swin_cfg, strides,
     from .models.detection import fcos_head_forward
     from .models.swin import swin_features
 
-    batch_sizes = sorted(set(int(b) for b in batch_sizes))
-    if not batch_sizes or batch_sizes[0] < 1:
-        raise ValueError(f"batch_sizes must be positive, got {batch_sizes}")
+    batch_sizes = _check_batch_sizes(batch_sizes)
     os.makedirs(path, exist_ok=True)
 
     host_t, host_f = _to_host(trainable), _to_host(frozen)
-    with open(os.path.join(path, _PARAMS_FILE), "wb") as f:
-        f.write(serialization.to_bytes({"trainable": host_t,
-                                        "frozen": host_f}))
+    _write_params(path, host_t, host_f)
 
     def fwd(tr, fz, images):
         feats = swin_features(fz, images, swin_cfg,
@@ -233,13 +233,7 @@ def export_detector(path: str, trainable, frozen, swin_cfg, strides,
 
     n_classes = int(np.shape(host_t["head"]["cls"]["bias"])[0])
     img = int(swin_cfg.img_size)
-    kw = {"platforms": tuple(platforms)} if platforms else {}
-    for b in batch_sizes:
-        exp = jexport.export(jax.jit(fwd), **kw)(
-            _struct(host_t), _struct(host_f),
-            jax.ShapeDtypeStruct((b, img, img, 3), jnp.float32))
-        with open(os.path.join(path, f"program_b{b}.jaxexport"), "wb") as f:
-            f.write(exp.serialize())
+    _write_programs(path, fwd, host_t, host_f, batch_sizes, img, platforms)
 
     meta = {
         "format": "apla_tpu.serve/1",
@@ -281,14 +275,18 @@ class Predictor:
             return min(covers)
         return max(fits)
 
-    def _run_chunks(self, images: np.ndarray):
+    def _iter_chunks(self, images: np.ndarray):
+        """Validate + chunk a request over the exported batch sizes:
+        yields (batch_size, n_real, padded_chunk) per program call (tail
+        chunks are zero-padded to the chosen static batch; callers trim
+        outputs to n_real).  Shared by all Predictor subclasses so the
+        chunk/pad policy stays in one place."""
         n = images.shape[0]
         img = self.meta["img_size"]
         if images.ndim != 4 or images.shape[1:] != (img, img, 3):
             raise ValueError(
                 f"expected [n, {img}, {img}, 3] images, got {images.shape}")
         images = np.asarray(images, np.float32)
-        out_l, out_e = [], []
         i = 0
         while i < n:
             rem = n - i
@@ -299,12 +297,17 @@ class Predictor:
                 chunk = np.concatenate(
                     [chunk, np.zeros((b - m,) + chunk.shape[1:],
                                      np.float32)])
+            yield b, m, chunk
+            i += m
+
+    def _run_chunks(self, images: np.ndarray):
+        out_l, out_e = [], []
+        for b, m, chunk in self._iter_chunks(images):
             logits, emb = self._programs[b].call(
                 self._params["trainable"], self._params["frozen"],
                 jnp.asarray(chunk))
             out_l.append(np.asarray(logits)[:m])
             out_e.append(np.asarray(emb)[:m])
-            i += m
         return (np.concatenate(out_l) if out_l
                 else np.zeros((0, self.meta["n_classes"]), np.float32),
                 np.concatenate(out_e) if out_e
@@ -324,28 +327,12 @@ class SegPredictor(Predictor):
     [B, H, W, n_classes]."""
 
     def _run_chunks(self, images: np.ndarray):
-        n = images.shape[0]
-        img = self.meta["img_size"]
-        if images.ndim != 4 or images.shape[1:] != (img, img, 3):
-            raise ValueError(
-                f"expected [n, {img}, {img}, 3] images, got {images.shape}")
-        images = np.asarray(images, np.float32)
         out = []
-        i = 0
-        while i < n:
-            rem = n - i
-            b = self._pick_batch(rem)
-            m = min(b, rem)
-            chunk = images[i:i + m]
-            if m < b:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((b - m,) + chunk.shape[1:],
-                                     np.float32)])
+        for b, m, chunk in self._iter_chunks(images):
             logits = self._programs[b].call(
                 self._params["trainable"], self._params["frozen"],
                 jnp.asarray(chunk))
             out.append(np.asarray(logits)[:m])
-            i += m
         img_sz = self.meta["img_size"]
         return (np.concatenate(out) if out
                 else np.zeros((0, img_sz, img_sz, self.meta["n_classes"]),
@@ -370,31 +357,23 @@ class DetPredictor(Predictor):
     threshold + greedy NMS)."""
 
     def _run_chunks(self, images: np.ndarray):
-        n = images.shape[0]
-        img = self.meta["img_size"]
-        if images.ndim != 4 or images.shape[1:] != (img, img, 3):
-            raise ValueError(
-                f"expected [n, {img}, {img}, 3] images, got {images.shape}")
-        images = np.asarray(images, np.float32)
         chunks = []
-        i = 0
-        while i < n:
-            rem = n - i
-            b = self._pick_batch(rem)
-            m = min(b, rem)
-            chunk = images[i:i + m]
-            if m < b:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((b - m,) + chunk.shape[1:],
-                                     np.float32)])
+        for b, m, chunk in self._iter_chunks(images):
             outs = self._programs[b].call(
                 self._params["trainable"], self._params["frozen"],
                 jnp.asarray(chunk))
             chunks.append([tuple(np.asarray(o)[:m] for o in lvl)
                            for lvl in outs])
-            i += m
         if not chunks:
-            return []
+            # empty request: run the smallest program on zeros so the
+            # per-level output shapes are still correct (trimmed to 0)
+            img = self.meta["img_size"]
+            b = self.batch_sizes[0]
+            outs = self._programs[b].call(
+                self._params["trainable"], self._params["frozen"],
+                jnp.zeros((b, img, img, 3), jnp.float32))
+            chunks.append([tuple(np.asarray(o)[:0] for o in lvl)
+                           for lvl in outs])
         # concat chunks per level/output along the batch dim
         return [tuple(np.concatenate([c[lvl][j] for c in chunks])
                       for j in range(3))
@@ -544,16 +523,21 @@ def main(argv=None):
                     help="a .npy [n,H,W,3] float batch (already "
                          "normalized), or image files (decoded, resized, "
                          "normalized with --mean/--std)")
-    pr.add_argument("--top_k", type=int, default=5)
+    pr.add_argument("--top_k", type=int, default=5,
+                    help="classes printed per image (classifier)")
     pr.add_argument("--embed", action="store_true",
                     help="print/save embeddings instead of logits "
                          "(classifier artifacts)")
     pr.add_argument("--score_thresh", type=float, default=0.05,
                     help="detector decode threshold")
+    pr.add_argument("--max_dets", type=int, default=100,
+                    help="detector NMS cap per image")
     pr.add_argument("--mean", default="0.485,0.456,0.406")
     pr.add_argument("--std", default="0.229,0.224,0.225")
     pr.add_argument("--out", default=None,
-                    help="write the raw output array to this .npy")
+                    help="write the output to this file: logits/embeddings "
+                         ".npy (classifier), argmax masks .npy (segmenter), "
+                         "detections .json (detector)")
     args = ap.parse_args(argv)
 
     if args.cmd == "info":
@@ -564,8 +548,12 @@ def main(argv=None):
     if args.cmd == "predict":
         pred = load_predictor(args.artifact)
         img = pred.meta["img_size"]
-        if len(args.inputs) == 1 and args.inputs[0].endswith(".npy"):
-            x = np.load(args.inputs[0]).astype(np.float32)
+        npys = [p for p in args.inputs if p.endswith(".npy")]
+        if npys and len(args.inputs) > 1:
+            ap.error("pass ONE .npy batch, or image files — not a mix "
+                     "of several")
+        if npys:
+            x = np.load(npys[0]).astype(np.float32)
         else:
             from PIL import Image
             mean = np.asarray([float(v) for v in args.mean.split(",")],
@@ -581,12 +569,17 @@ def main(argv=None):
         task = pred.meta.get("task", "classifier")
         if task == "detector":
             dets = pred.detect(x, score_thresh=args.score_thresh,
-                               top_k=args.top_k)
-            for i, (boxes, scores, labels) in enumerate(dets):
-                print(json.dumps({
-                    "image": i, "boxes": np.asarray(boxes).tolist(),
-                    "scores": np.round(np.asarray(scores), 4).tolist(),
-                    "labels": np.asarray(labels).tolist()}))
+                               top_k=args.max_dets)
+            recs = [{"image": i, "boxes": np.asarray(boxes).tolist(),
+                     "scores": np.round(np.asarray(scores), 4).tolist(),
+                     "labels": np.asarray(labels).tolist()}
+                    for i, (boxes, scores, labels) in enumerate(dets)]
+            for rec in recs:
+                print(json.dumps(rec))
+            if args.out:
+                with open(args.out, "w") as f:
+                    json.dump(recs, f)
+                print(f"detections -> {args.out}")
             return
         if task == "segmenter":
             masks = pred.masks(x)
@@ -616,7 +609,7 @@ def main(argv=None):
     if args.cmd == "export_seg":
         from .models.vit import VIT_BUILDERS
         with open(args.ckpt, "rb") as f:
-            tree = serialization.msgpack_restore(f.read())
+            tree = _relist(serialization.msgpack_restore(f.read()))
         cfg = VIT_BUILDERS[args.backbone](img_size=args.img_size,
                                           patch_size=args.patch_size)
         bs = [int(x) for x in str(args.batch_sizes).split(",") if x]

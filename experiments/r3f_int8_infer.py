@@ -98,9 +98,13 @@ def main():
     me = os.path.abspath(__file__)
     for name in VARIANTS:
         print(f"=== {name} ===", flush=True)
-        r = subprocess.run([sys.executable, me, name], timeout=1800)
-        if r.returncode:
-            emit({"study": "error", "kind": name, "rc": r.returncode})
+        try:
+            r = subprocess.run([sys.executable, me, name], timeout=1800)
+            rc = r.returncode
+        except subprocess.TimeoutExpired:
+            rc = "timeout"
+        if rc:
+            emit({"study": "error", "kind": name, "rc": rc})
 
 
 if __name__ == "__main__":
