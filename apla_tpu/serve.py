@@ -517,6 +517,13 @@ def main(argv=None):
     exd.add_argument("--platforms", default=None)
     info = sub.add_parser("info", help="print an artifact's meta")
     info.add_argument("artifact")
+    ev = sub.add_parser("eval",
+                        help="evaluate a classifier artifact on a "
+                             "dataset split (the --test table, served)")
+    ev.add_argument("artifact")
+    ev.add_argument("--params_path", required=True,
+                    help="recipe YAML naming the dataset + transforms")
+    ev.add_argument("--split", default="test", choices=("test", "val"))
     pr = sub.add_parser("predict", help="run an artifact on images")
     pr.add_argument("artifact")
     pr.add_argument("inputs", nargs="+",
@@ -543,6 +550,36 @@ def main(argv=None):
     if args.cmd == "info":
         with open(os.path.join(args.artifact, _META_FILE)) as f:
             print(json.dumps(json.load(f), indent=2))
+        return
+
+    if args.cmd == "eval":
+        pred = load_predictor(args.artifact)
+        if pred.meta.get("task", "classifier") != "classifier":
+            ap.error("eval supports classifier artifacts")
+        from .train.metrics import (ClassificationMetrics,
+                                    MultiLabelClassificationMetrics)
+        from .utils.config import load_merged_params
+        from .wrapper import DefaultWrapper
+        wrapper = DefaultWrapper(load_merged_params(args.params_path))
+        loaders = wrapper.init_dataloaders()
+        loader = (loaders.testloader if args.split == "test"
+                  else loaders.valloader)
+        ds = loader.dataset
+        metric_cls = (ClassificationMetrics if ds.is_multiclass
+                      else MultiLabelClassificationMetrics)
+        metric = metric_cls(pred.meta["n_classes"], mode=args.split)
+        n_seen = 0
+        for batch in loader:
+            labels = np.asarray(batch["label"])
+            logits = pred.predict(np.asarray(batch["image"], np.float32))
+            metric.add_preds(logits, labels)
+            n_seen += labels.shape[0]
+        results = metric.get_values()
+        print(f"EVAL RESULTS ({args.split}, {n_seen} samples, "
+              f"artifact {args.artifact})")
+        width = max(len(k) for k in results)
+        for k, v in results.items():
+            print(f"  {k:<{width}} : {v}")
         return
 
     if args.cmd == "predict":

@@ -236,6 +236,23 @@ def test_cli_predict(artifact, tmp_path, capsys):
     assert "embeddings (1," in capsys.readouterr().out
 
 
+def test_cli_eval(tmp_path, capsys):
+    """`serve eval`: the --test metrics table computed from an artifact
+    over the synthetic dataset's test split."""
+    from apla_tpu.serve import main as serve_main
+
+    out = str(tmp_path / "eval_artifact")
+    serve_main(["export", "--params_path",
+                "params/synthetic/vit_tiny/apla.yml", "--out", out,
+                "--batch_sizes", "4", "--n_classes", "10"])
+    capsys.readouterr()
+    serve_main(["eval", out, "--params_path",
+                "params/synthetic/vit_tiny/apla.yml"])
+    printed = capsys.readouterr().out
+    assert "EVAL RESULTS (test" in printed
+    assert "test_accuracy" in printed and "test_roc_auc" in printed
+
+
 def test_wrong_resolution_rejected(artifact):
     path = artifact[0]
     pred = load_predictor(path)
