@@ -524,6 +524,9 @@ def main(argv=None):
     ev.add_argument("--params_path", required=True,
                     help="recipe YAML naming the dataset + transforms")
     ev.add_argument("--split", default="test", choices=("test", "val"))
+    ev.add_argument("--knn", action="store_true",
+                    help="also kNN-classify via the served embeddings "
+                         "(feature bank = train split, val transforms)")
     pr = sub.add_parser("predict", help="run an artifact on images")
     pr.add_argument("artifact")
     pr.add_argument("inputs", nargs="+",
@@ -561,13 +564,16 @@ def main(argv=None):
         from .utils.config import load_merged_params
         from .wrapper import DefaultWrapper
         wrapper = DefaultWrapper(load_merged_params(args.params_path))
+        if args.knn:   # init_dataloaders builds fbank_loader on this flag
+            wrapper.training_params.knn_eval = True
         loaders = wrapper.init_dataloaders()
         loader = (loaders.testloader if args.split == "test"
                   else loaders.valloader)
         ds = loader.dataset
+        n_classes = pred.meta["n_classes"]
         metric_cls = (ClassificationMetrics if ds.is_multiclass
                       else MultiLabelClassificationMetrics)
-        metric = metric_cls(pred.meta["n_classes"], mode=args.split)
+        metric = metric_cls(n_classes, mode=args.split)
         n_seen = 0
         for batch in loader:
             labels = np.asarray(batch["label"])
@@ -575,6 +581,40 @@ def main(argv=None):
             metric.add_preds(logits, labels)
             n_seen += labels.shape[0]
         results = metric.get_values()
+
+        if args.knn:
+            from .train.knn import knn_predict, knn_predict_multilabel
+
+            def embed_norm(images):
+                e = pred.embed(np.asarray(images, np.float32))
+                return e / (np.linalg.norm(e, axis=-1, keepdims=True)
+                            + 1e-12)
+
+            feats_l, labels_l = [], []
+            for fb in loaders.fbank_loader:
+                feats_l.append(embed_norm(fb["image"]))
+                labels_l.append(np.asarray(fb["label"]))
+            feats = np.concatenate(feats_l)
+            bank_labels = np.concatenate(labels_l)
+            knn_k = min(int(getattr(ds, "knn_nhood", 20)), len(bank_labels))
+            kmetric = metric_cls(n_classes, mode=f"knn_{args.split}")
+            for batch in loader:
+                emb = embed_norm(batch["image"])
+                if ds.is_multiclass:
+                    scores = knn_predict(
+                        jnp.asarray(emb), jnp.asarray(feats),
+                        jnp.asarray(bank_labels.astype(np.int32)),
+                        knn_k=knn_k, knn_t=0.07, classes=n_classes)
+                    kmetric.raw = False  # already probabilities
+                    kmetric.add_preds(np.asarray(scores), batch["label"])
+                else:
+                    scores = knn_predict_multilabel(
+                        jnp.asarray(emb), jnp.asarray(feats),
+                        jnp.asarray(bank_labels.astype(np.float32)),
+                        knn_k=knn_k, knn_t=0.07)
+                    kmetric.add_preds(np.asarray(scores), batch["label"],
+                                      using_knn=True)
+            results.update(kmetric.get_values())
         print(f"EVAL RESULTS ({args.split}, {n_seen} samples, "
               f"artifact {args.artifact})")
         width = max(len(k) for k in results)

@@ -247,10 +247,17 @@ def test_cli_eval(tmp_path, capsys):
                 "--batch_sizes", "4", "--n_classes", "10"])
     capsys.readouterr()
     serve_main(["eval", out, "--params_path",
-                "params/synthetic/vit_tiny/apla.yml"])
+                "params/synthetic/vit_tiny/apla.yml", "--knn"])
     printed = capsys.readouterr().out
     assert "EVAL RESULTS (test" in printed
     assert "test_accuracy" in printed and "test_roc_auc" in printed
+    # the kNN branch: feature bank from the train split, served embeddings
+    assert "knn_test_accuracy" in printed
+    # synthetic classes are linearly separable in pixel space — kNN on
+    # (even random-init) backbone features beats chance decisively
+    knn_acc = float(printed.split("knn_test_accuracy")[1]
+                    .split(":")[1].split()[0])
+    assert knn_acc > 0.3
 
 
 def test_wrong_resolution_rejected(artifact):
