@@ -230,7 +230,37 @@ def bench_host_pipeline():
     return BATCH * STEPS / dt
 
 
+def _probe_backend(timeout_s: int) -> str | None:
+    """Fail fast when the axon tunnel is wedged: backend init then hangs
+    indefinitely in grpc (not interruptible in-process), so probe
+    jax.devices() in a SUBPROCESS with a hard timeout before this process
+    touches the backend.  Returns an error string, or None if healthy."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return (f"TPU backend init exceeded {timeout_s}s "
+                "(axon tunnel wedged/unavailable)")
+    if r.returncode:
+        return "TPU backend init failed: " + r.stderr.strip()[-400:]
+    return None
+
+
 def main():
+    err = _probe_backend(int(os.environ.get("BENCH_INIT_TIMEOUT", 300)))
+    if err:
+        print(json.dumps({
+            "metric": "vit_b_apla128_finetune_throughput",
+            "value": 0.0, "unit": "images/sec/chip", "vs_baseline": 0.0,
+            "error": err,
+            "note": "infra failure, not a perf regression — see "
+                    "BENCH_r02/BASELINE.md for the last good numbers",
+        }))
+        raise SystemExit(1)
+
     from apla_tpu.models.vit import VIT_BUILDERS
     from apla_tpu.utils.flops import mfu, vit_train_step_flops
     from apla_tpu.utils.profiling import device_memory_stats
