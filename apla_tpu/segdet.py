@@ -45,15 +45,43 @@ def _mesh_setup(n_devices, param_sharding, batch_size):
                                                            policy=policy))
 
 
-def _save(save_dir, name, trainable, frozen, meta):
+def _save(save_dir, name, trainable, frozen, meta, opt_state=None):
     from flax import serialization
     os.makedirs(save_dir, exist_ok=True)
-    host = jax.tree.map(np.asarray, {"trainable": trainable,
-                                     "frozen": frozen})
+    host = {"trainable": trainable, "frozen": frozen}
+    if opt_state is not None:
+        host["opt_state"] = serialization.to_state_dict(opt_state)
+    host = jax.tree.map(np.asarray, host)
     with open(os.path.join(save_dir, name + ".msgpack"), "wb") as f:
         f.write(serialization.msgpack_serialize(host))
     with open(os.path.join(save_dir, name + ".json"), "w") as f:
         json.dump(meta, f)
+
+
+def _try_resume(save_dir, name, trainable, frozen, opt_state):
+    """Restore (trainable, frozen, opt_state, next_epoch) from a `_save`d
+    'last' checkpoint if one exists (templates keep pytree structure:
+    optax states round-trip via flax to/from_state_dict)."""
+    from flax import serialization
+    path = os.path.join(save_dir, name + ".msgpack")
+    meta_path = os.path.join(save_dir, name + ".json")
+    if not (os.path.exists(path) and os.path.exists(meta_path)):
+        return trainable, frozen, opt_state, 0
+    with open(path, "rb") as f:
+        host = serialization.msgpack_restore(f.read())
+    # msgpack_serialize round-trips dict/list structure exactly, so the
+    # param trees come back usable as-is; the optimizer state was saved
+    # via to_state_dict (optax NamedTuples), so restore it with the
+    # template
+    trainable = host["trainable"]
+    frozen = host["frozen"]
+    if "opt_state" in host:
+        opt_state = serialization.from_state_dict(opt_state,
+                                                  host["opt_state"])
+    with open(meta_path) as f:
+        start_epoch = int(json.load(f).get("epoch", -1)) + 1
+    print(f"Resumed {name} at epoch {start_epoch}")
+    return trainable, frozen, opt_state, start_epoch
 
 
 def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
@@ -62,7 +90,7 @@ def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
                        save_dir="checkpoints/seg", num_workers=8,
                        log_every=10, eval_batches=None, seed=0,
                        vit_cfg=None, n_devices=1,
-                       param_sharding="replicated"):
+                       param_sharding="replicated", resume=False):
     """APLA-SETR-PUP on an ADE20K-layout directory (reference recipe:
     apla_setr_vit-l_pup_8xb2-160k_ade20k-512x512.py — ViT-L backbone,
     'full' APLA = only attn out-projections train)."""
@@ -86,6 +114,10 @@ def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
                                          batch_size)
     tx = optax.adamw(lr, weight_decay=weight_decay)
     opt_state = tx.init(trainable)
+    start_epoch = 0
+    if resume:
+        trainable, frozen, opt_state, start_epoch = _try_resume(
+            save_dir, "seg_last", trainable, frozen, opt_state)
     trainable = place(trainable)
     opt_state = place(opt_state)
     frozen = place(frozen, param_sharding)
@@ -114,7 +146,7 @@ def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
 
     it, t0 = 0, time.time()
     best_miou = -1.0
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         loader.set_epoch(epoch)
         for b in loader:
             batch = put_batch({"image": b["image"], "label": b["label"]})
@@ -130,6 +162,8 @@ def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
             best_miou = miou
             _save(save_dir, "seg_best", trainable, frozen,
                   {"epoch": epoch, "miou": miou})
+        _save(save_dir, "seg_last", trainable, frozen,
+              {"epoch": epoch, "miou": miou}, opt_state=opt_state)
     return {"best_miou": best_miou, "iters": it}
 
 
@@ -140,7 +174,8 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
                     save_dir="checkpoints/det", num_workers=8,
                     log_every=10, eval_batches=None, seed=0,
                     swin_ckpt=None, val_img_dir=None, val_ann=None,
-                    n_devices=1, param_sharding="replicated"):
+                    n_devices=1, param_sharding="replicated",
+                    resume=False):
     """APLA-Swin + FCOS on a COCO-format dataset (reference recipe:
     mask-rcnn_apla_swin-t ... coco.py — Swin backbone with only attn.proj
     trainable)."""
@@ -200,6 +235,10 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
                                          batch_size)
     tx = optax.adamw(lr, weight_decay=weight_decay)
     opt_state = tx.init(trainable)
+    start_epoch = 0
+    if resume:
+        trainable, bb_f, opt_state, start_epoch = _try_resume(
+            save_dir, "det_last", trainable, bb_f, opt_state)
     trainable = place(trainable)
     opt_state = place(opt_state)
     bb_f = place(bb_f, param_sharding)
@@ -241,7 +280,7 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
 
     it, t0 = 0, time.time()
     best_map = -1.0
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         loader.set_epoch(epoch)
         for b in loader:
             batch = put_batch({"image": b["image"], "boxes": b["boxes"],
@@ -258,6 +297,8 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
             best_map = ap
             _save(save_dir, "det_best", trainable, bb_f,
                   {"epoch": epoch, "map50": ap})
+        _save(save_dir, "det_last", trainable, bb_f,
+              {"epoch": epoch, "map50": ap}, opt_state=opt_state)
     return {"best_map50": best_map, "iters": it, "eval_set": eval_name}
 
 
@@ -278,6 +319,8 @@ def main(argv=None):
     ps.add_argument("--param_sharding", default="replicated",
                     choices=("replicated", "fsdp"),
                     help="frozen-backbone placement on the mesh")
+    ps.add_argument("--resume", action="store_true",
+                    help="continue from <save_dir>/seg_last if present")
     pd = sub.add_parser("det")
     pd.add_argument("--img_dir", required=True)
     pd.add_argument("--ann", required=True)
@@ -294,20 +337,24 @@ def main(argv=None):
     pd.add_argument("--param_sharding", default="replicated",
                     choices=("replicated", "fsdp"),
                     help="frozen-backbone placement on the mesh")
+    pd.add_argument("--resume", action="store_true",
+                    help="continue from <save_dir>/det_last if present")
     args = p.parse_args(argv)
     if args.task == "seg":
         out = train_segmentation(
             args.root, epochs=args.epochs, img_size=args.img_size,
             batch_size=args.batch_size, lr=args.lr, backbone=args.backbone,
             patch_size=args.patch_size, save_dir=args.save_dir,
-            n_devices=args.n_devices, param_sharding=args.param_sharding)
+            n_devices=args.n_devices, param_sharding=args.param_sharding,
+            resume=args.resume)
     else:
         out = train_detection(
             args.img_dir, args.ann, epochs=args.epochs,
             img_size=args.img_size, batch_size=args.batch_size, lr=args.lr,
             save_dir=args.save_dir, swin_ckpt=args.swin_ckpt,
             val_img_dir=args.val_img_dir, val_ann=args.val_ann,
-            n_devices=args.n_devices, param_sharding=args.param_sharding)
+            n_devices=args.n_devices, param_sharding=args.param_sharding,
+            resume=args.resume)
     print(json.dumps(out))
 
 

@@ -4,6 +4,7 @@ fixtures through the full train/eval/checkpoint path."""
 import json
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from PIL import Image
@@ -135,6 +136,34 @@ def test_detection_loop_on_mesh(tmp_path):
         n_devices=2, param_sharding="fsdp")
     assert out["iters"] == 2
     assert 0.0 <= out["best_map50"] <= 1.0
+
+
+def test_segmentation_resume_matches_uninterrupted(tmp_path):
+    """1 epoch + --resume for a 2nd == 2 uninterrupted epochs: seg_last
+    carries trainable+opt_state+epoch, loader order is epoch-seeded."""
+    from flax import serialization
+
+    from apla_tpu.segdet import train_segmentation
+    root = make_ade(tmp_path)
+    cfg = ViTConfig(img_size=32, patch_size=8, embed_dim=64, depth=2,
+                    num_heads=4, compute_dtype=jnp.float32)
+    kw = dict(img_size=32, batch_size=2, lr=1e-3, num_workers=2,
+              log_every=10, vit_cfg=cfg)
+
+    train_segmentation(root, epochs=2, save_dir=str(tmp_path / "full"), **kw)
+    train_segmentation(root, epochs=1, save_dir=str(tmp_path / "part"), **kw)
+    out = train_segmentation(root, epochs=2, save_dir=str(tmp_path / "part"),
+                             resume=True, **kw)
+    assert out["iters"] == 2  # only the second epoch ran
+
+    def last(d):
+        with open(tmp_path / d / "seg_last.msgpack", "rb") as f:
+            return serialization.msgpack_restore(f.read())
+
+    a, b = last("full"), last("part")
+    for x, y in zip(jax.tree.leaves(a["trainable"]),
+                    jax.tree.leaves(b["trainable"])):
+        np.testing.assert_allclose(x, y, rtol=1e-6, atol=1e-7)
 
 
 def test_detection_loop(tmp_path):
