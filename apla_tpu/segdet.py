@@ -90,7 +90,8 @@ def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
                        save_dir="checkpoints/seg", num_workers=8,
                        log_every=10, eval_batches=None, seed=0,
                        vit_cfg=None, n_devices=1,
-                       param_sharding="replicated", resume=False):
+                       param_sharding="replicated", resume=False,
+                       eval_only=False):
     """APLA-SETR-PUP on an ADE20K-layout directory (reference recipe:
     apla_setr_vit-l_pup_8xb2-160k_ade20k-512x512.py — ViT-L backbone,
     'full' APLA = only attn out-projections train)."""
@@ -115,7 +116,17 @@ def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
     tx = optax.adamw(lr, weight_decay=weight_decay)
     opt_state = tx.init(trainable)
     start_epoch = 0
-    if resume:
+    if eval_only:
+        # the --test analogue: restore the best (fallback: last)
+        # checkpoint and report val mIoU without training
+        name = "seg_best" if os.path.exists(
+            os.path.join(save_dir, "seg_best.msgpack")) else "seg_last"
+        if not os.path.exists(os.path.join(save_dir, name + ".msgpack")):
+            raise FileNotFoundError(
+                f"--eval_only: no checkpoint under {save_dir}")
+        trainable, frozen, _, _ = _try_resume(save_dir, name, trainable,
+                                              frozen, opt_state)
+    elif resume:
         trainable, frozen, opt_state, start_epoch = _try_resume(
             save_dir, "seg_last", trainable, frozen, opt_state)
     trainable = place(trainable)
@@ -143,6 +154,11 @@ def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
             ious.append(mean_iou(pred, b["label"][:n],
                                  n_classes=train_ds.n_classes))
         return float(np.mean(ious)) if ious else 0.0
+
+    if eval_only:
+        miou = evaluate()
+        print(f"[seg] eval-only: val mIoU {miou:.4f}")
+        return {"best_miou": miou, "iters": 0}
 
     it, t0 = 0, time.time()
     best_miou = -1.0
@@ -175,7 +191,7 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
                     log_every=10, eval_batches=None, seed=0,
                     swin_ckpt=None, val_img_dir=None, val_ann=None,
                     n_devices=1, param_sharding="replicated",
-                    resume=False):
+                    resume=False, eval_only=False):
     """APLA-Swin + FCOS on a COCO-format dataset (reference recipe:
     mask-rcnn_apla_swin-t ... coco.py — Swin backbone with only attn.proj
     trainable)."""
@@ -236,7 +252,15 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
     tx = optax.adamw(lr, weight_decay=weight_decay)
     opt_state = tx.init(trainable)
     start_epoch = 0
-    if resume:
+    if eval_only:
+        name = "det_best" if os.path.exists(
+            os.path.join(save_dir, "det_best.msgpack")) else "det_last"
+        if not os.path.exists(os.path.join(save_dir, name + ".msgpack")):
+            raise FileNotFoundError(
+                f"--eval_only: no checkpoint under {save_dir}")
+        trainable, bb_f, _, _ = _try_resume(save_dir, name, trainable,
+                                            bb_f, opt_state)
+    elif resume:
         trainable, bb_f, opt_state, start_epoch = _try_resume(
             save_dir, "det_last", trainable, bb_f, opt_state)
     trainable = place(trainable)
@@ -277,6 +301,11 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
                 metric.add_image(i * batch_size + j, boxes, scores, labels,
                                  b["boxes"][j][keep], b["labels"][j][keep])
         return metric.mean_ap()
+
+    if eval_only:
+        ap = evaluate()
+        print(f"[det] eval-only: {eval_name} mAP@50 {ap:.4f}")
+        return {"best_map50": ap, "iters": 0, "eval_set": eval_name}
 
     it, t0 = 0, time.time()
     best_map = -1.0
@@ -321,6 +350,8 @@ def main(argv=None):
                     help="frozen-backbone placement on the mesh")
     ps.add_argument("--resume", action="store_true",
                     help="continue from <save_dir>/seg_last if present")
+    ps.add_argument("--eval_only", action="store_true",
+                    help="restore the best checkpoint and report val mIoU")
     pd = sub.add_parser("det")
     pd.add_argument("--img_dir", required=True)
     pd.add_argument("--ann", required=True)
@@ -339,6 +370,8 @@ def main(argv=None):
                     help="frozen-backbone placement on the mesh")
     pd.add_argument("--resume", action="store_true",
                     help="continue from <save_dir>/det_last if present")
+    pd.add_argument("--eval_only", action="store_true",
+                    help="restore the best checkpoint and report mAP@50")
     args = p.parse_args(argv)
     if args.task == "seg":
         out = train_segmentation(
@@ -346,7 +379,7 @@ def main(argv=None):
             batch_size=args.batch_size, lr=args.lr, backbone=args.backbone,
             patch_size=args.patch_size, save_dir=args.save_dir,
             n_devices=args.n_devices, param_sharding=args.param_sharding,
-            resume=args.resume)
+            resume=args.resume, eval_only=args.eval_only)
     else:
         out = train_detection(
             args.img_dir, args.ann, epochs=args.epochs,
@@ -354,7 +387,7 @@ def main(argv=None):
             save_dir=args.save_dir, swin_ckpt=args.swin_ckpt,
             val_img_dir=args.val_img_dir, val_ann=args.val_ann,
             n_devices=args.n_devices, param_sharding=args.param_sharding,
-            resume=args.resume)
+            resume=args.resume, eval_only=args.eval_only)
     print(json.dumps(out))
 
 

@@ -166,6 +166,27 @@ def test_segmentation_resume_matches_uninterrupted(tmp_path):
         np.testing.assert_allclose(x, y, rtol=1e-6, atol=1e-7)
 
 
+def test_segmentation_eval_only(tmp_path):
+    """--eval_only restores the best checkpoint and reports mIoU without
+    training; errors clearly when no checkpoint exists."""
+    import pytest
+
+    from apla_tpu.segdet import train_segmentation
+    root = make_ade(tmp_path)
+    cfg = ViTConfig(img_size=32, patch_size=8, embed_dim=64, depth=2,
+                    num_heads=4, compute_dtype=jnp.float32)
+    kw = dict(img_size=32, batch_size=2, lr=1e-3, num_workers=2,
+              log_every=10, vit_cfg=cfg)
+    train_segmentation(root, epochs=1, save_dir=str(tmp_path / "ck"), **kw)
+    out = train_segmentation(root, epochs=1, save_dir=str(tmp_path / "ck"),
+                             eval_only=True, **kw)
+    assert out["iters"] == 0 and 0.0 <= out["best_miou"] <= 1.0
+    with pytest.raises(FileNotFoundError, match="eval_only"):
+        train_segmentation(root, epochs=1,
+                           save_dir=str(tmp_path / "nope"),
+                           eval_only=True, **kw)
+
+
 def test_detection_loop(tmp_path):
     from apla_tpu.segdet import train_detection
     img_dir, ann = make_coco(tmp_path)
