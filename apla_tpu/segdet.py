@@ -46,42 +46,71 @@ def _mesh_setup(n_devices, param_sharding, batch_size):
 
 
 def _save(save_dir, name, trainable, frozen, meta, opt_state=None):
+    """Atomic checkpoint write (tmp + os.replace: a preemption mid-write —
+    the very event --resume exists for — must not corrupt the file).
+    `frozen=None` omits the backbone (the per-epoch 'last' checkpoints
+    store it once in <task>_frozen.msgpack; best checkpoints stay
+    self-contained for the export_seg/export_det CLIs)."""
     from flax import serialization
     os.makedirs(save_dir, exist_ok=True)
-    host = {"trainable": trainable, "frozen": frozen}
+    host = {"trainable": trainable}
+    if frozen is not None:
+        host["frozen"] = frozen
     if opt_state is not None:
         host["opt_state"] = serialization.to_state_dict(opt_state)
     host = jax.tree.map(np.asarray, host)
-    with open(os.path.join(save_dir, name + ".msgpack"), "wb") as f:
+    path = os.path.join(save_dir, name + ".msgpack")
+    with open(path + ".tmp", "wb") as f:
         f.write(serialization.msgpack_serialize(host))
-    with open(os.path.join(save_dir, name + ".json"), "w") as f:
+    os.replace(path + ".tmp", path)
+    meta_path = os.path.join(save_dir, name + ".json")
+    with open(meta_path + ".tmp", "w") as f:
         json.dump(meta, f)
+    os.replace(meta_path + ".tmp", meta_path)
+
+
+def _has_ckpt(save_dir, name):
+    return (os.path.exists(os.path.join(save_dir, name + ".msgpack"))
+            and os.path.exists(os.path.join(save_dir, name + ".json")))
 
 
 def _try_resume(save_dir, name, trainable, frozen, opt_state):
     """Restore (trainable, frozen, opt_state, next_epoch) from a `_save`d
-    'last' checkpoint if one exists (templates keep pytree structure:
-    optax states round-trip via flax to/from_state_dict)."""
+    checkpoint if one exists (msgpack round-trips the dict/list param
+    trees structurally; optax states go through flax from_state_dict with
+    the template).  Checkpoints without a frozen tree (per-epoch 'last')
+    pull it from the once-written <task>_frozen.msgpack."""
     from flax import serialization
-    path = os.path.join(save_dir, name + ".msgpack")
-    meta_path = os.path.join(save_dir, name + ".json")
-    if not (os.path.exists(path) and os.path.exists(meta_path)):
+    if not _has_ckpt(save_dir, name):
         return trainable, frozen, opt_state, 0
-    with open(path, "rb") as f:
+    with open(os.path.join(save_dir, name + ".msgpack"), "rb") as f:
         host = serialization.msgpack_restore(f.read())
-    # msgpack_serialize round-trips dict/list structure exactly, so the
-    # param trees come back usable as-is; the optimizer state was saved
-    # via to_state_dict (optax NamedTuples), so restore it with the
-    # template
     trainable = host["trainable"]
-    frozen = host["frozen"]
+    if "frozen" in host:
+        frozen = host["frozen"]
+    else:
+        fr_path = os.path.join(
+            save_dir, name.split("_")[0] + "_frozen.msgpack")
+        with open(fr_path, "rb") as f:
+            frozen = serialization.msgpack_restore(f.read())["frozen"]
     if "opt_state" in host:
         opt_state = serialization.from_state_dict(opt_state,
                                                   host["opt_state"])
-    with open(meta_path) as f:
+    with open(os.path.join(save_dir, name + ".json")) as f:
         start_epoch = int(json.load(f).get("epoch", -1)) + 1
     print(f"Resumed {name} at epoch {start_epoch}")
     return trainable, frozen, opt_state, start_epoch
+
+
+def _best_metric(save_dir, name, key):
+    """Best-so-far metric from a best checkpoint's meta (resume must not
+    reset it to -inf, or the first post-resume eval clobbers a better
+    best model)."""
+    meta_path = os.path.join(save_dir, name + ".json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return float(json.load(f).get(key, -1.0))
+    return -1.0
 
 
 def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
@@ -119,9 +148,8 @@ def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
     if eval_only:
         # the --test analogue: restore the best (fallback: last)
         # checkpoint and report val mIoU without training
-        name = "seg_best" if os.path.exists(
-            os.path.join(save_dir, "seg_best.msgpack")) else "seg_last"
-        if not os.path.exists(os.path.join(save_dir, name + ".msgpack")):
+        name = "seg_best" if _has_ckpt(save_dir, "seg_best") else "seg_last"
+        if not _has_ckpt(save_dir, name):
             raise FileNotFoundError(
                 f"--eval_only: no checkpoint under {save_dir}")
         trainable, frozen, _, _ = _try_resume(save_dir, name, trainable,
@@ -160,8 +188,12 @@ def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
         print(f"[seg] eval-only: val mIoU {miou:.4f}")
         return {"best_miou": miou, "iters": 0}
 
+    if not _has_ckpt(save_dir, "seg_frozen"):  # store the backbone ONCE
+        _save(save_dir, "seg_frozen", {}, frozen, {})
     it, t0 = 0, time.time()
-    best_miou = -1.0
+    # under --resume, continue the best-model race from the saved best (a
+    # fresh run into the same dir starts the race over, as before)
+    best_miou = _best_metric(save_dir, "seg_best", "miou") if resume else -1.0
     for epoch in range(start_epoch, epochs):
         loader.set_epoch(epoch)
         for b in loader:
@@ -178,7 +210,7 @@ def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
             best_miou = miou
             _save(save_dir, "seg_best", trainable, frozen,
                   {"epoch": epoch, "miou": miou})
-        _save(save_dir, "seg_last", trainable, frozen,
+        _save(save_dir, "seg_last", trainable, None,
               {"epoch": epoch, "miou": miou}, opt_state=opt_state)
     return {"best_miou": best_miou, "iters": it}
 
@@ -253,9 +285,8 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
     opt_state = tx.init(trainable)
     start_epoch = 0
     if eval_only:
-        name = "det_best" if os.path.exists(
-            os.path.join(save_dir, "det_best.msgpack")) else "det_last"
-        if not os.path.exists(os.path.join(save_dir, name + ".msgpack")):
+        name = "det_best" if _has_ckpt(save_dir, "det_best") else "det_last"
+        if not _has_ckpt(save_dir, name):
             raise FileNotFoundError(
                 f"--eval_only: no checkpoint under {save_dir}")
         trainable, bb_f, _, _ = _try_resume(save_dir, name, trainable,
@@ -307,8 +338,10 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
         print(f"[det] eval-only: {eval_name} mAP@50 {ap:.4f}")
         return {"best_map50": ap, "iters": 0, "eval_set": eval_name}
 
+    if not _has_ckpt(save_dir, "det_frozen"):  # store the backbone ONCE
+        _save(save_dir, "det_frozen", {}, bb_f, {})
     it, t0 = 0, time.time()
-    best_map = -1.0
+    best_map = _best_metric(save_dir, "det_best", "map50") if resume else -1.0
     for epoch in range(start_epoch, epochs):
         loader.set_epoch(epoch)
         for b in loader:
@@ -326,7 +359,7 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
             best_map = ap
             _save(save_dir, "det_best", trainable, bb_f,
                   {"epoch": epoch, "map50": ap})
-        _save(save_dir, "det_last", trainable, bb_f,
+        _save(save_dir, "det_last", trainable, None,
               {"epoch": epoch, "map50": ap}, opt_state=opt_state)
     return {"best_map50": best_map, "iters": it, "eval_set": eval_name}
 

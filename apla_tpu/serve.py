@@ -321,6 +321,11 @@ class Predictor:
         """[n, H, W, 3] -> [n, embed_dim] backbone features (kNN serving)."""
         return self._run_chunks(images)[1]
 
+    def predict_and_embed(self, images: np.ndarray):
+        """Both outputs from ONE pass over the programs (each call already
+        computes logits AND embeddings — use this when you need both)."""
+        return self._run_chunks(images)
+
 
 class SegPredictor(Predictor):
     """Executes a segmentation artifact: programs return per-pixel logits
@@ -574,46 +579,50 @@ def main(argv=None):
         metric_cls = (ClassificationMetrics if ds.is_multiclass
                       else MultiLabelClassificationMetrics)
         metric = metric_cls(n_classes, mode=args.split)
+
+        def embed_norm(e):
+            return e / (np.linalg.norm(e, axis=-1, keepdims=True) + 1e-12)
+
+        kmetric = feats = bank_labels = None
+        if args.knn:
+            from .train.knn import (build_feature_bank, knn_predict,
+                                    knn_predict_multilabel)
+            # the trainer's bank recipe (train split, val transforms)
+            # driven by the served embedding path
+            feats, bank_labels = build_feature_bank(
+                lambda _t, _f, im: embed_norm(
+                    pred.embed(np.asarray(im, np.float32))),
+                None, None, loaders.fbank_loader)
+            knn_k = min(int(getattr(ds, "knn_nhood", 20)), len(bank_labels))
+            kmetric = metric_cls(n_classes, mode=f"knn_{args.split}")
+
         n_seen = 0
         for batch in loader:
             labels = np.asarray(batch["label"])
-            logits = pred.predict(np.asarray(batch["image"], np.float32))
+            # one pass: each program call computes logits AND embeddings
+            logits, emb = pred.predict_and_embed(
+                np.asarray(batch["image"], np.float32))
             metric.add_preds(logits, labels)
             n_seen += labels.shape[0]
+            if kmetric is None:
+                continue
+            emb = embed_norm(emb)
+            if ds.is_multiclass:
+                scores = knn_predict(
+                    jnp.asarray(emb), jnp.asarray(feats),
+                    jnp.asarray(np.asarray(bank_labels).astype(np.int32)),
+                    knn_k=knn_k, knn_t=0.07, classes=n_classes)
+                kmetric.raw = False  # already probabilities
+                kmetric.add_preds(np.asarray(scores), labels)
+            else:
+                scores = knn_predict_multilabel(
+                    jnp.asarray(emb), jnp.asarray(feats),
+                    jnp.asarray(np.asarray(bank_labels).astype(np.float32)),
+                    knn_k=knn_k, knn_t=0.07)
+                kmetric.add_preds(np.asarray(scores), labels,
+                                  using_knn=True)
         results = metric.get_values()
-
-        if args.knn:
-            from .train.knn import knn_predict, knn_predict_multilabel
-
-            def embed_norm(images):
-                e = pred.embed(np.asarray(images, np.float32))
-                return e / (np.linalg.norm(e, axis=-1, keepdims=True)
-                            + 1e-12)
-
-            feats_l, labels_l = [], []
-            for fb in loaders.fbank_loader:
-                feats_l.append(embed_norm(fb["image"]))
-                labels_l.append(np.asarray(fb["label"]))
-            feats = np.concatenate(feats_l)
-            bank_labels = np.concatenate(labels_l)
-            knn_k = min(int(getattr(ds, "knn_nhood", 20)), len(bank_labels))
-            kmetric = metric_cls(n_classes, mode=f"knn_{args.split}")
-            for batch in loader:
-                emb = embed_norm(batch["image"])
-                if ds.is_multiclass:
-                    scores = knn_predict(
-                        jnp.asarray(emb), jnp.asarray(feats),
-                        jnp.asarray(bank_labels.astype(np.int32)),
-                        knn_k=knn_k, knn_t=0.07, classes=n_classes)
-                    kmetric.raw = False  # already probabilities
-                    kmetric.add_preds(np.asarray(scores), batch["label"])
-                else:
-                    scores = knn_predict_multilabel(
-                        jnp.asarray(emb), jnp.asarray(feats),
-                        jnp.asarray(bank_labels.astype(np.float32)),
-                        knn_k=knn_k, knn_t=0.07)
-                    kmetric.add_preds(np.asarray(scores), batch["label"],
-                                      using_knn=True)
+        if kmetric is not None:
             results.update(kmetric.get_values())
         print(f"EVAL RESULTS ({args.split}, {n_seen} samples, "
               f"artifact {args.artifact})")
