@@ -526,12 +526,16 @@ def main(argv=None):
                         help="evaluate a classifier artifact on a "
                              "dataset split (the --test table, served)")
     ev.add_argument("artifact")
-    ev.add_argument("--params_path", required=True,
-                    help="recipe YAML naming the dataset + transforms")
+    ev.add_argument("--params_path",
+                    help="recipe YAML naming the dataset + transforms "
+                         "(classifier artifacts)")
     ev.add_argument("--split", default="test", choices=("test", "val"))
     ev.add_argument("--knn", action="store_true",
                     help="also kNN-classify via the served embeddings "
                          "(feature bank = train split, val transforms)")
+    ev.add_argument("--seg_root", default=None,
+                    help="segmenter artifacts: ADE20K-layout root to "
+                         "compute val mIoU over (instead of --params_path)")
     pr = sub.add_parser("predict", help="run an artifact on images")
     pr.add_argument("artifact")
     pr.add_argument("inputs", nargs="+",
@@ -560,10 +564,39 @@ def main(argv=None):
             print(json.dumps(json.load(f), indent=2))
         return
 
+    if args.cmd == "eval" and args.seg_root:
+        pred = load_predictor(args.artifact)
+        if pred.meta.get("task") != "segmenter":
+            ap.error("--seg_root requires a segmenter artifact")
+        from .data.loader import DataLoader
+        from .data.segmentation_data import (ADE20KSegmentation,
+                                             segmentation_collate)
+        from .models.seg import mean_iou
+        img = pred.meta["img_size"]
+        val = ADE20KSegmentation(args.seg_root, "validation", img_size=img)
+        vloader = DataLoader(val, batch_size=max(pred.batch_sizes),
+                             shuffle=False, drop_last=False, num_workers=2,
+                             collate_fn=segmentation_collate)
+        ious, n_seen = [], 0
+        for b in vloader:
+            masks = pred.masks(np.asarray(b["image"], np.float32))
+            ious.append(mean_iou(masks, b["label"],
+                                 n_classes=val.n_classes))
+            n_seen += masks.shape[0]
+        miou = float(np.mean(ious)) if ious else 0.0
+        print(f"EVAL RESULTS (val, {n_seen} samples, "
+              f"artifact {args.artifact})")
+        print(f"  val_miou : {round(miou, 4)}")
+        return
+
     if args.cmd == "eval":
+        if not args.params_path:
+            ap.error("eval needs --params_path (or --seg_root for "
+                     "segmenter artifacts)")
         pred = load_predictor(args.artifact)
         if pred.meta.get("task", "classifier") != "classifier":
-            ap.error("eval supports classifier artifacts")
+            ap.error("eval supports classifier artifacts"
+                     " (segmenter: pass --seg_root)")
         from .train.metrics import (ClassificationMetrics,
                                     MultiLabelClassificationMetrics)
         from .utils.config import load_merged_params

@@ -7,6 +7,7 @@ sizes without recompiling, and be loadable WITHOUT the model code path
 feature-bank eval paths (`src/defaults/trainer.py:247-345,347-455`).
 """
 
+import os
 import subprocess
 import sys
 
@@ -258,6 +259,38 @@ def test_cli_eval(tmp_path, capsys):
     knn_acc = float(printed.split("knn_test_accuracy")[1]
                     .split(":")[1].split()[0])
     assert knn_acc > 0.3
+
+
+def test_cli_eval_segmenter(tmp_path, capsys):
+    """`serve eval --seg_root`: val mIoU from a segmenter artifact over an
+    ADE-layout directory."""
+    from apla_tpu.models.seg import init_segmenter
+    from apla_tpu.serve import export_segmenter, main as serve_main
+
+    # tiny ADE fixture (same layout as test_segdet_loop.make_ade)
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    for split in ("training", "validation"):
+        os.makedirs(tmp_path / "images" / split)
+        os.makedirs(tmp_path / "annotations" / split)
+        for i in range(3):
+            Image.fromarray(rng.integers(0, 256, (40, 50, 3),
+                                         dtype=np.uint8)).save(
+                tmp_path / "images" / split / f"a{i}.jpg")
+            ann = np.zeros((40, 50), np.uint8)
+            ann[5:30, 5:40] = 2
+            Image.fromarray(ann).save(
+                tmp_path / "annotations" / split / f"a{i}.png")
+
+    cfg = ViTConfig(img_size=32, patch_size=8, embed_dim=64, depth=2,
+                    num_heads=4, compute_dtype=jnp.float32)
+    trainable, frozen = init_segmenter(
+        jax.random.PRNGKey(0), cfg, n_classes=150, channels=16)
+    art = str(tmp_path / "seg_art")
+    export_segmenter(art, trainable, frozen, cfg, batch_sizes=(2,))
+    serve_main(["eval", art, "--seg_root", str(tmp_path)])
+    printed = capsys.readouterr().out
+    assert "val_miou" in printed and "3 samples" in printed
 
 
 def test_wrong_resolution_rejected(artifact):
