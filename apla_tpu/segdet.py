@@ -102,6 +102,24 @@ def _try_resume(save_dir, name, trainable, frozen, opt_state):
     return trainable, frozen, opt_state, start_epoch
 
 
+def _preemption_flag():
+    """SIGTERM/SIGINT sets a flag checked at step boundaries (same story
+    as the main trainer's install_preemption_handler: TPU pools preempt;
+    save a resumable 'last' checkpoint and exit cleanly).  Returns a
+    0-arg callable reading the flag.  Installed only in the main thread;
+    no-op elsewhere."""
+    import signal
+    import threading
+
+    flag = {"hit": False}
+    if threading.current_thread() is threading.main_thread():
+        def _handler(signum, frame):
+            flag["hit"] = True
+        signal.signal(signal.SIGTERM, _handler)
+        signal.signal(signal.SIGINT, _handler)
+    return lambda: flag["hit"]
+
+
 def _best_metric(save_dir, name, key):
     """Best-so-far metric from a best checkpoint's meta (resume must not
     reset it to -inf, or the first post-resume eval clobbers a better
@@ -190,6 +208,7 @@ def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
 
     if not _has_ckpt(save_dir, "seg_frozen"):  # store the backbone ONCE
         _save(save_dir, "seg_frozen", {}, frozen, {})
+    preempted = _preemption_flag()
     it, t0 = 0, time.time()
     # under --resume, continue the best-model race from the saved best (a
     # fresh run into the same dir starts the race over, as before)
@@ -204,6 +223,15 @@ def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
             if it % log_every == 0:
                 print(f"[seg] it {it} ep {epoch} loss {float(m['loss']):.4f}"
                       f" ({it * batch_size / (time.time() - t0):.1f} img/s)")
+            if preempted():
+                # mid-epoch: save resumable state marked at epoch-1 so
+                # --resume replays this (partial) epoch from its start
+                _save(save_dir, "seg_last", trainable, None,
+                      {"epoch": epoch - 1, "miou": best_miou,
+                       "preempted": True}, opt_state=opt_state)
+                print("[seg] preempted — saved seg_last, exiting")
+                return {"best_miou": best_miou, "iters": it,
+                        "preempted": True}
         miou = evaluate()
         print(f"[seg] epoch {epoch}: val mIoU {miou:.4f}")
         if miou >= best_miou:
@@ -340,6 +368,7 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
 
     if not _has_ckpt(save_dir, "det_frozen"):  # store the backbone ONCE
         _save(save_dir, "det_frozen", {}, bb_f, {})
+    preempted = _preemption_flag()
     it, t0 = 0, time.time()
     best_map = _best_metric(save_dir, "det_best", "map50") if resume else -1.0
     for epoch in range(start_epoch, epochs):
@@ -353,6 +382,13 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
                 print(f"[det] it {it} ep {epoch} "
                       f"loss {float(m['total']):.4f} "
                       f"({it * batch_size / (time.time() - t0):.1f} img/s)")
+            if preempted():
+                _save(save_dir, "det_last", trainable, None,
+                      {"epoch": epoch - 1, "map50": best_map,
+                       "preempted": True}, opt_state=opt_state)
+                print("[det] preempted — saved det_last, exiting")
+                return {"best_map50": best_map, "iters": it,
+                        "preempted": True, "eval_set": eval_name}
         ap = evaluate()
         print(f"[det] epoch {epoch}: {eval_name} mAP@50 {ap:.4f}")
         if ap >= best_map:

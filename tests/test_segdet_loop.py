@@ -166,6 +166,42 @@ def test_segmentation_resume_matches_uninterrupted(tmp_path):
         np.testing.assert_allclose(x, y, rtol=1e-6, atol=1e-7)
 
 
+def test_segmentation_resume_on_mesh(tmp_path):
+    """--resume composes with the mesh placement: restore happens on host,
+    then params are re-placed (fsdp frozen) for the continued epochs."""
+    from apla_tpu.segdet import train_segmentation
+    root = make_ade(tmp_path)
+    cfg = ViTConfig(img_size=32, patch_size=8, embed_dim=64, depth=2,
+                    num_heads=4, compute_dtype=jnp.float32)
+    kw = dict(img_size=32, batch_size=2, lr=1e-3, num_workers=2,
+              log_every=10, vit_cfg=cfg, n_devices=2,
+              param_sharding="fsdp", save_dir=str(tmp_path / "ck"))
+    train_segmentation(root, epochs=1, **kw)
+    out = train_segmentation(root, epochs=2, resume=True, **kw)
+    assert out["iters"] == 2  # only the resumed epoch ran
+    assert 0.0 <= out["best_miou"] <= 1.0
+
+
+def test_preemption_flag_sets_on_sigterm():
+    """The segdet loops' preemption flag trips on SIGTERM (step-boundary
+    save semantics are exercised via the --resume path)."""
+    import signal
+    import time
+
+    from apla_tpu.segdet import _preemption_flag
+    old_term = signal.getsignal(signal.SIGTERM)
+    old_int = signal.getsignal(signal.SIGINT)
+    try:
+        flag = _preemption_flag()
+        assert not flag()
+        os.kill(os.getpid(), signal.SIGTERM)
+        time.sleep(0.05)  # let the interpreter deliver the signal
+        assert flag()
+    finally:
+        signal.signal(signal.SIGTERM, old_term)
+        signal.signal(signal.SIGINT, old_int)
+
+
 def test_segmentation_eval_only(tmp_path):
     """--eval_only restores the best checkpoint and reports mIoU without
     training; errors clearly when no checkpoint exists."""
