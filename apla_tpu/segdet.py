@@ -102,6 +102,20 @@ def _try_resume(save_dir, name, trainable, frozen, opt_state):
     return trainable, frozen, opt_state, start_epoch
 
 
+def _jsonl_logger(save_dir):
+    """Append-mode JSONL metrics stream (save_dir/log.jsonl) — the same
+    observability surface as the main trainer's utils/logging, for the
+    side-car loops."""
+    os.makedirs(save_dir, exist_ok=True)
+    path = os.path.join(save_dir, "log.jsonl")
+
+    def log(rec):
+        rec = dict(rec, ts=round(time.time(), 3))
+        with open(path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+    return log
+
+
 def _preemption_flag():
     """SIGTERM/SIGINT sets a flag checked at step boundaries (same story
     as the main trainer's install_preemption_handler: TPU pools preempt;
@@ -209,6 +223,7 @@ def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
     if not _has_ckpt(save_dir, "seg_frozen"):  # store the backbone ONCE
         _save(save_dir, "seg_frozen", {}, frozen, {})
     preempted = _preemption_flag()
+    log = _jsonl_logger(save_dir)
     it, t0 = 0, time.time()
     # under --resume, continue the best-model race from the saved best (a
     # fresh run into the same dir starts the race over, as before)
@@ -221,8 +236,13 @@ def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
                                            batch)
             it += 1
             if it % log_every == 0:
-                print(f"[seg] it {it} ep {epoch} loss {float(m['loss']):.4f}"
-                      f" ({it * batch_size / (time.time() - t0):.1f} img/s)")
+                loss = float(m["loss"])
+                rate = it * batch_size / (time.time() - t0)
+                print(f"[seg] it {it} ep {epoch} loss {loss:.4f}"
+                      f" ({rate:.1f} img/s)")
+                log({"it": it, "epoch": epoch, "train_loss": round(loss, 5),
+                     "grad_norm": round(float(m["grad_norm"]), 4),
+                     "img_s": round(rate, 1)})
             if preempted():
                 # mid-epoch: save resumable state marked at epoch-1 so
                 # --resume replays this (partial) epoch from its start
@@ -234,6 +254,7 @@ def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
                         "preempted": True}
         miou = evaluate()
         print(f"[seg] epoch {epoch}: val mIoU {miou:.4f}")
+        log({"it": it, "epoch": epoch, "val_miou": round(miou, 5)})
         if miou >= best_miou:
             best_miou = miou
             _save(save_dir, "seg_best", trainable, frozen,
@@ -369,6 +390,7 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
     if not _has_ckpt(save_dir, "det_frozen"):  # store the backbone ONCE
         _save(save_dir, "det_frozen", {}, bb_f, {})
     preempted = _preemption_flag()
+    log = _jsonl_logger(save_dir)
     it, t0 = 0, time.time()
     best_map = _best_metric(save_dir, "det_best", "map50") if resume else -1.0
     for epoch in range(start_epoch, epochs):
@@ -379,9 +401,13 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
             trainable, opt_state, m = step(trainable, opt_state, bb_f, batch)
             it += 1
             if it % log_every == 0:
+                loss = float(m["total"])
+                rate = it * batch_size / (time.time() - t0)
                 print(f"[det] it {it} ep {epoch} "
-                      f"loss {float(m['total']):.4f} "
-                      f"({it * batch_size / (time.time() - t0):.1f} img/s)")
+                      f"loss {loss:.4f} ({rate:.1f} img/s)")
+                log({"it": it, "epoch": epoch, "train_loss": round(loss, 5),
+                     "cls_loss": round(float(m.get("cls", 0.0)), 5),
+                     "img_s": round(rate, 1)})
             if preempted():
                 _save(save_dir, "det_last", trainable, None,
                       {"epoch": epoch - 1, "map50": best_map,
@@ -391,6 +417,7 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
                         "preempted": True, "eval_set": eval_name}
         ap = evaluate()
         print(f"[det] epoch {epoch}: {eval_name} mAP@50 {ap:.4f}")
+        log({"it": it, "epoch": epoch, f"{eval_name}_map50": round(ap, 5)})
         if ap >= best_map:
             best_map = ap
             _save(save_dir, "det_best", trainable, bb_f,
