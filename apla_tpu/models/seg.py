@@ -107,21 +107,38 @@ def segmentation_loss(logits, labels, ignore_index: int = 255):
     return -jnp.sum(jnp.where(valid, ll, 0.0)) / n_valid
 
 
-def mean_iou(pred, labels, n_classes: int, ignore_index: int = 255):
-    """mIoU over a batch (host-side numpy)."""
+def iou_counts(pred, labels, n_classes: int, ignore_index: int = 255):
+    """Per-class (intersection, union) pixel counts — accumulate these
+    over batches and divide ONCE for dataset-level mIoU (a mean of
+    per-batch mIoUs over-weights small tail batches and classes that
+    appear in few batches)."""
     import numpy as np
     pred = np.asarray(pred)
     labels = np.asarray(labels)
     valid = labels != ignore_index
-    ious = []
+    inter = np.zeros((n_classes,), np.int64)
+    union = np.zeros((n_classes,), np.int64)
     for c in range(n_classes):
         p = (pred == c) & valid
         t = (labels == c) & valid
-        union = (p | t).sum()
-        if union == 0:
-            continue
-        ious.append((p & t).sum() / union)
-    return float(np.mean(ious)) if ious else 0.0
+        inter[c] = (p & t).sum()
+        union[c] = (p | t).sum()
+    return inter, union
+
+
+def mean_iou_from_counts(inter, union):
+    import numpy as np
+    inter, union = np.asarray(inter), np.asarray(union)
+    present = union > 0
+    if not present.any():
+        return 0.0
+    return float(np.mean(inter[present] / union[present]))
+
+
+def mean_iou(pred, labels, n_classes: int, ignore_index: int = 255):
+    """mIoU over a batch (host-side numpy)."""
+    return mean_iou_from_counts(
+        *iou_counts(pred, labels, n_classes, ignore_index=ignore_index))
 
 
 def make_seg_train_step(vit_cfg, tx):

@@ -102,36 +102,32 @@ def _try_resume(save_dir, name, trainable, frozen, opt_state):
     return trainable, frozen, opt_state, start_epoch
 
 
-def _jsonl_logger(save_dir):
-    """Append-mode JSONL metrics stream (save_dir/log.jsonl) — the same
-    observability surface as the main trainer's utils/logging, for the
-    side-car loops."""
-    os.makedirs(save_dir, exist_ok=True)
-    path = os.path.join(save_dir, "log.jsonl")
-
-    def log(rec):
-        rec = dict(rec, ts=round(time.time(), 3))
-        with open(path, "a") as f:
-            f.write(json.dumps(rec) + "\n")
-    return log
-
-
 def _preemption_flag():
     """SIGTERM/SIGINT sets a flag checked at step boundaries (same story
     as the main trainer's install_preemption_handler: TPU pools preempt;
-    save a resumable 'last' checkpoint and exit cleanly).  Returns a
-    0-arg callable reading the flag.  Installed only in the main thread;
-    no-op elsewhere."""
+    save a resumable 'last' checkpoint and exit cleanly).  Returns
+    (check, restore): `check()` reads the flag; `restore()` reinstates
+    the previous handlers — call it on every loop exit so library
+    callers (incl. the test suite) keep their Ctrl-C.  Installed only in
+    the main thread; no-op elsewhere."""
     import signal
     import threading
 
     flag = {"hit": False}
-    if threading.current_thread() is threading.main_thread():
-        def _handler(signum, frame):
-            flag["hit"] = True
-        signal.signal(signal.SIGTERM, _handler)
-        signal.signal(signal.SIGINT, _handler)
-    return lambda: flag["hit"]
+    if threading.current_thread() is not threading.main_thread():
+        return (lambda: False), (lambda: None)
+
+    def _handler(signum, frame):
+        flag["hit"] = True
+
+    old_term = signal.signal(signal.SIGTERM, _handler)
+    old_int = signal.signal(signal.SIGINT, _handler)
+
+    def restore():
+        signal.signal(signal.SIGTERM, old_term)
+        signal.signal(signal.SIGINT, old_int)
+
+    return (lambda: flag["hit"]), restore
 
 
 def _best_metric(save_dir, name, key):
@@ -158,7 +154,7 @@ def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
     'full' APLA = only attn out-projections train)."""
     from .apla.core import AplaConfig
     from .data.segmentation_data import ADE20KSegmentation, segmentation_collate
-    from .models.seg import (init_segmenter, make_seg_train_step, mean_iou,
+    from .models.seg import (init_segmenter, make_seg_train_step,
                              segmenter_forward)
     from .models.vit import VIT_BUILDERS
 
@@ -198,8 +194,9 @@ def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
         segmenter_forward(t, f, im, cfg), axis=-1))
 
     def evaluate():
+        from .models.seg import iou_counts, mean_iou_from_counts
         from .parallel.mesh import pad_to_multiple
-        ious = []
+        inter = union = 0
         vloader = DataLoader(val_ds, batch_size=batch_size, shuffle=False,
                              drop_last=False, num_workers=num_workers,
                              collate_fn=segmentation_collate)
@@ -211,9 +208,14 @@ def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
                 b, _ = pad_to_multiple(b, batch_size)
             im = put_batch({"image": b["image"]})["image"]
             pred = np.asarray(eval_fwd(trainable, frozen, im))[:n]
-            ious.append(mean_iou(pred, b["label"][:n],
-                                 n_classes=train_ds.n_classes))
-        return float(np.mean(ious)) if ious else 0.0
+            # accumulate pixel counts over the split; divide ONCE —
+            # dataset-level mIoU, not a mean of per-batch mIoUs
+            bi, bu = iou_counts(pred, b["label"][:n],
+                                n_classes=train_ds.n_classes)
+            inter = inter + bi
+            union = union + bu
+        return mean_iou_from_counts(inter, union) \
+            if np.ndim(union) else 0.0
 
     if eval_only:
         miou = evaluate()
@@ -222,8 +224,10 @@ def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
 
     if not _has_ckpt(save_dir, "seg_frozen"):  # store the backbone ONCE
         _save(save_dir, "seg_frozen", {}, frozen, {})
-    preempted = _preemption_flag()
-    log = _jsonl_logger(save_dir)
+    from .utils.logging import RunLogger
+    preempted, restore_sig = _preemption_flag()
+    logger = RunLogger(save_dir, run_name="seg")
+    log = lambda rec, step: logger.log(rec, step)
     it, t0 = 0, time.time()
     # under --resume, continue the best-model race from the saved best (a
     # fresh run into the same dir starts the race over, as before)
@@ -240,9 +244,9 @@ def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
                 rate = it * batch_size / (time.time() - t0)
                 print(f"[seg] it {it} ep {epoch} loss {loss:.4f}"
                       f" ({rate:.1f} img/s)")
-                log({"it": it, "epoch": epoch, "train_loss": round(loss, 5),
+                log({"epoch": epoch, "train_loss": round(loss, 5),
                      "grad_norm": round(float(m["grad_norm"]), 4),
-                     "img_s": round(rate, 1)})
+                     "img_s": round(rate, 1)}, it)
             if preempted():
                 # mid-epoch: save resumable state marked at epoch-1 so
                 # --resume replays this (partial) epoch from its start
@@ -250,17 +254,19 @@ def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
                       {"epoch": epoch - 1, "miou": best_miou,
                        "preempted": True}, opt_state=opt_state)
                 print("[seg] preempted — saved seg_last, exiting")
+                restore_sig()
                 return {"best_miou": best_miou, "iters": it,
                         "preempted": True}
         miou = evaluate()
         print(f"[seg] epoch {epoch}: val mIoU {miou:.4f}")
-        log({"it": it, "epoch": epoch, "val_miou": round(miou, 5)})
+        log({"epoch": epoch, "val_miou": round(miou, 5)}, it)
         if miou >= best_miou:
             best_miou = miou
             _save(save_dir, "seg_best", trainable, frozen,
                   {"epoch": epoch, "miou": miou})
         _save(save_dir, "seg_last", trainable, None,
               {"epoch": epoch, "miou": miou}, opt_state=opt_state)
+    restore_sig()
     return {"best_miou": best_miou, "iters": it}
 
 
@@ -389,8 +395,10 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
 
     if not _has_ckpt(save_dir, "det_frozen"):  # store the backbone ONCE
         _save(save_dir, "det_frozen", {}, bb_f, {})
-    preempted = _preemption_flag()
-    log = _jsonl_logger(save_dir)
+    from .utils.logging import RunLogger
+    preempted, restore_sig = _preemption_flag()
+    logger = RunLogger(save_dir, run_name="det")
+    log = lambda rec, step: logger.log(rec, step)
     it, t0 = 0, time.time()
     best_map = _best_metric(save_dir, "det_best", "map50") if resume else -1.0
     for epoch in range(start_epoch, epochs):
@@ -405,25 +413,27 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
                 rate = it * batch_size / (time.time() - t0)
                 print(f"[det] it {it} ep {epoch} "
                       f"loss {loss:.4f} ({rate:.1f} img/s)")
-                log({"it": it, "epoch": epoch, "train_loss": round(loss, 5),
-                     "cls_loss": round(float(m.get("cls", 0.0)), 5),
-                     "img_s": round(rate, 1)})
+                log({"epoch": epoch, "train_loss": round(loss, 5),
+                     "cls_loss": round(float(m["cls_loss"]), 5),
+                     "img_s": round(rate, 1)}, it)
             if preempted():
                 _save(save_dir, "det_last", trainable, None,
                       {"epoch": epoch - 1, "map50": best_map,
                        "preempted": True}, opt_state=opt_state)
                 print("[det] preempted — saved det_last, exiting")
+                restore_sig()
                 return {"best_map50": best_map, "iters": it,
                         "preempted": True, "eval_set": eval_name}
         ap = evaluate()
         print(f"[det] epoch {epoch}: {eval_name} mAP@50 {ap:.4f}")
-        log({"it": it, "epoch": epoch, f"{eval_name}_map50": round(ap, 5)})
+        log({"epoch": epoch, f"{eval_name}_map50": round(ap, 5)}, it)
         if ap >= best_map:
             best_map = ap
             _save(save_dir, "det_best", trainable, bb_f,
                   {"epoch": epoch, "map50": ap})
         _save(save_dir, "det_last", trainable, None,
               {"epoch": epoch, "map50": ap}, opt_state=opt_state)
+    restore_sig()
     return {"best_map50": best_map, "iters": it, "eval_set": eval_name}
 
 

@@ -529,7 +529,10 @@ def main(argv=None):
     ev.add_argument("--params_path",
                     help="recipe YAML naming the dataset + transforms "
                          "(classifier artifacts)")
-    ev.add_argument("--split", default="test", choices=("test", "val"))
+    ev.add_argument("--split", default=None, choices=("test", "val"),
+                    help="classifier artifacts (default test); a "
+                         "--seg_root eval always scores the ADE "
+                         "'validation' split")
     ev.add_argument("--knn", action="store_true",
                     help="also kNN-classify via the served embeddings "
                          "(feature bank = train split, val transforms)")
@@ -565,25 +568,33 @@ def main(argv=None):
         return
 
     if args.cmd == "eval" and args.seg_root:
+        # ignored flags would silently change what gets measured — reject
+        if args.split or args.knn or args.params_path:
+            ap.error("--seg_root evaluates the ADE validation split; "
+                     "--split/--knn/--params_path do not apply")
         pred = load_predictor(args.artifact)
         if pred.meta.get("task") != "segmenter":
             ap.error("--seg_root requires a segmenter artifact")
         from .data.loader import DataLoader
         from .data.segmentation_data import (ADE20KSegmentation,
                                              segmentation_collate)
-        from .models.seg import mean_iou
+        from .models.seg import iou_counts, mean_iou_from_counts
         img = pred.meta["img_size"]
         val = ADE20KSegmentation(args.seg_root, "validation", img_size=img)
         vloader = DataLoader(val, batch_size=max(pred.batch_sizes),
                              shuffle=False, drop_last=False, num_workers=2,
                              collate_fn=segmentation_collate)
-        ious, n_seen = [], 0
+        inter = union = 0
+        n_seen = 0
         for b in vloader:
             masks = pred.masks(np.asarray(b["image"], np.float32))
-            ious.append(mean_iou(masks, b["label"],
-                                 n_classes=val.n_classes))
+            # accumulate pixel counts; divide once (dataset-level mIoU,
+            # matching the segdet train loop's evaluate)
+            bi, bu = iou_counts(masks, b["label"], n_classes=val.n_classes)
+            inter = inter + bi
+            union = union + bu
             n_seen += masks.shape[0]
-        miou = float(np.mean(ious)) if ious else 0.0
+        miou = mean_iou_from_counts(inter, union) if np.ndim(union) else 0.0
         print(f"EVAL RESULTS (val, {n_seen} samples, "
               f"artifact {args.artifact})")
         print(f"  val_miou : {round(miou, 4)}")
@@ -601,17 +612,18 @@ def main(argv=None):
                                     MultiLabelClassificationMetrics)
         from .utils.config import load_merged_params
         from .wrapper import DefaultWrapper
+        split = args.split or "test"
         wrapper = DefaultWrapper(load_merged_params(args.params_path))
         if args.knn:   # init_dataloaders builds fbank_loader on this flag
             wrapper.training_params.knn_eval = True
         loaders = wrapper.init_dataloaders()
-        loader = (loaders.testloader if args.split == "test"
+        loader = (loaders.testloader if split == "test"
                   else loaders.valloader)
         ds = loader.dataset
         n_classes = pred.meta["n_classes"]
         metric_cls = (ClassificationMetrics if ds.is_multiclass
                       else MultiLabelClassificationMetrics)
-        metric = metric_cls(n_classes, mode=args.split)
+        metric = metric_cls(n_classes, mode=split)
 
         def embed_norm(e):
             return e / (np.linalg.norm(e, axis=-1, keepdims=True) + 1e-12)
@@ -627,7 +639,7 @@ def main(argv=None):
                     pred.embed(np.asarray(im, np.float32))),
                 None, None, loaders.fbank_loader)
             knn_k = min(int(getattr(ds, "knn_nhood", 20)), len(bank_labels))
-            kmetric = metric_cls(n_classes, mode=f"knn_{args.split}")
+            kmetric = metric_cls(n_classes, mode=f"knn_{split}")
 
         n_seen = 0
         for batch in loader:
@@ -657,7 +669,7 @@ def main(argv=None):
         results = metric.get_values()
         if kmetric is not None:
             results.update(kmetric.get_values())
-        print(f"EVAL RESULTS ({args.split}, {n_seen} samples, "
+        print(f"EVAL RESULTS ({split}, {n_seen} samples, "
               f"artifact {args.artifact})")
         width = max(len(k) for k in results)
         for k, v in results.items():

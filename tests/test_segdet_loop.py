@@ -59,9 +59,9 @@ def test_segmentation_loop(tmp_path):
     assert out["iters"] == 4  # 4 imgs / b2 * 2 epochs
     assert 0.0 <= out["best_miou"] <= 1.0
     assert os.path.exists(tmp_path / "ck" / "seg_best.msgpack")
-    # JSONL metrics stream (observability parity with the main trainer)
+    # JSONL metrics stream (RunLogger, same surface as the main trainer)
     rows = [json.loads(line)
-            for line in open(tmp_path / "ck" / "log.jsonl")]
+            for line in open(tmp_path / "ck" / "seg.metrics.jsonl")]
     assert any("train_loss" in r for r in rows)
     assert any("val_miou" in r for r in rows)
 

@@ -264,23 +264,12 @@ def test_cli_eval(tmp_path, capsys):
 def test_cli_eval_segmenter(tmp_path, capsys):
     """`serve eval --seg_root`: val mIoU from a segmenter artifact over an
     ADE-layout directory."""
+    from test_segdet_loop import make_ade  # shared ADE fixture
+
     from apla_tpu.models.seg import init_segmenter
     from apla_tpu.serve import export_segmenter, main as serve_main
 
-    # tiny ADE fixture (same layout as test_segdet_loop.make_ade)
-    from PIL import Image
-    rng = np.random.default_rng(0)
-    for split in ("training", "validation"):
-        os.makedirs(tmp_path / "images" / split)
-        os.makedirs(tmp_path / "annotations" / split)
-        for i in range(3):
-            Image.fromarray(rng.integers(0, 256, (40, 50, 3),
-                                         dtype=np.uint8)).save(
-                tmp_path / "images" / split / f"a{i}.jpg")
-            ann = np.zeros((40, 50), np.uint8)
-            ann[5:30, 5:40] = 2
-            Image.fromarray(ann).save(
-                tmp_path / "annotations" / split / f"a{i}.png")
+    make_ade(tmp_path, n=3)
 
     cfg = ViTConfig(img_size=32, patch_size=8, embed_dim=64, depth=2,
                     num_heads=4, compute_dtype=jnp.float32)
