@@ -50,6 +50,24 @@ def test_mean_iou():
     assert mean_iou(1 - pred, labels, n_classes=2) == 0.0
 
 
+def test_iou_counts_dataset_level():
+    """Accumulated pixel counts give DATASET-level mIoU: two batches of
+    different sizes must weight by pixels, not per-batch means."""
+    from apla_tpu.models.seg import iou_counts, mean_iou_from_counts
+
+    # batch A: 2x2, all class 0, all correct.  batch B: 1 pixel, class 0,
+    # wrong.  Dataset IoU(class0) = 4/5; a mean of per-batch mIoUs would
+    # report (1.0 + 0.0)/2 = 0.5.
+    ia, ua = iou_counts(np.zeros((1, 2, 2)), np.zeros((1, 2, 2)),
+                        n_classes=2)
+    ib, ub = iou_counts(np.ones((1, 1, 1)), np.zeros((1, 1, 1)),
+                        n_classes=2)
+    got = mean_iou_from_counts(ia + ib, ua + ub)
+    # class 0: inter 4, union 5; class 1: inter 0, union 1
+    assert got == (4 / 5 + 0.0) / 2
+    assert mean_iou_from_counts(np.zeros(3), np.zeros(3)) == 0.0
+
+
 def test_apla_rank_mode_seg():
     trainable, frozen = init_segmenter(
         jax.random.PRNGKey(0), CFG, n_classes=5, channels=32,
