@@ -96,6 +96,49 @@ def segmenter_forward(trainable, frozen, images, vit_cfg: ViTConfig,
     return pup_head_forward(feat, trainable["head"], images.shape[1:3])
 
 
+def segmenter_slide_forward(trainable, frozen, images, vit_cfg: ViTConfig,
+                            stride: int | None = None):
+    """Sliding-window inference (reference seg recipe:
+    apla_setr_vit-l_pup...py:65 `test_cfg=dict(mode='slide',
+    crop_size=(512,512), stride=(341,341))`): the backbone runs at its
+    training crop (`vit_cfg.img_size`) over a larger eval image; window
+    logits are summed and averaged on overlaps.  `images` [B, H, W, 3]
+    with H, W >= crop.  The window grid is STATIC for a given (H, W) —
+    one XLA program, no dynamic shapes.  Default stride = 2/3 crop
+    (the reference's 341/512)."""
+    crop = int(vit_cfg.img_size)
+    B, H, W, _ = images.shape
+    if H < crop or W < crop:
+        raise ValueError(f"eval image {H}x{W} smaller than crop {crop}")
+    stride = int(stride) if stride else max(1, (2 * crop) // 3)
+
+    def starts(full):
+        ss = list(range(0, full - crop + 1, stride))
+        if ss[-1] != full - crop:       # flush final window to the edge
+            ss.append(full - crop)
+        return ss
+
+    out = cnt = None
+    for y in starts(H):
+        for x in starts(W):
+            win = jax.lax.slice(images, (0, y, x, 0),
+                                (B, y + crop, x + crop, images.shape[-1]))
+            logits = segmenter_forward(trainable, frozen, win, vit_cfg)
+            if out is None:
+                out = jnp.zeros((B, H, W, logits.shape[-1]), logits.dtype)
+                cnt = jnp.zeros((B, H, W, 1), logits.dtype)
+            out = jax.lax.dynamic_update_slice(
+                out, jax.lax.dynamic_slice(
+                    out, (0, y, x, 0),
+                    (B, crop, crop, out.shape[-1])) + logits,
+                (0, y, x, 0))
+            cnt = jax.lax.dynamic_update_slice(
+                cnt, jax.lax.dynamic_slice(
+                    cnt, (0, y, x, 0), (B, crop, crop, 1)) + 1.0,
+                (0, y, x, 0))
+    return out / cnt
+
+
 def segmentation_loss(logits, labels, ignore_index: int = 255):
     """Per-pixel CE with ignore label (mmseg convention)."""
     valid = labels != ignore_index

@@ -148,20 +148,26 @@ def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
                        log_every=10, eval_batches=None, seed=0,
                        vit_cfg=None, n_devices=1,
                        param_sharding="replicated", resume=False,
-                       eval_only=False):
+                       eval_only=False, eval_img_size=None,
+                       eval_stride=None):
     """APLA-SETR-PUP on an ADE20K-layout directory (reference recipe:
     apla_setr_vit-l_pup_8xb2-160k_ade20k-512x512.py — ViT-L backbone,
     'full' APLA = only attn out-projections train)."""
     from .apla.core import AplaConfig
     from .data.segmentation_data import ADE20KSegmentation, segmentation_collate
     from .models.seg import (init_segmenter, make_seg_train_step,
-                             segmenter_forward)
+                             segmenter_forward, segmenter_slide_forward)
     from .models.vit import VIT_BUILDERS
 
     cfg = vit_cfg if vit_cfg is not None else \
         VIT_BUILDERS[backbone](img_size=img_size, patch_size=patch_size)
     train_ds = ADE20KSegmentation(root, "training", img_size=img_size)
-    val_ds = ADE20KSegmentation(root, "validation", img_size=img_size)
+    # eval_img_size > img_size: sliding-window eval (the reference seg
+    # recipe's test_cfg mode='slide' — train at the crop, eval larger)
+    eval_size = int(eval_img_size) if eval_img_size else img_size
+    if eval_size < img_size:
+        raise ValueError(f"eval_img_size {eval_size} < crop {img_size}")
+    val_ds = ADE20KSegmentation(root, "validation", img_size=eval_size)
     loader = DataLoader(train_ds, batch_size=batch_size, shuffle=True,
                         drop_last=True, num_workers=num_workers,
                         collate_fn=segmentation_collate, seed=seed)
@@ -190,8 +196,13 @@ def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
     frozen = place(frozen, param_sharding)
     step = make_seg_train_step(cfg, tx)
 
-    eval_fwd = jax.jit(lambda t, f, im: jnp.argmax(
-        segmenter_forward(t, f, im, cfg), axis=-1))
+    if eval_size > img_size:
+        eval_fwd = jax.jit(lambda t, f, im: jnp.argmax(
+            segmenter_slide_forward(t, f, im, cfg, stride=eval_stride),
+            axis=-1))
+    else:
+        eval_fwd = jax.jit(lambda t, f, im: jnp.argmax(
+            segmenter_forward(t, f, im, cfg), axis=-1))
 
     def evaluate():
         from .models.seg import iou_counts, mean_iou_from_counts
@@ -458,6 +469,12 @@ def main(argv=None):
                     help="continue from <save_dir>/seg_last if present")
     ps.add_argument("--eval_only", action="store_true",
                     help="restore the best checkpoint and report val mIoU")
+    ps.add_argument("--eval_img_size", type=int, default=None,
+                    help="evaluate at this size with sliding windows of "
+                         "the training crop (reference test_cfg "
+                         "mode='slide')")
+    ps.add_argument("--eval_stride", type=int, default=None,
+                    help="slide stride (default 2/3 of the crop)")
     pd = sub.add_parser("det")
     pd.add_argument("--img_dir", required=True)
     pd.add_argument("--ann", required=True)
@@ -485,7 +502,8 @@ def main(argv=None):
             batch_size=args.batch_size, lr=args.lr, backbone=args.backbone,
             patch_size=args.patch_size, save_dir=args.save_dir,
             n_devices=args.n_devices, param_sharding=args.param_sharding,
-            resume=args.resume, eval_only=args.eval_only)
+            resume=args.resume, eval_only=args.eval_only,
+            eval_img_size=args.eval_img_size, eval_stride=args.eval_stride)
     else:
         out = train_detection(
             args.img_dir, args.ann, epochs=args.epochs,

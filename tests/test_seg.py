@@ -68,6 +68,46 @@ def test_iou_counts_dataset_level():
     assert mean_iou_from_counts(np.zeros(3), np.zeros(3)) == 0.0
 
 
+def test_slide_forward_single_window_equals_plain():
+    """H=W=crop: slide inference is exactly the plain forward."""
+    from apla_tpu.models.seg import segmenter_slide_forward
+
+    trainable, frozen = init_segmenter(jax.random.PRNGKey(0), CFG,
+                                       n_classes=5, channels=16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    plain = segmenter_forward(trainable, frozen, x, CFG)
+    slide = segmenter_slide_forward(trainable, frozen, x, CFG)
+    np.testing.assert_allclose(np.asarray(slide), np.asarray(plain),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_slide_forward_tiled_and_overlapping():
+    """Non-overlapping windows (stride=crop) reproduce per-crop forwards;
+    overlapping default stride averages logits where windows meet."""
+    from apla_tpu.models.seg import segmenter_slide_forward
+
+    trainable, frozen = init_segmenter(jax.random.PRNGKey(0), CFG,
+                                       n_classes=5, channels=16)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 64, 3))
+    tiled = segmenter_slide_forward(trainable, frozen, x, CFG, stride=32)
+    assert tiled.shape == (1, 64, 64, 5)
+    for y in (0, 32):
+        for xx in (0, 32):
+            crop = segmenter_forward(trainable, frozen,
+                                     x[:, y:y + 32, xx:xx + 32], CFG)
+            np.testing.assert_allclose(
+                np.asarray(tiled[:, y:y + 32, xx:xx + 32]),
+                np.asarray(crop), rtol=1e-5, atol=1e-5)
+
+    over = segmenter_slide_forward(trainable, frozen, x, CFG)  # stride 21
+    assert over.shape == (1, 64, 64, 5)
+    assert bool(jnp.all(jnp.isfinite(over)))
+    # the flush-to-edge rule covers every pixel (no zero-count divisions)
+    import pytest
+    with pytest.raises(ValueError, match="smaller than crop"):
+        segmenter_slide_forward(trainable, frozen, x[:, :16, :16], CFG)
+
+
 def test_apla_rank_mode_seg():
     trainable, frozen = init_segmenter(
         jax.random.PRNGKey(0), CFG, n_classes=5, channels=32,

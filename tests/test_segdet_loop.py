@@ -207,6 +207,21 @@ def test_preemption_flag_sets_on_sigterm():
         signal.signal(signal.SIGINT, old_int)
 
 
+def test_segmentation_slide_eval(tmp_path):
+    """--eval_img_size: train at the crop, evaluate larger with sliding
+    windows (reference test_cfg mode='slide')."""
+    from apla_tpu.segdet import train_segmentation
+    root = make_ade(tmp_path)
+    cfg = ViTConfig(img_size=32, patch_size=8, embed_dim=64, depth=2,
+                    num_heads=4, compute_dtype=jnp.float32)
+    out = train_segmentation(
+        root, epochs=1, img_size=32, batch_size=2, lr=1e-3,
+        save_dir=str(tmp_path / "ck"), num_workers=2, log_every=1,
+        vit_cfg=cfg, eval_img_size=48)
+    assert out["iters"] == 2
+    assert 0.0 <= out["best_miou"] <= 1.0
+
+
 def test_segmentation_eval_only(tmp_path):
     """--eval_only restores the best checkpoint and reports mIoU without
     training; errors clearly when no checkpoint exists."""
