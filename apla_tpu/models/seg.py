@@ -65,19 +65,50 @@ def pup_head_forward(feat, params, out_hw):
     return x.astype(jnp.float32)
 
 
+# Reference SETR attaches 3 auxiliary heads at fractional trunk depths
+# (mmseg backbone out_indices (9, 14, 19, 23) for ViT-L/24 = floor(f*D)
+# for f in 0.4/0.6/0.8 plus the final layer; apla_setr...py auxiliary_head
+# in_index 0/1/2, loss_weight 0.4 each)
+AUX_FRACTIONS = (0.4, 0.6, 0.8)
+
+
+def aux_indices(depth: int, n_aux: int):
+    return [min(depth - 1, int(f * depth))
+            for f in AUX_FRACTIONS[:n_aux]]
+
+
 def init_segmenter(key, vit_cfg: ViTConfig, n_classes: int,
-                   apla_cfg: AplaConfig | None = None, channels: int = 256):
+                   apla_cfg: AplaConfig | None = None, channels: int = 256,
+                   n_aux_heads: int = 0, aux_channels: int = 256):
     """(trainable, frozen) for backbone + PUP head.  `apla_cfg=None` defaults
     to the reference seg recipe: partial_size='full' (only the attention
-    out-projections train, apla_vit.py:27-33)."""
-    k_bb, k_head = jax.random.split(key)
+    out-projections train, apla_vit.py:27-33).  `n_aux_heads` > 0 adds
+    SETRUPHead-style auxiliary decoders (num_convs=2) on intermediate
+    trunk layers (reference apla_setr...py auxiliary_head list)."""
+    k_bb, k_head, k_aux = jax.random.split(key, 3)
     vit_params = init_vit_params(k_bb, vit_cfg)
     if apla_cfg is None:
         apla_cfg = AplaConfig(partial_size="full")
     bb_t, bb_f = build_apla(vit_params, vit_cfg, apla_cfg)
     head = init_pup_head(k_head, vit_cfg.embed_dim, n_classes,
                          channels=channels)
-    return ({"backbone": bb_t, "head": head}, {"backbone": bb_f})
+    trainable = {"backbone": bb_t, "head": head}
+    if n_aux_heads:
+        if n_aux_heads > len(AUX_FRACTIONS):
+            raise ValueError(f"at most {len(AUX_FRACTIONS)} aux heads")
+        keys = jax.random.split(k_aux, n_aux_heads)
+        trainable["aux_heads"] = [
+            init_pup_head(keys[i], vit_cfg.embed_dim, n_classes,
+                          channels=aux_channels, n_stages=2)
+            for i in range(n_aux_heads)]
+    return (trainable, {"backbone": bb_f})
+
+
+def _token_grid(tokens, vit_cfg: ViTConfig):
+    patches = tokens[:, 1 + vit_cfg.num_register_tokens:]
+    B, N, D = patches.shape
+    g = int(round(N ** 0.5))
+    return patches.reshape(B, g, g, D)
 
 
 def segmenter_forward(trainable, frozen, images, vit_cfg: ViTConfig,
@@ -89,11 +120,34 @@ def segmenter_forward(trainable, frozen, images, vit_cfg: ViTConfig,
     tokens = vit_features(params, images, vit_cfg, trainable=apla_t, rng=rng,
                           deterministic=deterministic,
                           return_all_tokens=True)
-    patches = tokens[:, 1 + vit_cfg.num_register_tokens:]
-    B, N, D = patches.shape
-    g = int(round(N ** 0.5))
-    feat = patches.reshape(B, g, g, D)
+    feat = _token_grid(tokens, vit_cfg)
     return pup_head_forward(feat, trainable["head"], images.shape[1:3])
+
+
+def segmenter_forward_train(trainable, frozen, images, vit_cfg: ViTConfig,
+                            rng=None, deterministic=True):
+    """Main + auxiliary logits from ONE trunk pass (aux heads read the
+    scan's per-layer outputs at the reference's fractional depths).
+    Returns (main [B,H,W,K], [aux_i [B,H,W,K], ...])."""
+    aux_heads = trainable.get("aux_heads", [])
+    if not aux_heads:
+        return (segmenter_forward(trainable, frozen, images, vit_cfg,
+                                  rng=rng, deterministic=deterministic), [])
+    from .classifier import _backbone_params
+    t = {"backbone": trainable["backbone"]}
+    params, apla_t = _backbone_params(t, frozen)
+    tokens, layer_outs = vit_features(
+        params, images, vit_cfg, trainable=apla_t, rng=rng,
+        deterministic=deterministic, return_all_tokens=True,
+        return_layers=True)
+    out_hw = images.shape[1:3]
+    main = pup_head_forward(_token_grid(tokens, vit_cfg),
+                            trainable["head"], out_hw)
+    aux = [pup_head_forward(
+               _token_grid(layer_outs[idx], vit_cfg), aux_heads[i], out_hw)
+           for i, idx in enumerate(aux_indices(vit_cfg.depth,
+                                               len(aux_heads)))]
+    return main, aux
 
 
 def segmenter_slide_forward(trainable, frozen, images, vit_cfg: ViTConfig,
@@ -184,10 +238,12 @@ def mean_iou(pred, labels, n_classes: int, ignore_index: int = 255):
         *iou_counts(pred, labels, n_classes, ignore_index=ignore_index))
 
 
-def make_seg_train_step(vit_cfg, tx):
+def make_seg_train_step(vit_cfg, tx, aux_weight: float = 0.4):
     """Jitted segmentation train step (fwd + per-pixel CE + update) over the
     (trainable, frozen) split — the first-class analogue of the supervised
-    `make_train_step` for the SETR-PUP side-car.  Returns
+    `make_train_step` for the SETR-PUP side-car.  When the trainable tree
+    carries `aux_heads`, their losses join at `aux_weight` (reference
+    auxiliary_head loss_weight 0.4).  Returns
     step(trainable, opt_state, frozen, batch) -> (trainable, opt_state,
     metrics)."""
     import optax
@@ -196,8 +252,11 @@ def make_seg_train_step(vit_cfg, tx):
         images, labels = batch["image"], batch["label"]
 
         def loss_fn(t):
-            logits = segmenter_forward(t, frozen, images, vit_cfg)
-            return segmentation_loss(logits, labels)
+            main, aux = segmenter_forward_train(t, frozen, images, vit_cfg)
+            loss = segmentation_loss(main, labels)
+            for a in aux:
+                loss = loss + aux_weight * segmentation_loss(a, labels)
+            return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(trainable)
         updates, opt_state = tx.update(grads, opt_state, trainable)

@@ -149,7 +149,7 @@ def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
                        vit_cfg=None, n_devices=1,
                        param_sharding="replicated", resume=False,
                        eval_only=False, eval_img_size=None,
-                       eval_stride=None):
+                       eval_stride=None, aux_heads=0, head_lr_mult=1.0):
     """APLA-SETR-PUP on an ADE20K-layout directory (reference recipe:
     apla_setr_vit-l_pup_8xb2-160k_ade20k-512x512.py — ViT-L backbone,
     'full' APLA = only attn out-projections train)."""
@@ -173,10 +173,21 @@ def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
                         collate_fn=segmentation_collate, seed=seed)
     trainable, frozen = init_segmenter(
         jax.random.PRNGKey(seed), cfg, n_classes=train_ds.n_classes,
-        apla_cfg=AplaConfig(partial_size=partial_size), channels=channels)
+        apla_cfg=AplaConfig(partial_size=partial_size), channels=channels,
+        n_aux_heads=aux_heads)
     mesh, put_batch, place = _mesh_setup(n_devices, param_sharding,
                                          batch_size)
-    tx = optax.adamw(lr, weight_decay=weight_decay)
+    if head_lr_mult != 1.0:
+        # reference recipe: paramwise head lr x10 (apla_setr...py:72)
+        labels = {k: jax.tree.map(
+                      lambda _: "bb" if k == "backbone" else "head", v)
+                  for k, v in trainable.items()}
+        tx = optax.multi_transform(
+            {"bb": optax.adamw(lr, weight_decay=weight_decay),
+             "head": optax.adamw(lr * head_lr_mult,
+                                 weight_decay=weight_decay)}, labels)
+    else:
+        tx = optax.adamw(lr, weight_decay=weight_decay)
     opt_state = tx.init(trainable)
     start_epoch = 0
     if eval_only:
@@ -475,6 +486,11 @@ def main(argv=None):
                          "mode='slide')")
     ps.add_argument("--eval_stride", type=int, default=None,
                     help="slide stride (default 2/3 of the crop)")
+    ps.add_argument("--aux_heads", type=int, default=0,
+                    help="auxiliary SETR-UP decoders on intermediate "
+                         "layers (reference recipe: 3, loss weight 0.4)")
+    ps.add_argument("--head_lr_mult", type=float, default=1.0,
+                    help="decoder-head lr multiplier (reference: 10)")
     pd = sub.add_parser("det")
     pd.add_argument("--img_dir", required=True)
     pd.add_argument("--ann", required=True)
@@ -503,7 +519,8 @@ def main(argv=None):
             patch_size=args.patch_size, save_dir=args.save_dir,
             n_devices=args.n_devices, param_sharding=args.param_sharding,
             resume=args.resume, eval_only=args.eval_only,
-            eval_img_size=args.eval_img_size, eval_stride=args.eval_stride)
+            eval_img_size=args.eval_img_size, eval_stride=args.eval_stride,
+            aux_heads=args.aux_heads, head_lr_mult=args.head_lr_mult)
     else:
         out = train_detection(
             args.img_dir, args.ann, epochs=args.epochs,

@@ -108,6 +108,68 @@ def test_slide_forward_tiled_and_overlapping():
         segmenter_slide_forward(trainable, frozen, x[:, :16, :16], CFG)
 
 
+def test_aux_heads_train_step():
+    """Reference SETR auxiliary heads: one trunk pass feeds main + aux
+    decoders at fractional depths; aux losses join at weight 0.4 and
+    their params receive gradients."""
+    import optax
+
+    from apla_tpu.models.seg import (aux_indices, make_seg_train_step,
+                                     segmenter_forward_train)
+
+    assert aux_indices(24, 3) == [9, 14, 19]  # mmseg ViT-L out_indices
+
+    trainable, frozen = init_segmenter(jax.random.PRNGKey(0), CFG,
+                                       n_classes=5, channels=16,
+                                       n_aux_heads=2, aux_channels=8)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    main, aux = segmenter_forward_train(trainable, frozen, x, CFG)
+    assert main.shape == (2, 32, 32, 5)
+    assert len(aux) == 2 and all(a.shape == (2, 32, 32, 5) for a in aux)
+
+    tx = optax.adamw(1e-3)
+    step = make_seg_train_step(CFG, tx)
+    labels = jnp.zeros((2, 32, 32), jnp.int32)
+    before = jax.tree.map(lambda v: np.asarray(v).copy(),
+                          trainable["aux_heads"])
+    t2, _, m = step(trainable, tx.init(trainable), frozen,
+                    {"image": x, "label": labels})
+    assert np.isfinite(float(m["loss"]))
+    moved = [not np.allclose(a, b)
+             for a, b in zip(jax.tree.leaves(before),
+                             jax.tree.leaves(t2["aux_heads"]))]
+    assert all(moved), "aux head params did not train"
+
+
+def test_head_lr_mult():
+    """--head_lr_mult: the decoder head moves ~mult times further per
+    AdamW step than the backbone-lr baseline."""
+    import optax
+
+    from apla_tpu.models.seg import make_seg_train_step
+    from apla_tpu.segdet import train_segmentation  # noqa: F401 (import ok)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    labels = jnp.ones((2, 32, 32), jnp.int32)
+    deltas = {}
+    for mult in (1.0, 10.0):
+        trainable, frozen = init_segmenter(jax.random.PRNGKey(0), CFG,
+                                           n_classes=5, channels=16)
+        labels_tree = {k: jax.tree.map(
+                           lambda _: "bb" if k == "backbone" else "head", v)
+                       for k, v in trainable.items()}
+        tx = optax.multi_transform(
+            {"bb": optax.adamw(1e-3), "head": optax.adamw(1e-3 * mult)},
+            labels_tree)
+        step = make_seg_train_step(CFG, tx)
+        before = np.asarray(trainable["head"]["cls"]["kernel"]).copy()
+        t2, _, _ = step(trainable, tx.init(trainable), frozen,
+                        {"image": x, "label": labels})
+        deltas[mult] = float(np.abs(
+            np.asarray(t2["head"]["cls"]["kernel"]) - before).mean())
+    assert deltas[10.0] > 5 * deltas[1.0]
+
+
 def test_apla_rank_mode_seg():
     trainable, frozen = init_segmenter(
         jax.random.PRNGKey(0), CFG, n_classes=5, channels=32,
