@@ -300,7 +300,7 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
                     log_every=10, eval_batches=None, seed=0,
                     swin_ckpt=None, val_img_dir=None, val_ann=None,
                     n_devices=1, param_sharding="replicated",
-                    resume=False, eval_only=False):
+                    resume=False, eval_only=False, scales=None):
     """APLA-Swin + FCOS on a COCO-format dataset (reference recipe:
     mask-rcnn_apla_swin-t ... coco.py — Swin backbone with only attn.proj
     trainable)."""
@@ -313,6 +313,10 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
 
     ds = CocoDetection(img_dir, ann_file, img_size=img_size,
                        max_boxes=max_boxes)
+    # multi-scale training (reference recipe name: mstrain_480-800): a
+    # per-EPOCH scale draw keeps shapes static within each epoch (one
+    # compiled step per scale, cached)
+    scales = tuple(int(s) for s in scales) if scales else None
     sd = None
     if swin_ckpt:
         # architecture comes from the checkpoint itself
@@ -330,6 +334,15 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
     cfg = SwinConfig(img_size=img_size, patch_size=4, embed_dim=embed_dim,
                      depths=tuple(depths), num_heads=tuple(num_heads),
                      window_size=window_size, compute_dtype=jnp.float32)
+    if scales:
+        # every stage's feature map must stay window-aligned through the
+        # patch mergings (this Swin does not pad): s / (patch * 2^i) must
+        # divide by window for all stages i
+        align = cfg.patch_size * cfg.window_size * 2 ** (len(depths) - 1)
+        bad = [s for s in scales if s % align]
+        if bad:
+            raise ValueError(f"scales {bad} not divisible by "
+                             f"patch*window*2^(stages-1) = {align}")
     loader = DataLoader(ds, batch_size=batch_size, shuffle=True,
                         drop_last=True, num_workers=num_workers,
                         collate_fn=detection_collate, seed=seed)
@@ -391,6 +404,10 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
     def evaluate():
         from .parallel.mesh import pad_to_multiple
         metric = DetectionAP(ds.n_classes)
+        # eval always at the base size (val_ds may BE the train ds, whose
+        # img_size the multi-scale draw mutates per epoch)
+        prev_size = val_ds.img_size
+        val_ds.img_size = img_size
         vloader = DataLoader(val_ds, batch_size=batch_size, shuffle=False,
                              drop_last=False, num_workers=num_workers,
                              collate_fn=detection_collate)
@@ -408,6 +425,7 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
                 keep = b["labels"][j] >= 0
                 metric.add_image(i * batch_size + j, boxes, scores, labels,
                                  b["boxes"][j][keep], b["labels"][j][keep])
+        val_ds.img_size = prev_size
         return metric.mean_ap()
 
     if eval_only:
@@ -424,6 +442,12 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
     it, t0 = 0, time.time()
     best_map = _best_metric(save_dir, "det_best", "map50") if resume else -1.0
     for epoch in range(start_epoch, epochs):
+        if scales:
+            # per-epoch seed -> the scale sequence is a pure function of
+            # (seed, epoch): --resume replays it exactly
+            ds.img_size = int(
+                np.random.default_rng((seed, epoch)).choice(scales))
+            print(f"[det] epoch {epoch}: train scale {ds.img_size}")
         loader.set_epoch(epoch)
         for b in loader:
             batch = put_batch({"image": b["image"], "boxes": b["boxes"],
@@ -511,6 +535,10 @@ def main(argv=None):
                     help="continue from <save_dir>/det_last if present")
     pd.add_argument("--eval_only", action="store_true",
                     help="restore the best checkpoint and report mAP@50")
+    pd.add_argument("--scales", default=None,
+                    help="comma list for multi-scale training (reference "
+                         "mstrain; per-epoch draw, e.g. 196,224,252 — "
+                         "must divide by patch*window*2^(stages-1), e.g. 224/448 for the 4-stage w7 recipe)")
     args = p.parse_args(argv)
     if args.task == "seg":
         out = train_segmentation(
@@ -528,7 +556,8 @@ def main(argv=None):
             save_dir=args.save_dir, swin_ckpt=args.swin_ckpt,
             val_img_dir=args.val_img_dir, val_ann=args.val_ann,
             n_devices=args.n_devices, param_sharding=args.param_sharding,
-            resume=args.resume, eval_only=args.eval_only)
+            resume=args.resume, eval_only=args.eval_only,
+            scales=(args.scales.split(",") if args.scales else None))
     print(json.dumps(out))
 
 

@@ -255,6 +255,27 @@ def test_detection_loop(tmp_path):
     assert os.path.exists(tmp_path / "ck" / "det_best.msgpack")
 
 
+def test_detection_multi_scale(tmp_path):
+    """--scales: per-epoch multi-scale training (mstrain analogue) — the
+    step compiles per scale, boxes stay in resized coords, eval runs at
+    the base size."""
+    import pytest
+
+    from apla_tpu.segdet import train_detection
+    img_dir, ann = make_coco(tmp_path)
+    out = train_detection(
+        img_dir, ann, epochs=2, img_size=56, batch_size=2, lr=1e-3,
+        embed_dim=32, depths=(2, 2), num_heads=(2, 4),
+        save_dir=str(tmp_path / "ck"), num_workers=2, log_every=1,
+        scales=(56, 112))
+    assert out["iters"] == 4
+    assert 0.0 <= out["best_map50"] <= 1.0
+    with pytest.raises(ValueError, match="not divisible"):
+        train_detection(img_dir, ann, epochs=1, img_size=56, batch_size=2,
+                        embed_dim=32, depths=(2, 2), num_heads=(2, 4),
+                        save_dir=str(tmp_path / "ck2"), scales=(84,))
+
+
 def test_detection_loop_with_hf_swin_ckpt(tmp_path):
     """--swin_ckpt: a local HF SwinModel state_dict initialises the
     detection backbone end-to-end."""
