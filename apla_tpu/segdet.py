@@ -535,6 +535,10 @@ def main(argv=None):
                     help="continue from <save_dir>/det_last if present")
     pd.add_argument("--eval_only", action="store_true",
                     help="restore the best checkpoint and report mAP@50")
+    pd.add_argument("--embed_dim", type=int, default=96)
+    pd.add_argument("--depths", default="2,2,6")
+    pd.add_argument("--num_heads", default="3,6,12")
+    pd.add_argument("--window_size", type=int, default=7)
     pd.add_argument("--scales", default=None,
                     help="comma list for multi-scale training (reference "
                          "mstrain; per-epoch draw, e.g. 196,224,252 — "
@@ -555,6 +559,10 @@ def main(argv=None):
             img_size=args.img_size, batch_size=args.batch_size, lr=args.lr,
             save_dir=args.save_dir, swin_ckpt=args.swin_ckpt,
             val_img_dir=args.val_img_dir, val_ann=args.val_ann,
+            embed_dim=args.embed_dim,
+            depths=tuple(int(d) for d in args.depths.split(",")),
+            num_heads=tuple(int(h) for h in args.num_heads.split(",")),
+            window_size=args.window_size,
             n_devices=args.n_devices, param_sharding=args.param_sharding,
             resume=args.resume, eval_only=args.eval_only,
             scales=(args.scales.split(",") if args.scales else None))
