@@ -197,11 +197,13 @@ def test_preemption_flag_sets_on_sigterm():
     old_term = signal.getsignal(signal.SIGTERM)
     old_int = signal.getsignal(signal.SIGINT)
     try:
-        flag = _preemption_flag()
+        flag, restore = _preemption_flag()
         assert not flag()
         os.kill(os.getpid(), signal.SIGTERM)
         time.sleep(0.05)  # let the interpreter deliver the signal
         assert flag()
+        restore()
+        assert signal.getsignal(signal.SIGTERM) is old_term
     finally:
         signal.signal(signal.SIGTERM, old_term)
         signal.signal(signal.SIGINT, old_int)
