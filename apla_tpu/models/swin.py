@@ -154,8 +154,9 @@ def _swin_attention(x_windows, p, num_heads, window, mask, cfg, rng,
     head_dim = C // num_heads
     scale = head_dim ** -0.5
     dt = x_windows.dtype
-    qkv = jnp.dot(x_windows, p["qkv"]["kernel"].astype(dt),
-                  preferred_element_type=dt) + p["qkv"]["bias"].astype(dt)
+    from ..ops.quant import maybe_quantized_dot
+    qkv = maybe_quantized_dot(x_windows, p["qkv"]["kernel"],
+                              p["qkv"]["bias"])
     qkv = qkv.reshape(nWB, n, 3, num_heads, head_dim)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     logits = jnp.einsum("bnhd,bmhd->bhnm", q, k,
@@ -200,12 +201,13 @@ def _swin_block(x, H, W, p, p_train, num_heads, window, shift, cfg, rng,
         x = jnp.roll(x, (shift, shift), axis=(1, 2))
     x = shortcut + x.reshape(B, H * W, C)
 
+    from ..ops.quant import maybe_quantized_dot
     y = layer_norm(x, p["norm2"]["scale"], p["norm2"]["bias"], cfg.norm_eps)
-    y = jnp.dot(y, p["mlp"]["fc1"]["kernel"].astype(dt),
-                preferred_element_type=dt) + p["mlp"]["fc1"]["bias"].astype(dt)
+    y = maybe_quantized_dot(y, p["mlp"]["fc1"]["kernel"],
+                            p["mlp"]["fc1"]["bias"])
     y = jax.nn.gelu(y, approximate=False)
-    y = jnp.dot(y, p["mlp"]["fc2"]["kernel"].astype(dt),
-                preferred_element_type=dt) + p["mlp"]["fc2"]["bias"].astype(dt)
+    y = maybe_quantized_dot(y, p["mlp"]["fc2"]["kernel"],
+                            p["mlp"]["fc2"]["bias"])
     return x + y
 
 

@@ -105,15 +105,35 @@ def quantize_frozen_backbone(frozen: dict, which=("qkv", "fc1", "fc2",
 
     frozen = _jax.tree.map(lambda x: x, frozen)  # structural copy
     bb = frozen.get("backbone", frozen)
+    which = set(which)
     blocks = bb.get("blocks")
+
     if blocks is None:
+        # Swin backbone (models/swin.py): per-block dicts under stages;
+        # frozen qkv/fc kernels quantize per layer (attn.proj is the APLA
+        # trainable there and stays float)
+        stages = bb.get("stages")
+        if not stages:
+            return frozen
+        for stage in stages:
+            for blk in stage["blocks"]:
+                if "qkv" in which:
+                    w_i8, scale = quantize_weight(
+                        blk["attn"]["qkv"]["kernel"])
+                    blk["attn"]["qkv"]["kernel"] = {"w_int8": w_i8,
+                                                    "scale": scale}
+                for name in ("fc1", "fc2"):
+                    if name in which:
+                        w_i8, scale = quantize_weight(
+                            blk["mlp"][name]["kernel"])
+                        blk["mlp"][name]["kernel"] = {"w_int8": w_i8,
+                                                      "scale": scale}
         return frozen
 
     def quant_stack(kernel):  # [L, d_in, d_out]
         w_i8, scales = _jax.vmap(lambda w: quantize_weight(w))(kernel)
         return {"w_int8": w_i8, "scale": scales}
 
-    which = set(which)
     if "qkv" in which:
         blocks["attn"]["qkv"]["kernel"] = quant_stack(
             blocks["attn"]["qkv"]["kernel"])

@@ -62,6 +62,11 @@ def _maybe_quantize(frozen, quantize_frozen: bool):
     candidates = [blocks.get("attn", {}).get("qkv", {})] + [
         blocks.get("mlp", {}).get(name, {})
         for name in ("fc1", "fc2", "w12", "w3")]
+    stages = bb.get("stages") or []
+    if stages:  # Swin: probe the first block's quantizable kernels
+        blk0 = stages[0]["blocks"][0]
+        candidates += [blk0["attn"]["qkv"], blk0["mlp"]["fc1"],
+                       blk0["mlp"]["fc2"]]
     already = any(isinstance(c.get("kernel"), dict) for c in candidates)
     return frozen if already else quantize_frozen_backbone(frozen)
 
@@ -209,7 +214,8 @@ def export_segmenter(path: str, trainable, frozen, vit_cfg,
 
 
 def export_detector(path: str, trainable, frozen, swin_cfg, strides,
-                    batch_sizes=(1, 8), platforms=None) -> dict:
+                    batch_sizes=(1, 8), platforms=None,
+                    quantize_frozen=False) -> dict:
     """Write a serving artifact for the FCOS detection side-car
     (`python -m apla_tpu.segdet det`): APLA-Swin pyramid + FCOS head.
     Programs compute the RAW per-level maps (cls_logits [B,H,W,K],
@@ -219,6 +225,7 @@ def export_detector(path: str, trainable, frozen, swin_cfg, strides,
     from .models.detection import fcos_head_forward
     from .models.swin import swin_features
 
+    frozen = _maybe_quantize(frozen, quantize_frozen)
     batch_sizes = _check_batch_sizes(batch_sizes)
     os.makedirs(path, exist_ok=True)
 
@@ -243,6 +250,7 @@ def export_detector(path: str, trainable, frozen, swin_cfg, strides,
         "strides": [int(s) for s in strides],
         "batch_sizes": batch_sizes,
         "platforms": list(platforms) if platforms else [jax.default_backend()],
+        "quantized_frozen": bool(quantize_frozen),
     }
     with open(os.path.join(path, _META_FILE), "w") as f:
         json.dump(meta, f, indent=2)
@@ -520,6 +528,8 @@ def main(argv=None):
     exd.add_argument("--out", required=True)
     exd.add_argument("--batch_sizes", default="1,8")
     exd.add_argument("--platforms", default=None)
+    exd.add_argument("--quantize_frozen", action="store_true",
+                     help="int8 frozen Swin kernels in the artifact")
     info = sub.add_parser("info", help="print an artifact's meta")
     info.add_argument("artifact")
     ev = sub.add_parser("eval",
@@ -769,7 +779,8 @@ def main(argv=None):
         platforms = (args.platforms.split(",") if args.platforms else None)
         meta = export_detector(args.out, tree["trainable"], tree["frozen"],
                                cfg, strides, batch_sizes=bs,
-                               platforms=platforms)
+                               platforms=platforms,
+                               quantize_frozen=args.quantize_frozen)
         print(f"Exported detector (img {meta['img_size']}, "
               f"{meta['n_classes']} classes, strides {meta['strides']}) "
               f"at batch sizes {meta['batch_sizes']} -> {args.out}")

@@ -81,3 +81,31 @@ def test_quantized_training_step_learns():
         trainable, opt_state, loss = step(trainable, opt_state)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_quantized_swin_backbone_forward_close():
+    """quantize_frozen_backbone handles Swin trees (per-block qkv/fc
+    kernels; the trainable attn.proj stays float) and the pyramid
+    features stay cosine-close to the float path."""
+    from apla_tpu.models.swin import (SwinConfig, build_apla_swin,
+                                      init_swin_params, swin_features)
+
+    cfg = SwinConfig(img_size=56, patch_size=4, embed_dim=32,
+                     depths=(2, 2), num_heads=(2, 4), window_size=7,
+                     compute_dtype=jnp.float32)
+    bb_t, bb_f = build_apla_swin(init_swin_params(jax.random.PRNGKey(0),
+                                                  cfg))
+    bb_fq = quantize_frozen_backbone(bb_f)
+    blk0 = bb_fq["stages"][0]["blocks"][0]
+    assert "w_int8" in blk0["attn"]["qkv"]["kernel"]
+    assert "w_int8" in blk0["mlp"]["fc1"]["kernel"]
+    # proj untouched (APLA-trainable in the det recipe)
+    assert not isinstance(blk0["attn"].get("proj", {}).get("kernel"), dict)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 56, 56, 3))
+    ref = swin_features(bb_f, x, cfg, trainable=bb_t)
+    got = swin_features(bb_fq, x, cfg, trainable=bb_t)
+    for a, b in zip(ref, got):
+        a, b = np.asarray(a), np.asarray(b)
+        cos = np.sum(a * b) / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos > 0.99, cos

@@ -212,6 +212,27 @@ def test_detector_export_round_trip(tmp_path):
     with pytest.raises(NotImplementedError):
         pred.embed(x)
 
+    # --quantize_frozen on the Swin backbone: smaller params, round-trip
+    # matches the quantized live forward
+    from apla_tpu.ops.quant import quantize_frozen_backbone
+    qpath = str(tmp_path / "det_artifact_q")
+    meta_q = export_detector(qpath, trainable, bb_f, cfg, strides,
+                             batch_sizes=(2,), quantize_frozen=True)
+    assert meta_q["quantized_frozen"] is True
+    assert (os.path.getsize(os.path.join(qpath, "params.msgpack"))
+            < os.path.getsize(os.path.join(path, "params.msgpack")))
+    pred_q = load_predictor(qpath)
+    live_q = fcos_head_forward(
+        swin_features(quantize_frozen_backbone(bb_f), jnp.asarray(x), cfg,
+                      trainable=bb_t),
+        trainable["head"], trainable["laterals"])
+    got_q = pred_q.predict(x)
+    for lvl in range(2):
+        for j in range(3):
+            np.testing.assert_allclose(got_q[lvl][j],
+                                       np.asarray(live_q[lvl][j]),
+                                       rtol=1e-4, atol=1e-4)
+
 
 def test_cli_predict(artifact, tmp_path, capsys):
     """`python -m apla_tpu.serve predict`: .npy batch and image-file
