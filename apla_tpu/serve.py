@@ -359,6 +359,50 @@ class SegPredictor(Predictor):
         """[n, H, W, 3] -> [n, H, W] int32 argmax class map."""
         return np.argmax(self._run_chunks(images), axis=-1).astype(np.int32)
 
+    def predict_slide(self, images: np.ndarray,
+                      stride: int | None = None) -> np.ndarray:
+        """Sliding-window inference over images LARGER than the exported
+        crop (models/seg.segmenter_slide_forward semantics, host-side:
+        windows batch through the fixed-shape programs, logits averaged
+        on overlaps; default stride 2/3 crop — the reference's 341/512).
+        [n, H, W, 3] with H, W >= crop -> [n, H, W, n_classes]."""
+        crop = self.meta["img_size"]
+        n, H, W = images.shape[0], images.shape[1], images.shape[2]
+        if images.ndim != 4 or images.shape[3] != 3 \
+                or H < crop or W < crop:
+            raise ValueError(
+                f"expected [n, >={crop}, >={crop}, 3], got {images.shape}")
+        if H == crop and W == crop:
+            return self._run_chunks(images)
+        stride = int(stride) if stride else max(1, (2 * crop) // 3)
+
+        def starts(full):
+            ss = list(range(0, full - crop + 1, stride))
+            if ss[-1] != full - crop:
+                ss.append(full - crop)
+            return ss
+
+        images = np.asarray(images, np.float32)
+        ys, xs = starts(H), starts(W)
+        wins = np.stack([images[i, y:y + crop, x:x + crop]
+                         for i in range(n) for y in ys for x in xs])
+        logits = self._run_chunks(wins)          # [n*nw, crop, crop, K]
+        out = np.zeros((n, H, W, logits.shape[-1]), np.float32)
+        cnt = np.zeros((n, H, W, 1), np.float32)
+        k = 0
+        for i in range(n):
+            for y in ys:
+                for x in xs:
+                    out[i, y:y + crop, x:x + crop] += logits[k]
+                    cnt[i, y:y + crop, x:x + crop] += 1.0
+                    k += 1
+        return out / cnt
+
+    def masks_slide(self, images: np.ndarray,
+                    stride: int | None = None) -> np.ndarray:
+        return np.argmax(self.predict_slide(images, stride=stride),
+                         axis=-1).astype(np.int32)
+
     def embed(self, images):
         raise NotImplementedError("segmentation artifacts have no "
                                   "embedding output")
@@ -549,6 +593,11 @@ def main(argv=None):
     ev.add_argument("--seg_root", default=None,
                     help="segmenter artifacts: ADE20K-layout root to "
                          "compute val mIoU over (instead of --params_path)")
+    ev.add_argument("--eval_img_size", type=int, default=None,
+                    help="with --seg_root: evaluate at this size via "
+                         "sliding windows of the exported crop")
+    ev.add_argument("--eval_stride", type=int, default=None,
+                    help="slide stride (default 2/3 of the crop)")
     pr = sub.add_parser("predict", help="run an artifact on images")
     pr.add_argument("artifact")
     pr.add_argument("inputs", nargs="+",
@@ -590,14 +639,20 @@ def main(argv=None):
                                              segmentation_collate)
         from .models.seg import iou_counts, mean_iou_from_counts
         img = pred.meta["img_size"]
-        val = ADE20KSegmentation(args.seg_root, "validation", img_size=img)
+        eval_size = int(args.eval_img_size) if args.eval_img_size else img
+        if eval_size < img:
+            ap.error(f"--eval_img_size {eval_size} < exported crop {img}")
+        val = ADE20KSegmentation(args.seg_root, "validation",
+                                 img_size=eval_size)
         vloader = DataLoader(val, batch_size=max(pred.batch_sizes),
                              shuffle=False, drop_last=False, num_workers=2,
                              collate_fn=segmentation_collate)
         inter = union = 0
         n_seen = 0
         for b in vloader:
-            masks = pred.masks(np.asarray(b["image"], np.float32))
+            im = np.asarray(b["image"], np.float32)
+            masks = (pred.masks_slide(im, stride=args.eval_stride)
+                     if eval_size > img else pred.masks(im))
             # accumulate pixel counts; divide once (dataset-level mIoU,
             # matching the segdet train loop's evaluate)
             bi, bu = iou_counts(masks, b["label"], n_classes=val.n_classes)
@@ -614,6 +669,9 @@ def main(argv=None):
         if not args.params_path:
             ap.error("eval needs --params_path (or --seg_root for "
                      "segmenter artifacts)")
+        if args.eval_img_size or args.eval_stride:
+            ap.error("--eval_img_size/--eval_stride apply only with "
+                     "--seg_root")
         pred = load_predictor(args.artifact)
         if pred.meta.get("task", "classifier") != "classifier":
             ap.error("eval supports classifier artifacts"

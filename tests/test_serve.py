@@ -282,6 +282,37 @@ def test_cli_eval(tmp_path, capsys):
     assert knn_acc > 0.3
 
 
+def test_segmenter_slide_serving(tmp_path):
+    """SegPredictor.predict_slide: host-side sliding windows through the
+    fixed-shape programs reproduce the live segmenter_slide_forward."""
+    from apla_tpu.models.seg import init_segmenter, segmenter_slide_forward
+    from apla_tpu.serve import export_segmenter
+
+    cfg = ViTConfig(img_size=32, patch_size=8, embed_dim=64, depth=2,
+                    num_heads=4, compute_dtype=jnp.float32)
+    trainable, frozen = init_segmenter(
+        jax.random.PRNGKey(0), cfg, n_classes=5, channels=16)
+    path = str(tmp_path / "seg_art")
+    export_segmenter(path, trainable, frozen, cfg, batch_sizes=(2,))
+    pred = load_predictor(path)
+
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (2, 48, 48, 3)),
+                   np.float32)
+    live = np.asarray(segmenter_slide_forward(trainable, frozen,
+                                              jnp.asarray(x), cfg))
+    got = pred.predict_slide(x)
+    assert got.shape == (2, 48, 48, 5)
+    np.testing.assert_allclose(got, live, rtol=1e-4, atol=1e-4)
+    m = pred.masks_slide(x)
+    np.testing.assert_array_equal(m, np.argmax(live, -1))
+    # crop-sized input degrades to the plain path
+    x32 = x[:, :32, :32]
+    np.testing.assert_allclose(pred.predict_slide(x32), pred.predict(x32),
+                               rtol=1e-6, atol=1e-6)
+    with pytest.raises(ValueError, match="expected"):
+        pred.predict_slide(x[:, :16, :16])
+
+
 def test_cli_eval_segmenter(tmp_path, capsys):
     """`serve eval --seg_root`: val mIoU from a segmenter artifact over an
     ADE-layout directory."""
