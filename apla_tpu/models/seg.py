@@ -150,6 +150,26 @@ def segmenter_forward_train(trainable, frozen, images, vit_cfg: ViTConfig,
     return main, aux
 
 
+def slide_stride(crop: int, stride=None) -> int:
+    """Default 2/3-crop stride (the reference's 341/512); validates a
+    user-supplied stride — stride > crop would leave uncovered pixels
+    (0/0 NaNs after averaging), <= 0 an empty grid."""
+    stride = int(stride) if stride else max(1, (2 * crop) // 3)
+    if not 0 < stride <= crop:
+        raise ValueError(f"slide stride must be in (0, crop={crop}], "
+                         f"got {stride}")
+    return stride
+
+
+def slide_starts(full: int, crop: int, stride: int):
+    """Window start offsets covering [0, full): stride steps with the
+    final window flushed to the edge so every pixel is covered."""
+    ss = list(range(0, full - crop + 1, stride))
+    if ss[-1] != full - crop:
+        ss.append(full - crop)
+    return ss
+
+
 def segmenter_slide_forward(trainable, frozen, images, vit_cfg: ViTConfig,
                             stride: int | None = None):
     """Sliding-window inference (reference seg recipe:
@@ -164,17 +184,11 @@ def segmenter_slide_forward(trainable, frozen, images, vit_cfg: ViTConfig,
     B, H, W, _ = images.shape
     if H < crop or W < crop:
         raise ValueError(f"eval image {H}x{W} smaller than crop {crop}")
-    stride = int(stride) if stride else max(1, (2 * crop) // 3)
-
-    def starts(full):
-        ss = list(range(0, full - crop + 1, stride))
-        if ss[-1] != full - crop:       # flush final window to the edge
-            ss.append(full - crop)
-        return ss
+    stride = slide_stride(crop, stride)
 
     out = cnt = None
-    for y in starts(H):
-        for x in starts(W):
+    for y in slide_starts(H, crop, stride):
+        for x in slide_starts(W, crop, stride):
             win = jax.lax.slice(images, (0, y, x, 0),
                                 (B, y + crop, x + crop, images.shape[-1]))
             logits = segmenter_forward(trainable, frozen, win, vit_cfg)

@@ -90,6 +90,25 @@ def maybe_quantized_dot(x, kernel_or_quant, bias=None):
     return y
 
 
+def is_quantized(frozen: dict) -> bool:
+    """True if any quantizable kernel in a ViT or Swin frozen tree is
+    already a {'w_int8','scale'} dict — the single source of truth for
+    the tree layouts `quantize_frozen_backbone` touches (callers use
+    this to avoid double-quantization)."""
+    bb = frozen.get("backbone", frozen)
+    blocks = bb.get("blocks") or {}
+    candidates = [blocks.get("attn", {}).get("qkv", {})] + [
+        blocks.get("mlp", {}).get(name, {})
+        for name in ("fc1", "fc2", "w12", "w3")]
+    stages = bb.get("stages") or []
+    if stages:
+        blk0 = stages[0]["blocks"][0]
+        candidates += [blk0.get("attn", {}).get("qkv", {}),
+                       blk0.get("mlp", {}).get("fc1", {}),
+                       blk0.get("mlp", {}).get("fc2", {})]
+    return any(isinstance(c.get("kernel"), dict) for c in candidates)
+
+
 def quantize_frozen_backbone(frozen: dict, which=("qkv", "fc1", "fc2",
                                                   "w12", "w3")) -> dict:
     """Quantize the large frozen kernels of a ViT backbone pytree in place

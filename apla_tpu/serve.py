@@ -53,22 +53,12 @@ def _maybe_quantize(frozen, quantize_frozen: bool):
     `model_params.quantize_frozen`)."""
     if not quantize_frozen:
         return frozen
-    from .ops.quant import quantize_frozen_backbone
-    bb = frozen.get("backbone", frozen)
-    blocks = bb.get("blocks") or {}
-    # already-quantized probe must cover ANY quantizable kernel: a tree
-    # built with a custom `which` (e.g. fc-only) has a float qkv but
-    # re-quantizing it would crash on the fc quant dicts
-    candidates = [blocks.get("attn", {}).get("qkv", {})] + [
-        blocks.get("mlp", {}).get(name, {})
-        for name in ("fc1", "fc2", "w12", "w3")]
-    stages = bb.get("stages") or []
-    if stages:  # Swin: probe the first block's quantizable kernels
-        blk0 = stages[0]["blocks"][0]
-        candidates += [blk0["attn"]["qkv"], blk0["mlp"]["fc1"],
-                       blk0["mlp"]["fc2"]]
-    already = any(isinstance(c.get("kernel"), dict) for c in candidates)
-    return frozen if already else quantize_frozen_backbone(frozen)
+    # a tree quantized with a custom `which` (e.g. fc-only) has a float
+    # qkv but re-quantizing would crash on the fc quant dicts — the
+    # layout knowledge lives in ops.quant.is_quantized
+    from .ops.quant import is_quantized, quantize_frozen_backbone
+    return frozen if is_quantized(frozen) else \
+        quantize_frozen_backbone(frozen)
 
 
 def _gate_pallas(vit_cfg, platforms):
@@ -366,6 +356,7 @@ class SegPredictor(Predictor):
         windows batch through the fixed-shape programs, logits averaged
         on overlaps; default stride 2/3 crop — the reference's 341/512).
         [n, H, W, 3] with H, W >= crop -> [n, H, W, n_classes]."""
+        from .models.seg import slide_starts, slide_stride
         crop = self.meta["img_size"]
         n, H, W = images.shape[0], images.shape[1], images.shape[2]
         if images.ndim != 4 or images.shape[3] != 3 \
@@ -374,28 +365,25 @@ class SegPredictor(Predictor):
                 f"expected [n, >={crop}, >={crop}, 3], got {images.shape}")
         if H == crop and W == crop:
             return self._run_chunks(images)
-        stride = int(stride) if stride else max(1, (2 * crop) // 3)
-
-        def starts(full):
-            ss = list(range(0, full - crop + 1, stride))
-            if ss[-1] != full - crop:
-                ss.append(full - crop)
-            return ss
+        stride = slide_stride(crop, stride)
 
         images = np.asarray(images, np.float32)
-        ys, xs = starts(H), starts(W)
-        wins = np.stack([images[i, y:y + crop, x:x + crop]
-                         for i in range(n) for y in ys for x in xs])
-        logits = self._run_chunks(wins)          # [n*nw, crop, crop, K]
-        out = np.zeros((n, H, W, logits.shape[-1]), np.float32)
+        positions = [(i, y, x) for i in range(n)
+                     for y in slide_starts(H, crop, stride)
+                     for x in slide_starts(W, crop, stride)]
+        out = np.zeros((n, H, W, self.meta["n_classes"]), np.float32)
         cnt = np.zeros((n, H, W, 1), np.float32)
-        k = 0
-        for i in range(n):
-            for y in ys:
-                for x in xs:
-                    out[i, y:y + crop, x:x + crop] += logits[k]
-                    cnt[i, y:y + crop, x:x + crop] += 1.0
-                    k += 1
+        # stream window groups through the programs: peak host memory is
+        # one group of window logits, not the whole grid's
+        group_size = max(self.batch_sizes)
+        for g in range(0, len(positions), group_size):
+            group = positions[g:g + group_size]
+            chunk = np.stack([images[i, y:y + crop, x:x + crop]
+                              for i, y, x in group])
+            logits = self._run_chunks(chunk)
+            for (i, y, x), lg in zip(group, logits):
+                out[i, y:y + crop, x:x + crop] += lg
+                cnt[i, y:y + crop, x:x + crop] += 1.0
         return out / cnt
 
     def masks_slide(self, images: np.ndarray,
@@ -642,6 +630,9 @@ def main(argv=None):
         eval_size = int(args.eval_img_size) if args.eval_img_size else img
         if eval_size < img:
             ap.error(f"--eval_img_size {eval_size} < exported crop {img}")
+        if args.eval_stride and eval_size == img:
+            ap.error("--eval_stride needs --eval_img_size > the exported "
+                     "crop (no sliding at the crop size)")
         val = ADE20KSegmentation(args.seg_root, "validation",
                                  img_size=eval_size)
         vloader = DataLoader(val, batch_size=max(pred.batch_sizes),

@@ -99,8 +99,16 @@ def test_quantized_swin_backbone_forward_close():
     blk0 = bb_fq["stages"][0]["blocks"][0]
     assert "w_int8" in blk0["attn"]["qkv"]["kernel"]
     assert "w_int8" in blk0["mlp"]["fc1"]["kernel"]
-    # proj untouched (APLA-trainable in the det recipe)
-    assert not isinstance(blk0["attn"].get("proj", {}).get("kernel"), dict)
+    # proj must stay float even when PRESENT (an unsplit tree, where
+    # build_apla_swin has not popped the APLA-trainable leaf yet)
+    full_q = quantize_frozen_backbone(
+        init_swin_params(jax.random.PRNGKey(3), cfg))
+    fblk0 = full_q["stages"][0]["blocks"][0]
+    assert "proj" in fblk0["attn"]
+    assert not isinstance(fblk0["attn"]["proj"]["kernel"], dict)
+    assert "w_int8" in fblk0["attn"]["qkv"]["kernel"]
+    from apla_tpu.ops.quant import is_quantized
+    assert is_quantized(bb_fq) and not is_quantized(bb_f)
 
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 56, 56, 3))
     ref = swin_features(bb_f, x, cfg, trainable=bb_t)
