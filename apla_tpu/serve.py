@@ -586,6 +586,11 @@ def main(argv=None):
                          "sliding windows of the exported crop")
     ev.add_argument("--eval_stride", type=int, default=None,
                     help="slide stride (default 2/3 of the crop)")
+    ev.add_argument("--det_img_dir", default=None,
+                    help="detector artifacts: COCO image dir (with "
+                         "--det_ann) to compute mAP@50 over")
+    ev.add_argument("--det_ann", default=None,
+                    help="detector artifacts: COCO instances .json")
     pr = sub.add_parser("predict", help="run an artifact on images")
     pr.add_argument("artifact")
     pr.add_argument("inputs", nargs="+",
@@ -612,6 +617,38 @@ def main(argv=None):
     if args.cmd == "info":
         with open(os.path.join(args.artifact, _META_FILE)) as f:
             print(json.dumps(json.load(f), indent=2))
+        return
+
+    if args.cmd == "eval" and (args.det_img_dir or args.det_ann):
+        if not (args.det_img_dir and args.det_ann):
+            ap.error("--det_img_dir and --det_ann go together")
+        if args.split or args.knn or args.params_path or args.seg_root \
+                or args.eval_img_size or args.eval_stride:
+            ap.error("--det_img_dir/--det_ann take no other eval flags")
+        pred = load_predictor(args.artifact)
+        if pred.meta.get("task") != "detector":
+            ap.error("--det_img_dir requires a detector artifact")
+        from .data.detection_data import CocoDetection, detection_collate
+        from .data.loader import DataLoader
+        from .models.detection import DetectionAP
+        img = pred.meta["img_size"]
+        ds = CocoDetection(args.det_img_dir, args.det_ann, img_size=img)
+        bsz = max(pred.batch_sizes)
+        vloader = DataLoader(ds, batch_size=bsz, shuffle=False,
+                             drop_last=False, num_workers=2,
+                             collate_fn=detection_collate)
+        metric = DetectionAP(ds.n_classes)
+        n_seen = 0
+        for bi, b in enumerate(vloader):
+            dets = pred.detect(np.asarray(b["image"], np.float32))
+            for j, (boxes, scores, labels) in enumerate(dets):
+                keep = b["labels"][j] >= 0
+                metric.add_image(bi * bsz + j, boxes, scores, labels,
+                                 b["boxes"][j][keep], b["labels"][j][keep])
+                n_seen += 1
+        print(f"EVAL RESULTS (val, {n_seen} samples, "
+              f"artifact {args.artifact})")
+        print(f"  val_map50 : {round(metric.mean_ap(), 4)}")
         return
 
     if args.cmd == "eval" and args.seg_root:

@@ -334,6 +334,36 @@ def test_cli_eval_segmenter(tmp_path, capsys):
     assert "val_miou" in printed and "3 samples" in printed
 
 
+def test_cli_eval_detector(tmp_path, capsys):
+    """`serve eval --det_img_dir/--det_ann`: mAP@50 from a detector
+    artifact over a COCO-layout directory."""
+    from test_segdet_loop import make_coco
+
+    from apla_tpu.models.detection import _conv_init, init_fcos_head
+    from apla_tpu.models.swin import (SwinConfig, build_apla_swin,
+                                      init_swin_params)
+    from apla_tpu.serve import export_detector, main as serve_main
+
+    cfg = SwinConfig(img_size=56, patch_size=4, embed_dim=32,
+                     depths=(2, 2), num_heads=(2, 4), window_size=7,
+                     compute_dtype=jnp.float32)
+    bb_t, bb_f = build_apla_swin(init_swin_params(jax.random.PRNGKey(0),
+                                                  cfg))
+    trainable = {
+        "backbone": bb_t,
+        "head": init_fcos_head(jax.random.PRNGKey(1), 32, 1, channels=16,
+                               n_levels=2),
+        "laterals": [_conv_init(jax.random.PRNGKey(5), 1, 32, 32),
+                     _conv_init(jax.random.PRNGKey(6), 1, 64, 32)],
+    }
+    art = str(tmp_path / "det_art")
+    export_detector(art, trainable, bb_f, cfg, (4, 8), batch_sizes=(2,))
+    img_dir, ann = make_coco(tmp_path)
+    serve_main(["eval", art, "--det_img_dir", img_dir, "--det_ann", ann])
+    printed = capsys.readouterr().out
+    assert "val_map50" in printed and "4 samples" in printed
+
+
 def test_wrong_resolution_rejected(artifact):
     path = artifact[0]
     pred = load_predictor(path)
