@@ -809,7 +809,9 @@ def main(argv=None):
                 print(f"detections -> {args.out}")
             return
         if task == "segmenter":
-            masks = pred.masks(x)
+            img_sz = pred.meta["img_size"]
+            oversized = x.shape[1] > img_sz or x.shape[2] > img_sz
+            masks = pred.masks_slide(x) if oversized else pred.masks(x)
             for i, m in enumerate(masks):
                 cls, cnt = np.unique(m, return_counts=True)
                 top = sorted(zip(cnt.tolist(), cls.tolist()), reverse=True)
