@@ -313,6 +313,30 @@ def test_segmenter_slide_serving(tmp_path):
         pred.predict_slide(x[:, :16, :16])
 
 
+def test_cli_predict_segmenter_autoslide(tmp_path, capsys):
+    """predict CLI on a segmenter artifact: crop-sized inputs run the
+    plain path; larger .npy batches auto-slide."""
+    from apla_tpu.models.seg import init_segmenter
+    from apla_tpu.serve import export_segmenter, main as serve_main
+
+    cfg = ViTConfig(img_size=32, patch_size=8, embed_dim=64, depth=2,
+                    num_heads=4, compute_dtype=jnp.float32)
+    trainable, frozen = init_segmenter(
+        jax.random.PRNGKey(0), cfg, n_classes=5, channels=16)
+    art = str(tmp_path / "seg_art")
+    export_segmenter(art, trainable, frozen, cfg, batch_sizes=(2,))
+
+    big = str(tmp_path / "big.npy")
+    np.save(big, np.asarray(
+        jax.random.normal(jax.random.PRNGKey(1), (2, 48, 48, 3)),
+        np.float32))
+    out = str(tmp_path / "masks.npy")
+    serve_main(["predict", art, big, "--out", out])
+    printed = capsys.readouterr().out
+    assert "mask (48, 48)" in printed
+    assert np.load(out).shape == (2, 48, 48)
+
+
 def test_cli_eval_segmenter(tmp_path, capsys):
     """`serve eval --seg_root`: val mIoU from a segmenter artifact over an
     ADE-layout directory."""
