@@ -23,23 +23,48 @@ def _conv_init(key, k, c_in, c_out):
 
 
 def init_fcos_head(key, in_channels, n_classes, channels=128, n_convs=2,
-                   n_levels=4):
-    keys = jax.random.split(key, 2 * n_convs + 4)
+                   n_levels=4, n_protos=0):
+    """`n_protos > 0` adds a mask-coefficient conv on the box tower (the
+    instance-mask branch: the reference's detection recipe is Mask R-CNN
+    with `with_mask=True`, apla_mask_rcnn_swin_tiny_..._coco.py:28; here
+    masks are prototype+coefficient style — static shapes, no RoI ops)."""
+    keys = jax.random.split(key, 2 * n_convs + 5)
     head = {"cls_tower": [], "box_tower": []}
-    c = None
     for i in range(n_convs):
         cin = in_channels if i == 0 else channels
         head["cls_tower"].append(_conv_init(keys[2 * i], 3, cin, channels))
         head["box_tower"].append(_conv_init(keys[2 * i + 1], 3, cin, channels))
-    head["cls"] = _conv_init(keys[-4], 3, channels, n_classes)
+    head["cls"] = _conv_init(keys[-5], 3, channels, n_classes)
     # focal-loss prior: start predictions near p=0.01
     head["cls"]["bias"] = jnp.full((n_classes,), -np.log((1 - 0.01) / 0.01))
-    head["box"] = _conv_init(keys[-3], 3, channels, 4)
-    head["ctr"] = _conv_init(keys[-2], 3, channels, 1)
+    head["box"] = _conv_init(keys[-4], 3, channels, 4)
+    head["ctr"] = _conv_init(keys[-3], 3, channels, 1)
+    if n_protos:
+        head["coef"] = _conv_init(keys[-2], 3, channels, n_protos)
     head["scales"] = jnp.ones((n_levels,))
     # lateral 1x1 convs: project each pyramid level to `channels`... handled
     # by per-level input conv when channel counts differ
     return head
+
+
+def init_protonet(key, in_channels, n_protos=32, channels=64, n_convs=2):
+    """Prototype-mask net on the finest (lateral-projected) pyramid level:
+    n_convs 3x3-relu + a 1x1 to `n_protos` channels."""
+    keys = jax.random.split(key, n_convs + 1)
+    convs = []
+    for i in range(n_convs):
+        cin = in_channels if i == 0 else channels
+        convs.append(_conv_init(keys[i], 3, cin, channels))
+    return {"convs": convs, "out": _conv_init(keys[-1], 1, channels,
+                                              n_protos)}
+
+
+def protonet_forward(feat, params):
+    """[B, Hm, Wm, C] finest level -> prototype masks [B, Hm, Wm, P]."""
+    x = feat
+    for p in params["convs"]:
+        x = jax.nn.relu(_conv(x, p))
+    return jax.nn.relu(_conv(x, params["out"])).astype(jnp.float32)
 
 
 def _conv(x, p):
@@ -53,7 +78,8 @@ def _conv(x, p):
 def fcos_head_forward(features, head, laterals=None):
     """features: list of [B, H, W, C_l] pyramid levels (C_l may differ —
     pass `laterals` 1x1 conv params per level to unify).  Returns per-level
-    (cls_logits [B,H,W,K], box [B,H,W,4], ctr [B,H,W,1])."""
+    (cls_logits [B,H,W,K], box [B,H,W,4], ctr [B,H,W,1]) — plus mask
+    coefficients [B,H,W,P] (tanh) when the head has a 'coef' conv."""
     outs = []
     for lvl, feat in enumerate(features):
         x = feat
@@ -69,7 +95,11 @@ def fcos_head_forward(features, head, laterals=None):
         box = jax.nn.relu(_conv(b, head["box"]).astype(jnp.float32)
                           * head["scales"][lvl])
         ctr = _conv(b, head["ctr"]).astype(jnp.float32)
-        outs.append((cls_logits, box, ctr))
+        if "coef" in head:
+            coef = jnp.tanh(_conv(b, head["coef"]).astype(jnp.float32))
+            outs.append((cls_logits, box, ctr, coef))
+        else:
+            outs.append((cls_logits, box, ctr))
     return outs
 
 
@@ -99,10 +129,16 @@ def iou_loss(pred_ltrb, target_ltrb, eps=1e-7):
 
 def _fcos_loss_single(level_maps, strides, gt_boxes, gt_labels,
                       size_ranges=((0, 64), (64, 128), (128, 256),
-                                   (256, 1e8))):
+                                   (256, 1e8)),
+                      coefs=None, protos=None, gt_masks=None,
+                      mask_stride=4):
     """Per-image FCOS loss terms.  `level_maps`: list of (cls [H,W,K],
-    box [H,W,4], ctr [H,W,1]); gt padded with label -1."""
+    box [H,W,4], ctr [H,W,1]); gt padded with label -1.  With
+    `coefs` (per-level [H,W,P]) + `protos` [Hm,Wm,P] + `gt_masks`
+    [M,Hm,Wm], also returns the prototype-mask loss (one representative
+    positive location per instance; BCE cropped to the GT box)."""
     total_cls = total_box = total_ctr = n_pos = 0.0
+    rep_scores, rep_best, rep_coefs = [], [], []
     valid_gt = gt_labels >= 0
     areas = jnp.where(valid_gt,
                       (gt_boxes[:, 2] - gt_boxes[:, 0])
@@ -147,12 +183,58 @@ def _fcos_loss_single(level_maps, strides, gt_boxes, gt_labels,
                     + (1 - ctr_tgt) * jax.nn.log_sigmoid(-ctr[..., 0]))
         total_ctr = total_ctr + jnp.sum(ctr_bce * pos)
         n_pos = n_pos + jnp.sum(pos)
-    return total_cls, total_box, total_ctr, n_pos
+        if coefs is not None:
+            # flatten this level's assignment for representative selection
+            rep_scores.append(((ctr_tgt + 1e-6) * pos).reshape(-1))
+            rep_best.append(best.reshape(-1))
+            rep_coefs.append(coefs[lvl].reshape(-1, coefs[lvl].shape[-1]))
+    if coefs is None:
+        return total_cls, total_box, total_ctr, n_pos
+    mask_l, n_mask = _proto_mask_loss(
+        jnp.concatenate(rep_scores), jnp.concatenate(rep_best),
+        jnp.concatenate(rep_coefs), protos, gt_boxes, gt_labels, gt_masks,
+        mask_stride)
+    return total_cls, total_box, total_ctr, n_pos, mask_l, n_mask
+
+
+def _proto_mask_loss(score_flat, best_flat, coef_flat, protos, gt_boxes,
+                     gt_labels, gt_masks, mask_stride):
+    """Prototype-mask loss over one image.  For each GT instance pick the
+    highest-centerness positive location across all levels (stop-gradient
+    argmax; the coef gather itself IS differentiated — that is how the
+    coefficient maps and protonet train), assemble its mask as
+    sigmoid(protos @ coef), and take box-cropped BCE against the GT mask,
+    normalised per instance by the GT-box pixel area (YOLACT semantics).
+    Returns (sum of per-instance losses, number of valid instances)."""
+    M = gt_labels.shape[0]
+    hm, wm, _ = protos.shape
+    # [L, M] score of each location for each instance
+    scores_2d = score_flat[:, None] * (best_flat[:, None]
+                                       == jnp.arange(M)[None, :])
+    rep_idx = jnp.argmax(scores_2d, axis=0)                    # [M]
+    has_pos = jnp.max(scores_2d, axis=0) > 0
+    coef_m = coef_flat[rep_idx]                                # [M, P]
+    logits = jnp.einsum("hwp,mp->mhw", protos, coef_m)         # [M, Hm, Wm]
+    tgt = gt_masks.astype(jnp.float32)
+    bce = -(tgt * jax.nn.log_sigmoid(logits)
+            + (1 - tgt) * jax.nn.log_sigmoid(-logits))
+    # crop to the GT box on the mask grid
+    cy = (jnp.arange(hm) + 0.5) * mask_stride
+    cx = (jnp.arange(wm) + 0.5) * mask_stride
+    inside = ((cx[None, None, :] >= gt_boxes[:, 0, None, None])
+              & (cx[None, None, :] <= gt_boxes[:, 2, None, None])
+              & (cy[None, :, None] >= gt_boxes[:, 1, None, None])
+              & (cy[None, :, None] <= gt_boxes[:, 3, None, None]))
+    inside = inside.astype(jnp.float32)
+    area = jnp.maximum(jnp.sum(inside, axis=(1, 2)), 1.0)
+    per_inst = jnp.sum(bce * inside, axis=(1, 2)) / area       # [M]
+    valid = ((gt_labels >= 0) & has_pos).astype(jnp.float32)
+    return jnp.sum(per_inst * valid), jnp.sum(valid)
 
 
 def fcos_loss(level_outs, strides, gt_boxes, gt_labels, n_classes, img_hw):
     """Single-image convenience wrapper ([1, H, W, *] maps)."""
-    maps = [(c[0], b[0], t[0]) for c, b, t in level_outs]
+    maps = [(lvl[0][0], lvl[1][0], lvl[2][0]) for lvl in level_outs]
     cls_l, box_l, ctr_l, n_pos = _fcos_loss_single(
         maps, tuple(strides), gt_boxes, gt_labels)
     n_pos = jnp.maximum(n_pos, 1.0)
@@ -161,36 +243,65 @@ def fcos_loss(level_outs, strides, gt_boxes, gt_labels, n_classes, img_hw):
             "total": (cls_l + box_l + ctr_l) / n_pos}
 
 
-def fcos_loss_batch(level_outs, strides, gt_boxes, gt_labels):
+def fcos_loss_batch(level_outs, strides, gt_boxes, gt_labels,
+                    protos=None, gt_masks=None, mask_stride=4,
+                    mask_weight=2.0):
     """Batched FCOS loss via vmap: level_outs [B, H, W, *] per level;
     gt_boxes [B, M, 4]; gt_labels [B, M].  Positives normalised over the
-    whole batch (FCOS convention)."""
+    whole batch (FCOS convention).  With coef maps in `level_outs` plus
+    `protos` [B,Hm,Wm,P] and `gt_masks` [B,M,Hm,Wm], adds the prototype
+    mask loss (normalised over valid instances in the batch)."""
     strides = tuple(strides)
+    arity = len(level_outs[0])
+    with_mask = protos is not None and arity == 4
 
-    def single(maps_flat, boxes, labels):
-        maps = [tuple(maps_flat[3 * i:3 * i + 3])
-                for i in range(len(maps_flat) // 3)]
-        return _fcos_loss_single(maps, strides, boxes, labels)
+    def single(maps_flat, boxes, labels, *mask_args):
+        maps = [tuple(maps_flat[arity * i:arity * i + 3])
+                for i in range(len(maps_flat) // arity)]
+        if not with_mask:
+            return _fcos_loss_single(maps, strides, boxes, labels)
+        coefs = [maps_flat[arity * i + 3]
+                 for i in range(len(maps_flat) // arity)]
+        proto, masks = mask_args
+        return _fcos_loss_single(maps, strides, boxes, labels, coefs=coefs,
+                                 protos=proto, gt_masks=masks,
+                                 mask_stride=mask_stride)
 
     flat = [a for lvl in level_outs for a in lvl]
-    cls_l, box_l, ctr_l, n_pos = jax.vmap(
-        single, in_axes=(0, 0, 0))(flat, gt_boxes, gt_labels)
+    if with_mask:
+        cls_l, box_l, ctr_l, n_pos, mask_l, n_mask = jax.vmap(single)(
+            flat, gt_boxes, gt_labels, protos, gt_masks)
+    else:
+        cls_l, box_l, ctr_l, n_pos = jax.vmap(
+            single, in_axes=(0, 0, 0))(flat, gt_boxes, gt_labels)
     n_pos = jnp.maximum(jnp.sum(n_pos), 1.0)
-    return {"cls_loss": jnp.sum(cls_l) / n_pos,
-            "box_loss": jnp.sum(box_l) / n_pos,
-            "ctr_loss": jnp.sum(ctr_l) / n_pos,
-            "total": jnp.sum(cls_l + box_l + ctr_l) / n_pos}
+    out = {"cls_loss": jnp.sum(cls_l) / n_pos,
+           "box_loss": jnp.sum(box_l) / n_pos,
+           "ctr_loss": jnp.sum(ctr_l) / n_pos}
+    out["total"] = out["cls_loss"] + out["box_loss"] + out["ctr_loss"]
+    if with_mask:
+        out["mask_loss"] = (mask_weight * jnp.sum(mask_l)
+                            / jnp.maximum(jnp.sum(n_mask), 1.0))
+        out["total"] = out["total"] + out["mask_loss"]
+    return out
 
 
-def decode_detections(level_outs, strides, score_thresh=0.05, top_k=100):
+def decode_detections(level_outs, strides, score_thresh=0.05, top_k=100,
+                      protos=None, mask_stride=4, mask_thresh=0.5):
     """Decode per-level maps to (boxes [N,4], scores [N], labels [N]) on
-    host (numpy) with greedy NMS."""
-    boxes, scores, labels = [], [], []
-    for lvl, (cls_logits, box, ctr) in enumerate(level_outs):
+    host (numpy) with greedy NMS.  When the maps carry mask coefficients
+    and `protos` [1, Hm, Wm, P] is given, also returns boolean instance
+    masks [N, Hm, Wm] (sigmoid(protos @ coef), cropped to the predicted
+    box, thresholded)."""
+    with_mask = protos is not None and len(level_outs[0]) == 4
+    boxes, scores, labels, coef_rows = [], [], [], []
+    for lvl, maps in enumerate(level_outs):
+        cls_logits, box, ctr = maps[0], maps[1], maps[2]
         stride = strides[lvl]
         cls_p = np.asarray(jax.nn.sigmoid(cls_logits))[0]
         ctr_p = np.asarray(jax.nn.sigmoid(ctr))[0, ..., 0]
         box_np = np.asarray(box)[0]
+        coef_np = np.asarray(maps[3])[0] if with_mask else None
         H, W, K = cls_p.shape
         ys = (np.arange(H) + 0.5) * stride
         xs = (np.arange(W) + 0.5) * stride
@@ -204,15 +315,35 @@ def decode_detections(level_outs, strides, score_thresh=0.05, top_k=100):
                           px[y, x] + r, py[y, x] + b])
             scores.append(score[y, x, k])
             labels.append(k)
+            if with_mask:
+                coef_rows.append(coef_np[y, x])
     if not boxes:
-        return np.zeros((0, 4)), np.zeros((0,)), np.zeros((0,), int)
+        empty = (np.zeros((0, 4)), np.zeros((0,)), np.zeros((0,), int))
+        if with_mask:
+            hm, wm = protos.shape[1:3]
+            return empty + (np.zeros((0, hm, wm), bool),)
+        return empty
     boxes = np.asarray(boxes)
     scores = np.asarray(scores)
     labels = np.asarray(labels, int)
     order = np.argsort(-scores)[:top_k * 4]
     boxes, scores, labels = boxes[order], scores[order], labels[order]
     keep = nms(boxes, scores, iou_thresh=0.6)[:top_k]
-    return boxes[keep], scores[keep], labels[keep]
+    if not with_mask:
+        return boxes[keep], scores[keep], labels[keep]
+    coef = np.asarray(coef_rows)[order][keep]                  # [N, P]
+    proto_np = np.asarray(protos)[0]                           # [Hm, Wm, P]
+    logits = np.einsum("hwp,np->nhw", proto_np, coef)
+    masks = 1.0 / (1.0 + np.exp(-logits)) > mask_thresh
+    hm, wm = proto_np.shape[:2]
+    cy = (np.arange(hm) + 0.5) * mask_stride
+    cx = (np.arange(wm) + 0.5) * mask_stride
+    kept_boxes = boxes[keep]
+    inside = ((cx[None, None, :] >= kept_boxes[:, 0, None, None])
+              & (cx[None, None, :] <= kept_boxes[:, 2, None, None])
+              & (cy[None, :, None] >= kept_boxes[:, 1, None, None])
+              & (cy[None, :, None] <= kept_boxes[:, 3, None, None]))
+    return kept_boxes, scores[keep], labels[keep], masks & inside
 
 
 def nms(boxes, scores, iou_thresh=0.5):
@@ -251,24 +382,43 @@ def box_iou_matrix(a, b):
     return inter / (area_a[:, None] + area_b[None, :] - inter + 1e-9)
 
 
+def mask_iou(a, b):
+    """IoU between two boolean masks of the same shape."""
+    a = np.asarray(a, bool)
+    b = np.asarray(b, bool)
+    union = np.logical_or(a, b).sum()
+    return float(np.logical_and(a, b).sum() / union) if union else 0.0
+
+
 class DetectionAP:
     """Mean average precision at an IoU threshold (VOC-style, all-point
     interpolation) — the in-repo analogue of the mmdet COCO eval the
-    reference delegates to."""
+    reference delegates to.  `use_masks=True` matches on instance-mask IoU
+    instead of box IoU (the mask-mAP half of the reference's Mask R-CNN
+    recipe, apla_mask_rcnn_swin_tiny_..._coco.py `with_mask=True`); then
+    `add_image` takes `pred_masks` / `gt_masks` on a shared mask grid."""
 
-    def __init__(self, n_classes, iou_thresh=0.5):
+    def __init__(self, n_classes, iou_thresh=0.5, use_masks=False):
         self.n_classes = n_classes
         self.iou_thresh = iou_thresh
-        self.preds = []   # (image_id, label, score, box)
-        self.gts = []     # (image_id, label, box)
+        self.use_masks = use_masks
+        self.preds = []   # (image_id, label, score, box_or_mask)
+        self.gts = []     # (image_id, label, box_or_mask)
 
     def add_image(self, image_id, pred_boxes, pred_scores, pred_labels,
-                  gt_boxes, gt_labels):
-        for b, s, l in zip(pred_boxes, pred_scores, pred_labels):
-            self.preds.append((image_id, int(l), float(s), np.asarray(b)))
-        for b, l in zip(gt_boxes, gt_labels):
+                  gt_boxes, gt_labels, pred_masks=None, gt_masks=None):
+        pred_geo = pred_masks if self.use_masks else pred_boxes
+        gt_geo = gt_masks if self.use_masks else gt_boxes
+        for g, s, l in zip(pred_geo, pred_scores, pred_labels):
+            self.preds.append((image_id, int(l), float(s), np.asarray(g)))
+        for g, l in zip(gt_geo, gt_labels):
             if int(l) >= 0:
-                self.gts.append((image_id, int(l), np.asarray(b)))
+                self.gts.append((image_id, int(l), np.asarray(g)))
+
+    def _iou(self, a, b):
+        if self.use_masks:
+            return mask_iou(a, b)
+        return float(box_iou_matrix(a[None], b[None])[0, 0])
 
     def mean_ap(self):
         aps = []
@@ -286,7 +436,7 @@ class DetectionAP:
                          if gi == img and j not in matched]
                 best_iou, best_j = 0.0, -1
                 for j, g in cands:
-                    iou = float(box_iou_matrix(box[None], g[None])[0, 0])
+                    iou = self._iou(box, g)
                     if iou > best_iou:
                         best_iou, best_j = iou, j
                 if best_iou >= self.iou_thresh:
@@ -307,7 +457,7 @@ class DetectionAP:
         return float(np.mean(aps)) if aps else 0.0
 
 
-def make_detection_train_step(swin_cfg, tx, strides=None):
+def make_detection_train_step(swin_cfg, tx, strides=None, with_mask=False):
     """Jitted detection train step: APLA-Swin backbone -> lateral 1x1s ->
     FCOS head -> batched FCOS loss -> optimizer update.  The first-class
     analogue of `make_train_step` for the detection side-car (the reference
@@ -315,8 +465,9 @@ def make_detection_train_step(swin_cfg, tx, strides=None):
     framework's own).
 
     `trainable` = {"backbone": swin trainable, "head": fcos head,
-    "laterals": [conv params]}; batch = {"image" [B,H,W,3],
-    "boxes" [B,M,4] (padded with -1 rows), "labels" [B,M]}."""
+    "laterals": [conv params], + "protonet" when with_mask};
+    batch = {"image" [B,H,W,3], "boxes" [B,M,4] (padded with -1 rows),
+    "labels" [B,M], + "masks" [B,M,Hm,Wm] when with_mask}."""
     import optax
 
     from .swin import swin_features
@@ -332,8 +483,16 @@ def make_detection_train_step(swin_cfg, tx, strides=None):
             feats = swin_features(frozen, batch["image"], swin_cfg,
                                   trainable=t["backbone"])
             outs = fcos_head_forward(feats, t["head"], t["laterals"])
+            protos = gt_masks = None
+            if with_mask:
+                # protonet reads the finest lateral-projected level
+                fin = _conv(feats[0], t["laterals"][0])
+                protos = protonet_forward(fin, t["protonet"])
+                gt_masks = batch["masks"]
             losses = fcos_loss_batch(outs, strides, batch["boxes"],
-                                     batch["labels"])
+                                     batch["labels"], protos=protos,
+                                     gt_masks=gt_masks,
+                                     mask_stride=strides[0])
             return losses["total"], losses
 
         (loss, losses), grads = jax.value_and_grad(

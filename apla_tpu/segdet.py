@@ -300,19 +300,24 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
                     log_every=10, eval_batches=None, seed=0,
                     swin_ckpt=None, val_img_dir=None, val_ann=None,
                     n_devices=1, param_sharding="replicated",
-                    resume=False, eval_only=False, scales=None):
+                    resume=False, eval_only=False, scales=None,
+                    masks=False, n_protos=32):
     """APLA-Swin + FCOS on a COCO-format dataset (reference recipe:
     mask-rcnn_apla_swin-t ... coco.py — Swin backbone with only attn.proj
-    trainable)."""
+    trainable).  `masks=True` matches the recipe's `with_mask=True`:
+    trains the prototype+coefficient instance-mask branch and reports
+    mask mAP@50 beside box mAP@50."""
     from .data.detection_data import CocoDetection, detection_collate
     from .models.detection import (DetectionAP, decode_detections,
                                    fcos_head_forward, init_fcos_head,
-                                   make_detection_train_step, _conv_init)
+                                   init_protonet, protonet_forward,
+                                   make_detection_train_step, _conv,
+                                   _conv_init)
     from .models.swin import SwinConfig, build_apla_swin, init_swin_params, \
         swin_features
 
     ds = CocoDetection(img_dir, ann_file, img_size=img_size,
-                       max_boxes=max_boxes)
+                       max_boxes=max_boxes, with_masks=masks)
     # multi-scale training (reference recipe name: mstrain_480-800): a
     # per-EPOCH scale draw keeps shapes static within each epoch (one
     # compiled step per scale, cached)
@@ -364,11 +369,15 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
         "backbone": bb_t,
         "head": init_fcos_head(keys[0], lat_ch, ds.n_classes,
                                channels=max(lat_ch // 2, 16),
-                               n_levels=n_levels),
+                               n_levels=n_levels,
+                               n_protos=n_protos if masks else 0),
         "laterals": [_conv_init(keys[1 + i], 1, stage_dims[i], lat_ch)
                      for i in range(n_levels)],
     }
     strides = tuple(4 * (2 ** i) for i in range(n_levels))
+    if masks:
+        trainable["protonet"] = init_protonet(
+            jax.random.fold_in(key, 7), lat_ch, n_protos=n_protos)
     mesh, put_batch, place = _mesh_setup(n_devices, param_sharding,
                                          batch_size)
     tx = optax.adamw(lr, weight_decay=weight_decay)
@@ -387,23 +396,33 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
     trainable = place(trainable)
     opt_state = place(opt_state)
     bb_f = place(bb_f, param_sharding)
-    step = make_detection_train_step(cfg, tx, strides=strides)
+    step = make_detection_train_step(cfg, tx, strides=strides,
+                                     with_mask=masks)
 
-    fwd = jax.jit(lambda t, f, im: fcos_head_forward(
-        swin_features(f, im, cfg, trainable=t["backbone"]), t["head"],
-        t["laterals"]))
+    def _fwd(t, f, im):
+        feats = swin_features(f, im, cfg, trainable=t["backbone"])
+        outs = fcos_head_forward(feats, t["head"], t["laterals"])
+        protos = (protonet_forward(_conv(feats[0], t["laterals"][0]),
+                                   t["protonet"]) if masks else None)
+        return outs, protos
+
+    fwd = jax.jit(_fwd)
 
     # a real validation split when provided; otherwise eval reuses the
     # train set and is LABELLED as such (best-checkpoint selection then
     # follows train fit — supply val assets for honest model selection)
     val_ds = (CocoDetection(val_img_dir, val_ann, img_size=img_size,
-                            max_boxes=max_boxes)
+                            max_boxes=max_boxes, with_masks=masks)
               if val_img_dir and val_ann else ds)
     eval_name = "val" if val_ds is not ds else "train"
 
     def evaluate():
+        """Box mAP@50 — and, with masks on, instance-mask mAP@50 (the
+        metric pair of the reference's Mask R-CNN recipe)."""
         from .parallel.mesh import pad_to_multiple
         metric = DetectionAP(ds.n_classes)
+        mask_metric = DetectionAP(ds.n_classes, use_masks=True) \
+            if masks else None
         # eval always at the base size (val_ds may BE the train ds, whose
         # img_size the multi-scale draw mutates per epoch)
         prev_size = val_ds.img_size
@@ -418,20 +437,36 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
             if n < batch_size:  # pad the tail to the compiled shape
                 b, _ = pad_to_multiple(b, batch_size)
             im = put_batch({"image": b["image"]})["image"]
-            outs = fwd(trainable, bb_f, im)
+            outs, protos = fwd(trainable, bb_f, im)
             for j in range(n):
                 per_img = [tuple(o[j:j + 1] for o in lvl) for lvl in outs]
-                boxes, scores, labels = decode_detections(per_img, strides)
                 keep = b["labels"][j] >= 0
+                if masks:
+                    boxes, scores, labels, pmasks = decode_detections(
+                        per_img, strides, protos=protos[j:j + 1],
+                        mask_stride=strides[0])
+                    mask_metric.add_image(
+                        i * batch_size + j, boxes, scores, labels,
+                        b["boxes"][j][keep], b["labels"][j][keep],
+                        pred_masks=pmasks, gt_masks=b["masks"][j][keep])
+                else:
+                    boxes, scores, labels = decode_detections(per_img,
+                                                              strides)
                 metric.add_image(i * batch_size + j, boxes, scores, labels,
                                  b["boxes"][j][keep], b["labels"][j][keep])
         val_ds.img_size = prev_size
-        return metric.mean_ap()
+        box_ap = metric.mean_ap()
+        return (box_ap, mask_metric.mean_ap()) if masks else (box_ap, None)
 
     if eval_only:
-        ap = evaluate()
-        print(f"[det] eval-only: {eval_name} mAP@50 {ap:.4f}")
-        return {"best_map50": ap, "iters": 0, "eval_set": eval_name}
+        ap, mask_ap = evaluate()
+        msg = f"[det] eval-only: {eval_name} mAP@50 {ap:.4f}"
+        out = {"best_map50": ap, "iters": 0, "eval_set": eval_name}
+        if masks:
+            msg += f" mask mAP@50 {mask_ap:.4f}"
+            out["best_mask_map50"] = mask_ap
+        print(msg)
+        return out
 
     if not _has_ckpt(save_dir, "det_frozen"):  # store the backbone ONCE
         _save(save_dir, "det_frozen", {}, bb_f, {})
@@ -440,7 +475,12 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
     logger = RunLogger(save_dir, run_name="det")
     log = lambda rec, step: logger.log(rec, step)
     it, t0 = 0, time.time()
-    best_map = _best_metric(save_dir, "det_best", "map50") if resume else -1.0
+    # with masks on, the best-model race runs on mask mAP (the recipe's
+    # instance-segmentation target); box mAP is always reported beside it
+    best_key = "mask_map50" if masks else "map50"
+    best_map = _best_metric(save_dir, "det_best", best_key) if resume \
+        else -1.0
+    best_box = -1.0
     for epoch in range(start_epoch, epochs):
         if scales:
             # per-epoch seed -> the scale sequence is a pure function of
@@ -450,37 +490,58 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
             print(f"[det] epoch {epoch}: train scale {ds.img_size}")
         loader.set_epoch(epoch)
         for b in loader:
-            batch = put_batch({"image": b["image"], "boxes": b["boxes"],
-                               "labels": b["labels"]})
+            dev_b = {"image": b["image"], "boxes": b["boxes"],
+                     "labels": b["labels"]}
+            if masks:
+                dev_b["masks"] = b["masks"]
+            batch = put_batch(dev_b)
             trainable, opt_state, m = step(trainable, opt_state, bb_f, batch)
             it += 1
             if it % log_every == 0:
                 loss = float(m["total"])
                 rate = it * batch_size / (time.time() - t0)
+                extra = (f" mask {float(m['mask_loss']):.4f}"
+                         if masks else "")
                 print(f"[det] it {it} ep {epoch} "
-                      f"loss {loss:.4f} ({rate:.1f} img/s)")
-                log({"epoch": epoch, "train_loss": round(loss, 5),
-                     "cls_loss": round(float(m["cls_loss"]), 5),
-                     "img_s": round(rate, 1)}, it)
+                      f"loss {loss:.4f}{extra} ({rate:.1f} img/s)")
+                rec = {"epoch": epoch, "train_loss": round(loss, 5),
+                       "cls_loss": round(float(m["cls_loss"]), 5),
+                       "img_s": round(rate, 1)}
+                if masks:
+                    rec["mask_loss"] = round(float(m["mask_loss"]), 5)
+                log(rec, it)
             if preempted():
                 _save(save_dir, "det_last", trainable, None,
-                      {"epoch": epoch - 1, "map50": best_map,
+                      {"epoch": epoch - 1, best_key: best_map,
                        "preempted": True}, opt_state=opt_state)
                 print("[det] preempted — saved det_last, exiting")
                 restore_sig()
                 return {"best_map50": best_map, "iters": it,
                         "preempted": True, "eval_set": eval_name}
-        ap = evaluate()
-        print(f"[det] epoch {epoch}: {eval_name} mAP@50 {ap:.4f}")
-        log({"epoch": epoch, f"{eval_name}_map50": round(ap, 5)}, it)
-        if ap >= best_map:
-            best_map = ap
-            _save(save_dir, "det_best", trainable, bb_f,
-                  {"epoch": epoch, "map50": ap})
-        _save(save_dir, "det_last", trainable, None,
-              {"epoch": epoch, "map50": ap}, opt_state=opt_state)
+        ap, mask_ap = evaluate()
+        sel = mask_ap if masks else ap
+        msg = f"[det] epoch {epoch}: {eval_name} mAP@50 {ap:.4f}"
+        rec = {"epoch": epoch, f"{eval_name}_map50": round(ap, 5)}
+        if masks:
+            msg += f" mask mAP@50 {mask_ap:.4f}"
+            rec[f"{eval_name}_mask_map50"] = round(mask_ap, 5)
+        print(msg)
+        log(rec, it)
+        meta = {"epoch": epoch, "map50": ap}
+        if masks:
+            meta["mask_map50"] = mask_ap
+        if sel >= best_map:
+            best_map = sel
+            best_box = ap
+            _save(save_dir, "det_best", trainable, bb_f, meta)
+        _save(save_dir, "det_last", trainable, None, meta,
+              opt_state=opt_state)
     restore_sig()
-    return {"best_map50": best_map, "iters": it, "eval_set": eval_name}
+    out = {"best_map50": best_box if masks else best_map, "iters": it,
+           "eval_set": eval_name}
+    if masks:
+        out["best_mask_map50"] = best_map
+    return out
 
 
 def main(argv=None):
@@ -543,6 +604,11 @@ def main(argv=None):
                     help="comma list for multi-scale training (reference "
                          "mstrain; per-epoch draw, e.g. 196,224,252 — "
                          "must divide by patch*window*2^(stages-1), e.g. 224/448 for the 4-stage w7 recipe)")
+    pd.add_argument("--masks", action="store_true",
+                    help="train the instance-mask branch and report mask "
+                         "mAP@50 (reference recipe with_mask=True)")
+    pd.add_argument("--n_protos", type=int, default=32,
+                    help="prototype-mask channels for --masks")
     args = p.parse_args(argv)
     if args.task == "seg":
         out = train_segmentation(
@@ -565,7 +631,8 @@ def main(argv=None):
             window_size=args.window_size,
             n_devices=args.n_devices, param_sharding=args.param_sharding,
             resume=args.resume, eval_only=args.eval_only,
-            scales=(args.scales.split(",") if args.scales else None))
+            scales=(args.scales.split(",") if args.scales else None),
+            masks=args.masks, n_protos=args.n_protos)
     print(json.dumps(out))
 
 

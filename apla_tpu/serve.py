@@ -211,8 +211,11 @@ def export_detector(path: str, trainable, frozen, swin_cfg, strides,
     Programs compute the RAW per-level maps (cls_logits [B,H,W,K],
     box [B,H,W,4], ctr [B,H,W,1]) — score/NMS decoding is host-side and
     per-image (`models/detection.decode_detections`), so it stays out of
-    the compiled program; `DetPredictor.detect` runs it."""
-    from .models.detection import fcos_head_forward
+    the compiled program; `DetPredictor.detect` runs it.  Checkpoints
+    trained with the instance-mask branch (`segdet det --masks`) export
+    coefficient maps per level plus prototype masks; `detect` then also
+    returns per-instance masks."""
+    from .models.detection import _conv, fcos_head_forward, protonet_forward
     from .models.swin import swin_features
 
     frozen = _maybe_quantize(frozen, quantize_frozen)
@@ -221,12 +224,18 @@ def export_detector(path: str, trainable, frozen, swin_cfg, strides,
 
     host_t, host_f = _to_host(trainable), _to_host(frozen)
     _write_params(path, host_t, host_f)
+    with_masks = "protonet" in host_t
 
     def fwd(tr, fz, images):
         feats = swin_features(fz, images, swin_cfg,
                               trainable=tr["backbone"])
         outs = fcos_head_forward(feats, tr["head"], tr.get("laterals"))
-        return [tuple(o.astype(jnp.float32) for o in lvl) for lvl in outs]
+        levels = [tuple(o.astype(jnp.float32) for o in lvl) for lvl in outs]
+        if with_masks:
+            protos = protonet_forward(_conv(feats[0], tr["laterals"][0]),
+                                      tr["protonet"])
+            return {"levels": levels, "protos": protos.astype(jnp.float32)}
+        return levels
 
     n_classes = int(np.shape(host_t["head"]["cls"]["bias"])[0])
     img = int(swin_cfg.img_size)
@@ -238,6 +247,7 @@ def export_detector(path: str, trainable, frozen, swin_cfg, strides,
         "img_size": img,
         "n_classes": n_classes,
         "strides": [int(s) for s in strides],
+        "with_masks": with_masks,
         "batch_sizes": batch_sizes,
         "platforms": list(platforms) if platforms else [jax.default_backend()],
         "quantized_frozen": bool(quantize_frozen),
@@ -398,48 +408,76 @@ class SegPredictor(Predictor):
 
 class DetPredictor(Predictor):
     """Executes a detection artifact: programs return raw per-level FCOS
-    maps; `detect` decodes them per image on host (sigmoid + score
-    threshold + greedy NMS)."""
+    maps (plus prototype masks for --masks exports); `detect` decodes them
+    per image on host (sigmoid + score threshold + greedy NMS, and
+    prototype-mask assembly when present)."""
+
+    @staticmethod
+    def _split(outs):
+        """Program output -> (levels, protos-or-None); mask exports wrap
+        the per-level maps in {'levels': ..., 'protos': ...}."""
+        if isinstance(outs, dict):
+            return outs["levels"], outs["protos"]
+        return outs, None
 
     def _run_chunks(self, images: np.ndarray):
-        chunks = []
+        chunks, proto_chunks = [], []
         for b, m, chunk in self._iter_chunks(images):
-            outs = self._programs[b].call(
+            levels, protos = self._split(self._programs[b].call(
                 self._params["trainable"], self._params["frozen"],
-                jnp.asarray(chunk))
+                jnp.asarray(chunk)))
             chunks.append([tuple(np.asarray(o)[:m] for o in lvl)
-                           for lvl in outs])
+                           for lvl in levels])
+            if protos is not None:
+                proto_chunks.append(np.asarray(protos)[:m])
         if not chunks:
             # empty request: run the smallest program on zeros so the
             # per-level output shapes are still correct (trimmed to 0)
             img = self.meta["img_size"]
             b = self.batch_sizes[0]
-            outs = self._programs[b].call(
+            levels, protos = self._split(self._programs[b].call(
                 self._params["trainable"], self._params["frozen"],
-                jnp.zeros((b, img, img, 3), jnp.float32))
+                jnp.zeros((b, img, img, 3), jnp.float32)))
             chunks.append([tuple(np.asarray(o)[:0] for o in lvl)
-                           for lvl in outs])
+                           for lvl in levels])
+            if protos is not None:
+                proto_chunks.append(np.asarray(protos)[:0])
+        arity = len(chunks[0][0])
         # concat chunks per level/output along the batch dim
-        return [tuple(np.concatenate([c[lvl][j] for c in chunks])
-                      for j in range(3))
-                for lvl in range(len(chunks[0]))]
+        levels = [tuple(np.concatenate([c[lvl][j] for c in chunks])
+                        for j in range(arity))
+                  for lvl in range(len(chunks[0]))]
+        protos = np.concatenate(proto_chunks) if proto_chunks else None
+        return levels, protos
 
     def predict(self, images: np.ndarray):
         """[n, H, W, 3] -> per-level raw maps
-        [(cls_logits [n,H_l,W_l,K], box [n,H_l,W_l,4], ctr [n,H_l,W_l,1])]."""
-        return self._run_chunks(images)
+        [(cls_logits [n,H_l,W_l,K], box [n,H_l,W_l,4], ctr [n,H_l,W_l,1])]
+        (+ a coefficient map per level for mask exports; `predict_protos`
+        exposes the prototype tensor)."""
+        return self._run_chunks(images)[0]
+
+    def predict_protos(self, images: np.ndarray):
+        """[n, H, W, 3] -> prototype masks [n, Hm, Wm, P] (mask exports)."""
+        return self._run_chunks(images)[1]
 
     def detect(self, images: np.ndarray, score_thresh=0.05, top_k=100):
         """[n, H, W, 3] -> list of n (boxes [M,4], scores [M], labels [M])
-        tuples (host-side decode + NMS per image)."""
+        tuples — (boxes, scores, labels, masks [M,Hm,Wm] bool) for mask
+        exports (host-side decode + NMS per image)."""
         from .models.detection import decode_detections
-        levels = self._run_chunks(images)
+        levels, protos = self._run_chunks(images)
+        strides = self.meta["strides"]
         out = []
         for j in range(images.shape[0]):
             per_img = [tuple(o[j:j + 1] for o in lvl) for lvl in levels]
-            out.append(decode_detections(per_img, self.meta["strides"],
+            kw = {}
+            if protos is not None:
+                kw = {"protos": protos[j:j + 1],
+                      "mask_stride": strides[0]}
+            out.append(decode_detections(per_img, strides,
                                          score_thresh=score_thresh,
-                                         top_k=top_k))
+                                         top_k=top_k, **kw))
         return out
 
     def embed(self, images):
@@ -632,23 +670,36 @@ def main(argv=None):
         from .data.loader import DataLoader
         from .models.detection import DetectionAP
         img = pred.meta["img_size"]
-        ds = CocoDetection(args.det_img_dir, args.det_ann, img_size=img)
+        with_masks = bool(pred.meta.get("with_masks"))
+        strides = pred.meta.get("strides", [4])
+        ds = CocoDetection(args.det_img_dir, args.det_ann, img_size=img,
+                           with_masks=with_masks, mask_stride=strides[0])
         bsz = max(pred.batch_sizes)
         vloader = DataLoader(ds, batch_size=bsz, shuffle=False,
                              drop_last=False, num_workers=2,
                              collate_fn=detection_collate)
         metric = DetectionAP(ds.n_classes)
+        mask_metric = DetectionAP(ds.n_classes, use_masks=True) \
+            if with_masks else None
         n_seen = 0
         for bi, b in enumerate(vloader):
             dets = pred.detect(np.asarray(b["image"], np.float32))
-            for j, (boxes, scores, labels) in enumerate(dets):
+            for j, det in enumerate(dets):
+                boxes, scores, labels = det[:3]
                 keep = b["labels"][j] >= 0
                 metric.add_image(bi * bsz + j, boxes, scores, labels,
                                  b["boxes"][j][keep], b["labels"][j][keep])
+                if with_masks:
+                    mask_metric.add_image(
+                        bi * bsz + j, boxes, scores, labels,
+                        b["boxes"][j][keep], b["labels"][j][keep],
+                        pred_masks=det[3], gt_masks=b["masks"][j][keep])
                 n_seen += 1
         print(f"EVAL RESULTS (val, {n_seen} samples, "
               f"artifact {args.artifact})")
         print(f"  val_map50 : {round(metric.mean_ap(), 4)}")
+        if with_masks:
+            print(f"  val_mask_map50 : {round(mask_metric.mean_ap(), 4)}")
         return
 
     if args.cmd == "eval" and args.seg_root:
@@ -797,10 +848,15 @@ def main(argv=None):
         if task == "detector":
             dets = pred.detect(x, score_thresh=args.score_thresh,
                                top_k=args.max_dets)
-            recs = [{"image": i, "boxes": np.asarray(boxes).tolist(),
-                     "scores": np.round(np.asarray(scores), 4).tolist(),
-                     "labels": np.asarray(labels).tolist()}
-                    for i, (boxes, scores, labels) in enumerate(dets)]
+            recs = []
+            for i, det in enumerate(dets):
+                boxes, scores, labels = det[:3]
+                rec = {"image": i, "boxes": np.asarray(boxes).tolist(),
+                       "scores": np.round(np.asarray(scores), 4).tolist(),
+                       "labels": np.asarray(labels).tolist()}
+                if len(det) == 4:  # mask export: [M, Hm, Wm] 0/1 grids
+                    rec["masks"] = np.asarray(det[3], np.uint8).tolist()
+                recs.append(rec)
             for rec in recs:
                 print(json.dumps(rec))
             if args.out:

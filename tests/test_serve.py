@@ -234,6 +234,63 @@ def test_detector_export_round_trip(tmp_path):
                                        rtol=1e-4, atol=1e-4)
 
 
+def test_detector_mask_export_round_trip(tmp_path):
+    """A --masks checkpoint (protonet in the trainable tree) exports
+    coefficient maps + prototype tensors; `detect` returns instance
+    masks (reference recipe `with_mask=True`)."""
+    from apla_tpu.models.detection import (_conv, _conv_init,
+                                           fcos_head_forward,
+                                           init_fcos_head, init_protonet,
+                                           protonet_forward)
+    from apla_tpu.models.swin import (SwinConfig, build_apla_swin,
+                                      init_swin_params, swin_features)
+    from apla_tpu.serve import DetPredictor, export_detector
+
+    cfg = SwinConfig(img_size=56, patch_size=4, embed_dim=32,
+                     depths=(2, 2), num_heads=(2, 4), window_size=7,
+                     compute_dtype=jnp.float32)
+    swin_params = init_swin_params(jax.random.PRNGKey(0), cfg)
+    bb_t, bb_f = build_apla_swin(swin_params)
+    trainable = {
+        "backbone": bb_t,
+        "head": init_fcos_head(jax.random.PRNGKey(1), 32, 3, channels=16,
+                               n_levels=2, n_protos=8),
+        "laterals": [_conv_init(jax.random.PRNGKey(5), 1, 32, 32),
+                     _conv_init(jax.random.PRNGKey(6), 1, 64, 32)],
+        "protonet": init_protonet(jax.random.PRNGKey(7), 32, n_protos=8,
+                                  channels=16),
+    }
+    strides = (4, 8)
+    path = str(tmp_path / "det_mask_artifact")
+    meta = export_detector(path, trainable, bb_f, cfg, strides,
+                           batch_sizes=(2,))
+    assert meta["with_masks"] is True
+
+    pred = load_predictor(path)
+    assert isinstance(pred, DetPredictor)
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(2), (3, 56, 56, 3)),
+                   np.float32)
+    feats = swin_features(bb_f, jnp.asarray(x), cfg, trainable=bb_t)
+    live = fcos_head_forward(feats, trainable["head"],
+                             trainable["laterals"])
+    live_protos = protonet_forward(
+        _conv(feats[0], trainable["laterals"][0]), trainable["protonet"])
+    got = pred.predict(x)
+    assert all(len(lvl) == 4 for lvl in got)  # coef map per level
+    for lvl in range(2):
+        for j in range(4):
+            np.testing.assert_allclose(got[lvl][j],
+                                       np.asarray(live[lvl][j]),
+                                       rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(pred.predict_protos(x),
+                               np.asarray(live_protos),
+                               rtol=1e-4, atol=1e-4)
+    dets = pred.detect(x, score_thresh=0.0, top_k=5)
+    assert len(dets) == 3
+    boxes, scores, labels, masks = dets[0]
+    assert masks.shape == (len(boxes), 14, 14) and masks.dtype == bool
+
+
 def test_cli_predict(artifact, tmp_path, capsys):
     """`python -m apla_tpu.serve predict`: .npy batch and image-file
     inputs through a classifier artifact."""
