@@ -108,9 +108,12 @@ def apla_attention(x, frozen, trainable, num_heads, scale=None, attn_drop=0.0,
     B, N, C = x.shape
     if use_fused and attn_drop == 0.0:
         from .pallas_apla_attn import (fused_apla_attention, fused_available,
-                                       fused_fits, fused_min_n)
-        if (fused_available() and N >= fused_min_n()
-                and fused_fits(N, C, trainable["proj_wt"].shape[-1])):
+                                       fused_fits, fused_min_n,
+                                       small_n_fused_ok)
+        k_tr = trainable["proj_wt"].shape[-1]
+        if (fused_available()
+                and (N >= fused_min_n() or small_n_fused_ok(B, N, C, k_tr))
+                and fused_fits(N, C, k_tr)):
             from .quant import maybe_quantized_dot
             head_dim = C // num_heads
             qkv = maybe_quantized_dot(x, frozen["qkv"]["kernel"],

@@ -193,6 +193,14 @@ def _bwd_bytes(bb: int, np_: int, c: int, kp: int) -> int:
 # (937.5 img/s, +9% over XLA).
 _STAGING_SAFE_B = 8
 
+# Below this padded sequence length the N=272 envelope above does not
+# apply: per-image VMEM blocks are ~18x smaller, so MANY images must share
+# one grid step or per-step work is too small to amortise Pallas overhead
+# (the round-3 20x loss at the DINOv2 50-token local crops ran BB<=2).
+# The small-N policy folds crops x images into the batch-grid dimension
+# (VERDICT r3 item 7) and is VMEM-capped, not envelope-capped.
+_SMALL_NP = 128
+
 
 def _cap_bb(bb: int, b: int, bytes_fn) -> int:
     bb = _pick_bb(b, bb)
@@ -204,13 +212,20 @@ def _cap_bb(bb: int, b: int, bytes_fn) -> int:
 def effective_bb_fwd(b: int, np_: int, c: int) -> int:
     """Images per FORWARD grid step — the single source of truth (the
     experiment harnesses log this instead of re-deriving the policy).
-    Only BB in {1, 2} has ever compiled on hardware; BB=3 shapes (batches
-    divisible by 3) were never validated, so the ceiling is 2."""
+    At recipe N (272): only BB in {1, 2} has ever compiled on hardware;
+    BB=3 shapes (batches divisible by 3) were never validated, so the
+    ceiling is 2.  At small N (local crops): VMEM-capped, large BB."""
+    if np_ <= _SMALL_NP:
+        return _cap_bb(_env_bb("APLA_FUSED_BB_FWD_SMALL", 8), b,
+                       lambda bb: _fwd_bytes(bb, np_, c))
     return _cap_bb(min(_env_bb("APLA_FUSED_BB_FWD", 2), 2), b,
                    lambda bb: _fwd_bytes(bb, np_, c))
 
 
 def effective_bb_bwd(b: int, np_: int, c: int, kp: int) -> int:
+    if np_ <= _SMALL_NP:
+        return _cap_bb(_env_bb("APLA_FUSED_BB_BWD_SMALL", 8), b,
+                       lambda bb: _bwd_bytes(bb, np_, c, kp))
     req = _env_bb("APLA_FUSED_BB_BWD", 2)
     if b != _STAGING_SAFE_B:
         # bwd BB=2 compiles only in the measured micro-b8 envelope; both
@@ -220,17 +235,36 @@ def effective_bb_bwd(b: int, np_: int, c: int, kp: int) -> int:
     return _cap_bb(req, b, lambda bb: _bwd_bytes(bb, np_, c, kp))
 
 
-# Below this many tokens the kernel's per-grid-step work is too small to
-# amortise Pallas overhead and the padded 8-sublane blocks underfill the
-# MXU — XLA's batched attention wins (the DINOv2 50-token local crops
-# measured 7.1 img/s fused vs 141.2 XLA, r3_pack_dinov2.jsonl).  Static
-# gate: sequence length is a Python int under jit.
+# Below this many tokens the kernel needs the small-N BB fold (many images
+# per grid step) to amortise Pallas overhead — round 3's BB<=2 dispatch at
+# the DINOv2 50-token local crops measured 7.1 img/s fused vs 141.2 XLA
+# (r3_pack_dinov2.jsonl).  Static gate: sequence length is a Python int
+# under jit.  Sequences below the gate are ADMITTED when the fold is deep
+# enough (`small_n_fused_ok`); APLA_FUSED_MIN_N=0 force-admits everything.
 FUSED_MIN_N = 128
 
 
 def fused_min_n() -> int:
     import os
     return int(os.environ.get("APLA_FUSED_MIN_N", FUSED_MIN_N))
+
+
+# Step-level wins were measured at BB>=4 only (r4_smalln_attn.jsonl: the
+# full DINOv2 b8 step runs 159.1 img/s at BB=4 and 162.4 at BB=8 vs 150.4
+# with locals on XLA); shallower folds were never step-validated, so they
+# fall back to XLA.
+_SMALL_BB_MIN = 4
+
+
+def small_n_fused_ok(b: int, n: int, c: int, k: int = 128) -> bool:
+    """Small-N admission: below FUSED_MIN_N the kernel wins only when the
+    batch dimension folds >= _SMALL_BB_MIN images into each grid step in
+    BOTH directions (DINOv2 local crops arrive as batch x n_crops images,
+    so the fold is deep in the regime that matters)."""
+    np_ = _pad_to(n, 16)
+    kp = _pad_to(min(k, c), 128)
+    return (effective_bb_fwd(b, np_, c) >= _SMALL_BB_MIN
+            and effective_bb_bwd(b, np_, c, kp) >= _SMALL_BB_MIN)
 
 
 def fused_available() -> bool:

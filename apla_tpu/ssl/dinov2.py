@@ -458,8 +458,13 @@ def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
             if not separate_head and do_ibot:
                 head_in.append(s_masked)
             sizes = [h.shape[0] for h in head_in]
+            # norm_last_layer=False: the dinov2 DINOHead's weight-norm
+            # magnitude `g` is a TRAINABLE parameter (dino_head.py:28 only
+            # fills it with 1, nothing freezes it) — unlike DINO v1's
+            # norm_last_layer option
             outs = dino_head_forward(jnp.concatenate(head_in, axis=0),
-                                     trainable["dino_head"])
+                                     trainable["dino_head"],
+                                     norm_last_layer=False)
             splits = np.cumsum(sizes)[:-1]
             parts = jnp.split(outs, splits, axis=0)
             s_cls_g_out = parts[0]
@@ -468,7 +473,8 @@ def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
                 s_masked_out = None
             elif separate_head:
                 s_masked_out = dino_head_forward(s_masked,
-                                                 trainable["ibot_head"])
+                                                 trainable["ibot_head"],
+                                                 norm_last_layer=False)
             else:
                 s_masked_out = parts[-1]
 
@@ -600,9 +606,12 @@ def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
             loss_dict = {k: v / accum_steps for k, v in ld_sum.items()}
             grads = jax.tree.map(lambda g: g / accum_steps, grads)
         if freeze_last_layer:
+            # reference cancel_gradients("student.dino_head.last_layer")
+            # covers BOTH weight-norm leaves (weight_v AND weight_g)
             grads = jax.tree_util.tree_map_with_path(
                 lambda path, g: (jnp.zeros_like(g)
-                                 if any(getattr(p, "key", None) == "last_v"
+                                 if any(getattr(p, "key", None)
+                                        in ("last_v", "last_g")
                                         for p in path) else g), grads)
         opt_state = set_lr(state.opt_state, lr, wd)
         updates, opt_state = tx.update(grads, opt_state, state.trainable)

@@ -16,7 +16,7 @@ from apla_tpu.ops.pallas_apla_attn import (_bwd_bytes, _fwd_bytes,
                                            _vmem_budget, effective_bb_bwd,
                                            effective_bb_fwd, fused_fits,
                                            fused_min_n, FUSED_MIN_N,
-                                           _pad_to)
+                                           small_n_fused_ok, _pad_to)
 
 # the recipe geometry: ViT-B/14 @224 -> N=257 padded, C=768, K=128
 NP_VITB = _pad_to(257, 16)
@@ -77,8 +77,43 @@ def test_vitg_needs_vmem_override():
 
 
 def test_min_n_gate():
-    """50-token local crops must never route to the kernel (20x loss,
-    r3_pack_dinov2.jsonl); 257-token globals must pass the gate."""
+    """Below FUSED_MIN_N the kernel routes only through the small-N fold
+    admission; 257-token globals always pass the gate."""
     assert FUSED_MIN_N == 128
     assert fused_min_n() == 128
     assert 50 < FUSED_MIN_N <= 257
+
+
+def test_small_n_fold_policy():
+    """The DINOv2 local-crop regime (b8 recipe -> 64 images of 50 tokens,
+    pad 64) folds BB=8 both directions and is admitted — the r4 step-level
+    win (162.4 vs 150.4 img/s, r4_smalln_attn.jsonl)."""
+    assert effective_bb_fwd(64, 64, C_VITB) == 8
+    assert effective_bb_bwd(64, 64, C_VITB, KP_VITB) == 8
+    assert small_n_fused_ok(64, 50, C_VITB)
+
+
+def test_small_n_fold_is_vmem_capped():
+    """A requested 16-fold exceeds the 12 MB budget at the ViT-B local-crop
+    geometry and must cap back to 8 (the chain_fused_local_bb16 run logged
+    effective [8, 8])."""
+    import os
+    os.environ["APLA_FUSED_BB_FWD_SMALL"] = "16"
+    os.environ["APLA_FUSED_BB_BWD_SMALL"] = "16"
+    try:
+        assert _fwd_bytes(16, 64, C_VITB) > _vmem_budget()
+        assert effective_bb_fwd(64, 64, C_VITB) == 8
+        assert effective_bb_bwd(64, 64, C_VITB, KP_VITB) == 8
+    finally:
+        del os.environ["APLA_FUSED_BB_FWD_SMALL"]
+        del os.environ["APLA_FUSED_BB_BWD_SMALL"]
+
+
+def test_small_n_shallow_fold_rejected():
+    """Small batches cannot fold deep enough at small N; BB<4 was never
+    step-validated as a win, so the admission must refuse them (the XLA
+    path serves these shapes)."""
+    assert not small_n_fused_ok(2, 50, C_VITB)
+    assert not small_n_fused_ok(3, 50, C_VITB)
+    # prime batch sizes cannot fold (divisibility), whatever their size
+    assert not small_n_fused_ok(61, 50, C_VITB)

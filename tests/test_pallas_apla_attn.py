@@ -115,6 +115,62 @@ def test_fused_backward_parity():
                                    rtol=5e-3, atol=5e-3, err_msg=name)
 
 
+def test_small_n_bb_fold_parity():
+    """The small-N policy folds 8 images per grid step (DINOv2 local-crop
+    regime); B=16 runs a 2-step grid so the cross-grid dW_t accumulation is
+    exercised.  Forward and all cotangents must match the separate-ops
+    oracle."""
+    qkv, w_t, b_t, w_frozen, b_frozen, inds, H, scale = _make(B=16, N=50)
+    from apla_tpu.ops.pallas_apla_attn import effective_bb_fwd
+    assert effective_bb_fwd(16, 64, qkv.shape[-1] // 3) == 8
+
+    def loss_fused(qkv, w_t, b_t):
+        o = fused_apla_attention(qkv, w_t, b_t, w_frozen, b_frozen, inds,
+                                 H, scale)
+        return jnp.sum(o ** 2)
+
+    def loss_ref(qkv, w_t, b_t):
+        o = _ref_forward(qkv, w_t, b_t, w_frozen, b_frozen, inds, H, scale)
+        return jnp.sum(o ** 2)
+
+    out = fused_apla_attention(qkv, w_t, b_t, w_frozen, b_frozen, inds,
+                               H, scale)
+    ref = _ref_forward(qkv, w_t, b_t, w_frozen, b_frozen, inds, H, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(qkv, w_t, b_t)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(qkv, w_t, b_t)
+    for a, b, name in zip(g1, g2, ("d_qkv", "dW_t", "db_t")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3, err_msg=name)
+
+
+def test_small_n_admission_routes_to_kernel(monkeypatch):
+    """With the default gate in place (no env override), a deep-folding
+    small-N batch must route THROUGH apla_attention to the fused kernel —
+    the r4 DINOv2 local-crop win depends on this admission."""
+    from apla_tpu.ops.attention import apla_attention
+
+    monkeypatch.delenv("APLA_FUSED_MIN_N", raising=False)
+    qkv, w_t, b_t, w_frozen, b_frozen, inds, H, scale = _make(B=16, N=50)
+    calls = []
+    real = pallas_apla_attn.fused_apla_attention
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(pallas_apla_attn, "fused_apla_attention", spy)
+    C = w_frozen.shape[0]
+    x = jax.random.normal(jax.random.PRNGKey(11), (16, 50, C))
+    frozen = {"qkv": {"kernel": jax.random.normal(
+        jax.random.PRNGKey(12), (C, 3 * C)) * 0.05},
+        "proj": {"kernel": w_frozen, "bias": b_frozen}, "inds": inds}
+    trainable = {"proj_wt": w_t, "proj_bt": b_t}
+    apla_attention(x, frozen, trainable, H, scale=scale, use_fused=True)
+    assert calls, "deep-folding small-N batch did not route to the kernel"
+
+
 def test_frozen_receives_no_gradient():
     qkv, w_t, b_t, w_frozen, b_frozen, inds, H, scale = _make()
 
