@@ -114,6 +114,49 @@ def test_fused_backward_parity_and_envelope_on_chip():
         assert np.abs(a - b).max() / denom < 0.08, name
 
 
+def test_fused_small_n_fold_parity_on_chip():
+    """The round-4 small-N policy at the DINOv2 local-crop geometry
+    (N=50 -> pad 64, B=64 = b8 x 8 crops, BB=8 fold both directions) —
+    fwd + bwd numerics vs the XLA oracle on real hardware.  This is the
+    shipped DINOv2 default (attention.small_n_fused_ok); a Mosaic/XLA
+    change that breaks the deep-fold dispatch fails HERE, not in the
+    DINOv2 bench."""
+    _require_tpu()
+    from apla_tpu.ops.pallas_apla_attn import (effective_bb_bwd,
+                                               effective_bb_fwd,
+                                               fused_apla_attention,
+                                               small_n_fused_ok)
+    qkv, w_t, b_t, w_frozen, b_frozen, inds, H, scale = _recipe_args(
+        B=64, N=50)
+    assert effective_bb_fwd(64, 64, 768) == 8
+    assert effective_bb_bwd(64, 64, 768, 128) == 8
+    assert small_n_fused_ok(64, 50, 768)
+
+    out = jax.jit(fused_apla_attention, static_argnums=(6, 7, 8))(
+        qkv, w_t, b_t, w_frozen, b_frozen, inds, H, scale)
+    ref = jax.jit(_xla_oracle, static_argnums=(6, 7))(
+        qkv, w_t, b_t, w_frozen, b_frozen, inds, H, scale)
+    out_f, ref_f = np.asarray(out, np.float32), np.asarray(ref, np.float32)
+    denom = max(np.abs(ref_f).max(), 1e-3)
+    assert np.abs(out_f - ref_f).max() / denom < 0.05
+
+    def loss_fused(qkv, w_t, b_t):
+        o = fused_apla_attention(qkv, w_t, b_t, w_frozen, b_frozen, inds,
+                                 H, scale)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def loss_ref(qkv, w_t, b_t):
+        o = _xla_oracle(qkv, w_t, b_t, w_frozen, b_frozen, inds, H, scale)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    g1 = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2)))(qkv, w_t, b_t)
+    g2 = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(qkv, w_t, b_t)
+    for a, b, name in zip(g1, g2, ("d_qkv", "dW_t", "db_t")):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        denom = max(np.abs(b).max(), 1e-3)
+        assert np.abs(a - b).max() / denom < 0.08, name
+
+
 def test_fused_bwd_conservative_path_compiles():
     """Off-micro-b8 batches must pick bwd BB=1 and still compile+run."""
     _require_tpu()
