@@ -209,23 +209,40 @@ def _cap_bb(bb: int, b: int, bytes_fn) -> int:
     return bb
 
 
+# Fold depths ever compiled+measured on hardware in the small-N regime
+# (r4_smalln_attn.jsonl ran 4 and 8; 1 and 2 are round 3's slow-but-valid
+# dispatch).  Odd depths like 5/6/7 — reachable via divisibility for e.g.
+# b=20 — were NEVER Mosaic-compiled; an unvalidated block shape must not
+# be selectable, or a compile failure aborts the training job instead of
+# falling back to XLA.
+_SMALL_BB_LADDER = (8, 4, 2, 1)
+
+
+def _cap_bb_small(bb: int, b: int, bytes_fn) -> int:
+    for cand in _SMALL_BB_LADDER:
+        if cand <= bb and b % cand == 0 and bytes_fn(cand) <= _vmem_budget():
+            return cand
+    return 1
+
+
 def effective_bb_fwd(b: int, np_: int, c: int) -> int:
     """Images per FORWARD grid step — the single source of truth (the
     experiment harnesses log this instead of re-deriving the policy).
     At recipe N (272): only BB in {1, 2} has ever compiled on hardware;
     BB=3 shapes (batches divisible by 3) were never validated, so the
-    ceiling is 2.  At small N (local crops): VMEM-capped, large BB."""
+    ceiling is 2.  At small N (local crops): VMEM-capped, large BB from
+    the validated ladder."""
     if np_ <= _SMALL_NP:
-        return _cap_bb(_env_bb("APLA_FUSED_BB_FWD_SMALL", 8), b,
-                       lambda bb: _fwd_bytes(bb, np_, c))
+        return _cap_bb_small(_env_bb("APLA_FUSED_BB_FWD_SMALL", 8), b,
+                             lambda bb: _fwd_bytes(bb, np_, c))
     return _cap_bb(min(_env_bb("APLA_FUSED_BB_FWD", 2), 2), b,
                    lambda bb: _fwd_bytes(bb, np_, c))
 
 
 def effective_bb_bwd(b: int, np_: int, c: int, kp: int) -> int:
     if np_ <= _SMALL_NP:
-        return _cap_bb(_env_bb("APLA_FUSED_BB_BWD_SMALL", 8), b,
-                       lambda bb: _bwd_bytes(bb, np_, c, kp))
+        return _cap_bb_small(_env_bb("APLA_FUSED_BB_BWD_SMALL", 8), b,
+                             lambda bb: _bwd_bytes(bb, np_, c, kp))
     req = _env_bb("APLA_FUSED_BB_BWD", 2)
     if b != _STAGING_SAFE_B:
         # bwd BB=2 compiles only in the measured micro-b8 envelope; both
@@ -260,7 +277,13 @@ def small_n_fused_ok(b: int, n: int, c: int, k: int = 128) -> bool:
     """Small-N admission: below FUSED_MIN_N the kernel wins only when the
     batch dimension folds >= _SMALL_BB_MIN images into each grid step in
     BOTH directions (DINOv2 local crops arrive as batch x n_crops images,
-    so the fold is deep in the regime that matters)."""
+    so the fold is deep in the regime that matters).
+    APLA_FUSED_SMALLN=0 disables the fold entirely (the round-3 gate
+    behaviour — small sequences always fall back to XLA); used by the
+    experiment harnesses as the measurement control."""
+    import os
+    if os.environ.get("APLA_FUSED_SMALLN", "1") == "0":
+        return False
     np_ = _pad_to(n, 16)
     kp = _pad_to(min(k, c), 128)
     return (effective_bb_fwd(b, np_, c) >= _SMALL_BB_MIN

@@ -480,7 +480,11 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
     best_key = "mask_map50" if masks else "map50"
     best_map = _best_metric(save_dir, "det_best", best_key) if resume \
         else -1.0
-    best_box = -1.0
+    # the best checkpoint's box mAP is reported beside the mask selection
+    # metric; on resume it must come from the checkpoint meta, or a run
+    # whose resumed epochs never beat the saved best reports -1.0
+    best_box = _best_metric(save_dir, "det_best", "map50") if resume \
+        else -1.0
     for epoch in range(start_epoch, epochs):
         if scales:
             # per-epoch seed -> the scale sequence is a pure function of
@@ -516,8 +520,12 @@ def train_detection(img_dir, ann_file, epochs=12, img_size=224,
                        "preempted": True}, opt_state=opt_state)
                 print("[det] preempted — saved det_last, exiting")
                 restore_sig()
-                return {"best_map50": best_map, "iters": it,
-                        "preempted": True, "eval_set": eval_name}
+                out = {"best_map50": best_box if masks else best_map,
+                       "iters": it, "preempted": True,
+                       "eval_set": eval_name}
+                if masks:
+                    out["best_mask_map50"] = best_map
+                return out
         ap, mask_ap = evaluate()
         sel = mask_ap if masks else ap
         msg = f"[det] epoch {epoch}: {eval_name} mAP@50 {ap:.4f}"

@@ -250,6 +250,14 @@ def _probe_backend(timeout_s: int) -> str | None:
 
 
 def main():
+    # register as THE TPU client so concurrent pollers (r4_scaling --watch)
+    # defer their backend probes instead of wedging this run
+    from apla_tpu.utils.tpu_client_lock import tpu_client
+    with tpu_client("bench"):
+        _main()
+
+
+def _main():
     err = _probe_backend(int(os.environ.get("BENCH_INIT_TIMEOUT", 300)))
     if err:
         print(json.dumps({

@@ -334,6 +334,10 @@ ROWS = {
 # ------------------------------------------------------------------ #
 
 def _device_count():
+    """Probe the backend's device count in a subprocess.  NOTE: the probe
+    IS a TPU client (one client at a time through the axon tunnel) — the
+    watch loop must not fire it while another registered client runs, or
+    it wedges that job (CLAUDE.md).  Callers gate on tpu_client_busy()."""
     code = ("import jax,sys\n"
             "sys.stdout.write(str(len(jax.devices())))")
     env = dict(os.environ)
@@ -346,11 +350,13 @@ def _device_count():
 
 
 def run_row(name, chips):
+    from apla_tpu.utils.tpu_client_lock import tpu_client
     code = (f"import sys; sys.path.insert(0, {HERE!r})\n"
             f"from r4_scaling import {ROWS[name][0].__name__}, emit\n"
             f"emit({ROWS[name][0].__name__}({chips}))\n")
-    r = subprocess.run([sys.executable, "-c", code], env=dict(os.environ),
-                       timeout=3600)
+    with tpu_client(f"r4_scaling:{name}x{chips}"):
+        r = subprocess.run([sys.executable, "-c", code],
+                           env=dict(os.environ), timeout=3600)
     if r.returncode != 0:
         emit({"row": name, "chips": chips, "error": f"rc={r.returncode}"})
 
@@ -365,7 +371,13 @@ def main():
     args = ap.parse_args()
 
     if args.watch:
+        from apla_tpu.utils.tpu_client_lock import tpu_client_busy
         while True:
+            holder = tpu_client_busy()
+            if holder:
+                print(f"[watch] TPU busy ({holder}) — deferring probe")
+                time.sleep(300)
+                continue
             n = _device_count()
             print(f"[watch] devices: {n}")
             if n > 1:

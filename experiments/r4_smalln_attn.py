@@ -200,13 +200,20 @@ def _small_bb(fwd_bb, bwd_bb, fn):
     fn()
 
 
+def _no_fold(fn):
+    os.environ["APLA_FUSED_SMALLN"] = "0"
+    fn()
+
+
 VARIANTS = {
     "chain_xla_local": lambda: chain("xla_proj"),
     "chain_fused_local_bb2": lambda: _small_bb(2, 2, lambda: chain("fused")),
     "chain_fused_local_bb4": lambda: _small_bb(4, 4, lambda: chain("fused")),
     "chain_fused_local_bb8": lambda: _small_bb(8, 8, lambda: chain("fused")),
     "chain_fused_local_bb16": lambda: _small_bb(16, 16, lambda: chain("fused")),
-    "step_gate": lambda: step(8, None),            # round-3 control (151.4)
+    # round-3 control (151.4): the r3 gate sent ALL small sequences to XLA;
+    # reproducing it now requires disabling the r4 small-N fold admission
+    "step_gate": lambda: _no_fold(lambda: step(8, None)),
     "step_all_bb4": lambda: _small_bb(4, 4, lambda: step(8, 0)),
     "step_all_bb8": lambda: _small_bb(8, 8, lambda: step(8, 0)),
     "step_all_bb16": lambda: _small_bb(16, 8, lambda: step(8, 0)),

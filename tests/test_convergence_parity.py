@@ -24,7 +24,6 @@ convergence-level evidence the frameworks train equivalently.
 
 import json
 import os
-import sys
 
 import numpy as np
 import pytest
@@ -32,8 +31,6 @@ import pytest
 torch = pytest.importorskip("torch")
 
 from PIL import Image  # noqa: E402
-
-REF_SRC = "/root/reference/src"
 
 IMG, PATCH = 32, 8
 DIM, DEPTH, HEADS = 192, 12, 3
@@ -103,72 +100,10 @@ def _torch_normalize(arr):
     return (out - MEAN) / STD
 
 
-class _C:
-    def __init__(self, *a, **k):
-        pass
-
-
-def _stub(name, **attrs):
-    import importlib.machinery
-    import types
-    m = types.ModuleType(name)
-    m.__file__ = f"<stub {name}>"
-    m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
-    for k, v in attrs.items():
-        setattr(m, k, v)
-    sys.modules[name] = m
-    return m
-
-
-class EasyDict(dict):
-    def __getattr__(self, k):
-        try:
-            return self[k]
-        except KeyError as e:
-            raise AttributeError(k) from e
-
-    def __setattr__(self, k, v):
-        self[k] = v
-
-
-def _dino_param_groups(named_params, weight_decay):
-    """The reference's get_params_groups rule (wrappers.py:204-221)."""
-    regularized, not_regularized = [], []
-    for name, p in named_params:
-        if not p.requires_grad:
-            continue
-        if name.endswith(".bias") or len(p.shape) == 1:
-            not_regularized.append(p)
-        else:
-            regularized.append(p)
-    return [{"params": regularized, "weight_decay": weight_decay},
-            {"params": not_regularized, "weight_decay": 0.0}]
-
-
-@pytest.fixture(scope="module")
-def ref_mods():
-    if not os.path.isdir(REF_SRC):
-        pytest.skip("reference source not available")
-    import types
-    if "torchvision" not in sys.modules:
-        transforms = _stub(
-            "torchvision.transforms", RandomApply=_C, RandomResizedCrop=_C,
-            Compose=_C,
-            InterpolationMode=types.SimpleNamespace(BICUBIC=3, BILINEAR=2))
-        tv = _stub("torchvision", transforms=transforms)
-        tv.__path__ = []
-    sys.modules.setdefault("timm", _stub("timm"))
-    sys.modules.setdefault("wandb", _stub("wandb"))
-    if "easydict" not in sys.modules:
-        _stub("easydict", EasyDict=EasyDict)
-    sys.path.insert(0, REF_SRC)
-    try:
-        from utils.transformers import vit as ref_vit
-        from utils import _utils as ref_utils
-        from apla import apla_vit as ref_apla
-    finally:
-        sys.path.remove(REF_SRC)
-    return ref_vit, ref_utils, ref_apla
+# reference-import stubbing and param-group rules are shared with the
+# 30-step trajectory test (one copy — the stubs must not drift apart)
+from tests.test_trajectory_parity import (  # noqa: E402,F401
+    EasyDict, _dino_param_groups, _stub, ref_mods)
 
 
 def _run_torch_side(ref_mods):

@@ -42,14 +42,10 @@ def test_fwd_bb2_everywhere_divisible(b):
     assert effective_bb_fwd(b, NP_VITB, C_VITB) == 2
 
 
-def test_fwd_bb_never_exceeds_two():
+def test_fwd_bb_never_exceeds_two(monkeypatch):
     """BB=3+ shapes never compiled on hardware; the ceiling is pinned."""
-    import os
-    os.environ["APLA_FUSED_BB_FWD"] = "4"
-    try:
-        assert effective_bb_fwd(12, NP_VITB, C_VITB) <= 2
-    finally:
-        del os.environ["APLA_FUSED_BB_FWD"]
+    monkeypatch.setenv("APLA_FUSED_BB_FWD", "4")
+    assert effective_bb_fwd(12, NP_VITB, C_VITB) <= 2
 
 
 def test_byte_model_within_budget_at_shipped_envelope():
@@ -64,16 +60,14 @@ def test_byte_model_within_budget_at_shipped_envelope():
     assert _bwd_bytes(1, NP_VITB, 1024, 128) <= budget
 
 
-def test_vitg_needs_vmem_override():
+def test_vitg_needs_vmem_override(monkeypatch):
     """ViT-giant (C=1536) is excluded by the default gate and admitted at
-    the documented 15 MB override (BASELINE.md round-3e)."""
-    import os
+    the documented 15 MB override (BASELINE.md round-3e).  monkeypatch
+    restores any externally exported override after the test."""
+    monkeypatch.delenv("APLA_FUSED_VMEM_MB", raising=False)
     assert not fused_fits(257, 1536)
-    os.environ["APLA_FUSED_VMEM_MB"] = "15"
-    try:
-        assert fused_fits(257, 1536)
-    finally:
-        del os.environ["APLA_FUSED_VMEM_MB"]
+    monkeypatch.setenv("APLA_FUSED_VMEM_MB", "15")
+    assert fused_fits(257, 1536)
 
 
 def test_min_n_gate():
@@ -93,20 +87,15 @@ def test_small_n_fold_policy():
     assert small_n_fused_ok(64, 50, C_VITB)
 
 
-def test_small_n_fold_is_vmem_capped():
+def test_small_n_fold_is_vmem_capped(monkeypatch):
     """A requested 16-fold exceeds the 12 MB budget at the ViT-B local-crop
     geometry and must cap back to 8 (the chain_fused_local_bb16 run logged
     effective [8, 8])."""
-    import os
-    os.environ["APLA_FUSED_BB_FWD_SMALL"] = "16"
-    os.environ["APLA_FUSED_BB_BWD_SMALL"] = "16"
-    try:
-        assert _fwd_bytes(16, 64, C_VITB) > _vmem_budget()
-        assert effective_bb_fwd(64, 64, C_VITB) == 8
-        assert effective_bb_bwd(64, 64, C_VITB, KP_VITB) == 8
-    finally:
-        del os.environ["APLA_FUSED_BB_FWD_SMALL"]
-        del os.environ["APLA_FUSED_BB_BWD_SMALL"]
+    monkeypatch.setenv("APLA_FUSED_BB_FWD_SMALL", "16")
+    monkeypatch.setenv("APLA_FUSED_BB_BWD_SMALL", "16")
+    assert _fwd_bytes(16, 64, C_VITB) > _vmem_budget()
+    assert effective_bb_fwd(64, 64, C_VITB) == 8
+    assert effective_bb_bwd(64, 64, C_VITB, KP_VITB) == 8
 
 
 def test_small_n_shallow_fold_rejected():
@@ -117,3 +106,25 @@ def test_small_n_shallow_fold_rejected():
     assert not small_n_fused_ok(3, 50, C_VITB)
     # prime batch sizes cannot fold (divisibility), whatever their size
     assert not small_n_fused_ok(61, 50, C_VITB)
+
+
+def test_small_n_fold_stays_on_validated_ladder():
+    """Only fold depths {8, 4, 2, 1} were ever Mosaic-compiled at small N;
+    divisibility must never select 5/6/7 (b=20 divides by 5 — the policy
+    has to drop to 4, not admit an unvalidated block shape that would
+    abort the job on a compile failure instead of falling back to XLA)."""
+    for b in (20, 12, 28, 24, 56):
+        assert effective_bb_fwd(b, 64, C_VITB) in (8, 4, 2, 1), b
+        assert effective_bb_bwd(b, 64, C_VITB, KP_VITB) in (8, 4, 2, 1), b
+    assert effective_bb_fwd(20, 64, C_VITB) == 4
+    assert effective_bb_bwd(20, 64, C_VITB, KP_VITB) == 4
+    # 24 and 56 divide by 8 -> the deep fold is still picked
+    assert effective_bb_fwd(24, 64, C_VITB) == 8
+    assert effective_bb_fwd(56, 64, C_VITB) == 8
+
+
+def test_small_n_fold_disable_env(monkeypatch):
+    """APLA_FUSED_SMALLN=0 is the measurement control (the round-3 gate):
+    every small sequence must be refused regardless of fold depth."""
+    monkeypatch.setenv("APLA_FUSED_SMALLN", "0")
+    assert not small_n_fused_ok(64, 50, C_VITB)

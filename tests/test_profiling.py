@@ -51,3 +51,31 @@ def test_compiled_memory_analysis_fields():
         assert mem["hbm_total_gb"] >= mem["hbm_args_gb"]
     # device_memory_stats degrades to {} on backends without memory_stats
     assert isinstance(device_memory_stats(), dict)
+
+
+def test_tpu_client_lock_register_and_stale(tmp_path, monkeypatch):
+    """Advisory single-TPU-client lock: a live holder is visible, the exit
+    path clears its own lock, and a dead pid's lock is ignored as stale."""
+    import json
+    import os
+
+    from apla_tpu.utils import tpu_client_lock as tcl
+
+    path = str(tmp_path / "client.lock")
+    monkeypatch.setattr(tcl, "LOCK_PATH", path)
+
+    assert tcl.tpu_client_busy() is None
+    with tcl.tpu_client("bench"):
+        assert tcl.tpu_client_busy() == "bench"
+    assert tcl.tpu_client_busy() is None
+    assert not os.path.exists(path)
+
+    # stale lock from a dead pid is ignored and removed
+    with open(path, "w") as f:
+        json.dump({"pid": 2 ** 22 + 12345, "name": "ghost"}, f)
+    assert tcl.tpu_client_busy() is None
+
+    # a foreign live holder's lock is reported and NOT removed on exit
+    with open(path, "w") as f:
+        json.dump({"pid": os.getppid() or os.getpid(), "name": "other"}, f)
+    assert tcl.tpu_client_busy() == "other"

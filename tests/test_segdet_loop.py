@@ -257,6 +257,36 @@ def test_detection_loop(tmp_path):
     assert os.path.exists(tmp_path / "ck" / "det_best.msgpack")
 
 
+def test_detection_masks_loop_and_resume(tmp_path):
+    """--masks end to end: the loop trains the instance-mask branch,
+    reports BOTH metrics, and --resume restores the saved best BOX mAP
+    beside the mask selection metric (regression: a resumed run whose
+    epochs never beat the saved best used to report best_map50=-1.0)."""
+    from apla_tpu.segdet import train_detection
+    from tests.test_detection_masks import make_coco_masks
+    img_dir, ann = make_coco_masks(tmp_path)
+    kw = dict(img_size=56, batch_size=3, lr=1e-3, embed_dim=32,
+              depths=(2, 2), num_heads=(2, 4),
+              save_dir=str(tmp_path / "ck"), num_workers=2, log_every=1,
+              masks=True, n_protos=8)
+    out = train_detection(img_dir, ann, epochs=1, **kw)
+    assert out["iters"] == 1
+    assert 0.0 <= out["best_map50"] <= 1.0
+    assert 0.0 <= out["best_mask_map50"] <= 1.0
+    # the saved meta carries both metrics for the resume path
+    meta = json.loads((tmp_path / "ck" / "det_best.json").read_text())
+    assert {"map50", "mask_map50"} <= set(meta)
+    # force the saved best to be unbeatable -> the resumed epoch cannot
+    # win the best-model race, and the reported bests must come from the
+    # checkpoint meta, not -1.0 sentinels
+    meta["mask_map50"], meta["map50"] = 2.0, 0.75
+    (tmp_path / "ck" / "det_best.json").write_text(json.dumps(meta))
+    out = train_detection(img_dir, ann, epochs=2, resume=True, **kw)
+    assert out["iters"] == 1  # only the resumed epoch ran
+    assert out["best_mask_map50"] == 2.0
+    assert out["best_map50"] == 0.75
+
+
 def test_detection_multi_scale(tmp_path):
     """--scales: per-epoch multi-scale training (mstrain analogue) — the
     step compiles per scale, boxes stay in resized coords, eval runs at
