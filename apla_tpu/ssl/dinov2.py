@@ -40,7 +40,8 @@ from ..train.optim import build_optimizer, set_lr
 from ..utils.config import EDict
 from .byol import BYOLTrainer
 from .dino import DINOWrapper
-from .heads import dino_head_forward, init_dino_head
+from .heads import (dino_head_bottleneck, dino_head_forward,
+                    dino_head_last_w, init_dino_head)
 
 
 # --------------------------------------------------------------------------- #
@@ -360,6 +361,17 @@ def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
     ibot_w = float(cfg.ibot.loss_weight)
     separate_head = bool(cfg.ibot.get("separate_head", False))
     centering = cfg.get("centering", "centering")
+    # bf16 last-layer head matmul (f32 accumulation/logits); the 65536-proto
+    # projection is the head's FLOP body and f32 runs it at 1/8 MXU rate
+    head_mm_bf16 = bool(cfg.get("head_matmul_bf16", False))
+    # fused prototype-CE Pallas kernel: linear + online-softmax CE without
+    # ever materialising the [rows, 65536] logits (ops/pallas_proto_ce.py).
+    # Softmax-centering only (Sinkhorn's global iterations need the full
+    # logit matrix); off-TPU it silently stays on the XLA path.
+    fused_ce = bool(cfg.get("fused_proto_ce", False))
+    if fused_ce:
+        from ..ops.pallas_proto_ce import proto_ce, proto_ce_available
+        fused_ce = centering == "centering" and proto_ce_available()
     do_dino, do_ibot = dino_w > 0, ibot_w > 0
     do_koleo = koleo_w > 0
     assert not (pack_local_crops and pipeline is not None), \
@@ -401,13 +413,40 @@ def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
         # swap global chunks so crop A pairs with crop B (models.py:235-238)
         halves = jnp.split(t_cls, n_global)
         t_cls_swapped = jnp.concatenate(halves[::-1], axis=0)
-        t_cls_out = dino_head_forward(t_cls_swapped, t_heads["dino_head"])
         t_masked_patches = t_patches.reshape(
             -1, t_patches.shape[-1])[mask_idx]          # [U, D]
         ihead = t_heads["ibot_head"] if separate_head else t_heads["dino_head"]
-        t_masked_out = dino_head_forward(t_masked_patches, ihead)
 
-        if centering == "centering":
+        if fused_ce:
+            # teacher logits are never materialised: the student CE kernel
+            # consumes (bottleneck, last-layer W, center, temp) directly,
+            # and the center EMA uses linearity —
+            # sum_rows(X @ W) = (sum_rows X) @ W, an O(D*K) matvec.
+            t_dino_bott = dino_head_bottleneck(t_cls_swapped,
+                                               t_heads["dino_head"])
+            wt_dino = dino_head_last_w(t_heads["dino_head"])
+            t_ibot_bott = dino_head_bottleneck(t_masked_patches, ihead)
+            wt_ibot = wt_dino if not separate_head else dino_head_last_w(ihead)
+            new_dino_center = state.dino_center * center_momentum + \
+                jnp.dot(jnp.mean(t_dino_bott, axis=0, keepdims=True),
+                        wt_dino) * (1 - center_momentum)
+            denom = jnp.maximum(jnp.sum(mask_valid), 1.0)
+            new_ibot_center = state.ibot_center * center_momentum + \
+                jnp.dot(jnp.sum(t_ibot_bott * mask_valid[:, None], axis=0,
+                                keepdims=True) / denom,
+                        wt_ibot) * (1 - center_momentum)
+            # the loss plumbing below carries TEACHER BOTTLENECKS through
+            # the same row-sliced channels the softmaxed targets use
+            t_dino_sm = jax.lax.stop_gradient(t_dino_bott)
+            t_ibot_sm = jax.lax.stop_gradient(t_ibot_bott)
+            wt_dino = jax.lax.stop_gradient(wt_dino)
+            wt_ibot = jax.lax.stop_gradient(wt_ibot)
+        elif centering == "centering":
+            t_cls_out = dino_head_forward(t_cls_swapped,
+                                          t_heads["dino_head"],
+                                          matmul_bf16=head_mm_bf16)
+            t_masked_out = dino_head_forward(t_masked_patches, ihead,
+                                             matmul_bf16=head_mm_bf16)
             t_dino_sm = softmax_center_teacher(t_cls_out, state.dino_center,
                                                teacher_temp)
             t_ibot_sm = softmax_center_teacher(t_masked_out,
@@ -421,6 +460,11 @@ def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
                 (jnp.sum(t_masked_out * mask_valid[:, None], axis=0,
                          keepdims=True) / denom) * (1 - center_momentum)
         else:  # sinkhorn_knopp
+            t_cls_out = dino_head_forward(t_cls_swapped,
+                                          t_heads["dino_head"],
+                                          matmul_bf16=head_mm_bf16)
+            t_masked_out = dino_head_forward(t_masked_patches, ihead,
+                                             matmul_bf16=head_mm_bf16)
             t_dino_sm = sinkhorn_knopp_teacher(t_cls_out, teacher_temp)
             t_ibot_sm = sinkhorn_knopp_teacher(t_masked_out, teacher_temp,
                                                sample_mask=mask_valid)
@@ -462,9 +506,19 @@ def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
             # magnitude `g` is a TRAINABLE parameter (dino_head.py:28 only
             # fills it with 1, nothing freezes it) — unlike DINO v1's
             # norm_last_layer option
-            outs = dino_head_forward(jnp.concatenate(head_in, axis=0),
-                                     trainable["dino_head"],
-                                     norm_last_layer=False)
+            if fused_ce:
+                # bottlenecks only — the prototype projection, softmaxes
+                # and CE all happen inside the fused kernel, so the
+                # [rows, n_prototypes] logits never exist in HBM
+                outs = dino_head_bottleneck(
+                    jnp.concatenate(head_in, axis=0), trainable["dino_head"])
+                ws_dino = dino_head_last_w(trainable["dino_head"],
+                                           norm_last_layer=False)
+            else:
+                outs = dino_head_forward(jnp.concatenate(head_in, axis=0),
+                                         trainable["dino_head"],
+                                         norm_last_layer=False,
+                                         matmul_bf16=head_mm_bf16)
             splits = np.cumsum(sizes)[:-1]
             parts = jnp.split(outs, splits, axis=0)
             s_cls_g_out = parts[0]
@@ -472,11 +526,19 @@ def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
             if not do_ibot:
                 s_masked_out = None
             elif separate_head:
-                s_masked_out = dino_head_forward(s_masked,
-                                                 trainable["ibot_head"],
-                                                 norm_last_layer=False)
+                if fused_ce:
+                    s_masked_out = dino_head_bottleneck(
+                        s_masked, trainable["ibot_head"])
+                    ws_ibot = dino_head_last_w(trainable["ibot_head"],
+                                               norm_last_layer=False)
+                else:
+                    s_masked_out = dino_head_forward(
+                        s_masked, trainable["ibot_head"],
+                        norm_last_layer=False, matmul_bf16=head_mm_bf16)
             else:
                 s_masked_out = parts[-1]
+                if fused_ce:
+                    ws_ibot = ws_dino
 
             losses = {}
             total = 0.0
@@ -484,14 +546,34 @@ def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
                 t_list = list(jnp.split(t_dino_c, n_global))
                 if n_local:
                     s_local_chunks = list(jnp.split(s_cls_l_out, n_local))
-                    dino_local = dinov2_dino_loss(
-                        s_local_chunks, t_list,
-                        student_temp=student_temp) / loss_term_denom
+                    if fused_ce:
+                        # every (student local chunk, teacher chunk) pair is
+                        # row-aligned; stack the pair-expanded bottlenecks
+                        # ([n_local*n_global*B', 256] — tiny) for ONE kernel
+                        xs_p = jnp.concatenate(
+                            [s for s in s_local_chunks for _ in t_list])
+                        xt_p = jnp.concatenate(
+                            [t for _ in s_local_chunks for t in t_list])
+                        ce = proto_ce(xs_p, ws_dino, xt_p, wt_dino,
+                                      state.dino_center, teacher_temp,
+                                      student_temp)
+                        dino_local = (jnp.sum(ce) / s_local_chunks[0].shape[0]
+                                      ) / loss_term_denom
+                    else:
+                        dino_local = dinov2_dino_loss(
+                            s_local_chunks, t_list,
+                            student_temp=student_temp) / loss_term_denom
                     losses["dino_local_crops_loss"] = dino_local
                     total = total + dino_w * dino_local
-                dino_global = dinov2_dino_loss(
-                    [s_cls_g_out], [t_dino_c], student_temp=student_temp) \
-                    * 2 / loss_term_denom
+                if fused_ce:
+                    ce = proto_ce(s_cls_g_out, ws_dino, t_dino_c, wt_dino,
+                                  state.dino_center, teacher_temp,
+                                  student_temp)
+                    dino_global = jnp.mean(ce) * 2 / loss_term_denom
+                else:
+                    dino_global = dinov2_dino_loss(
+                        [s_cls_g_out], [t_dino_c],
+                        student_temp=student_temp) * 2 / loss_term_denom
                 losses["dino_global_crops_loss"] = dino_global
                 total = total + dino_w * dino_global
                 if do_koleo:
@@ -501,10 +583,17 @@ def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
                     losses["koleo_loss"] = kl / 2
                     total = total + kl
             if do_ibot:
-                il = ibot_patch_loss(
-                    s_masked_out, t_ibot_c, m_weight * m_valid,
-                    n_images=n_imgs_g, student_temp=student_temp) \
-                    * 2 * (1.0 / n_global)
+                if fused_ce:
+                    ce = proto_ce(s_masked_out, ws_ibot, t_ibot_c, wt_ibot,
+                                  state.ibot_center, teacher_temp,
+                                  student_temp)
+                    il = jnp.sum(ce * (m_weight * m_valid)) / n_imgs_g \
+                        * 2 * (1.0 / n_global)
+                else:
+                    il = ibot_patch_loss(
+                        s_masked_out, t_ibot_c, m_weight * m_valid,
+                        n_images=n_imgs_g, student_temp=student_temp) \
+                        * 2 * (1.0 / n_global)
                 losses["ibot_loss"] = il / 2
                 total = total + ibot_w * il
             total = jnp.asarray(total, jnp.float32)

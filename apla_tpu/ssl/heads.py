@@ -122,7 +122,9 @@ def init_dino_head(key, in_dim, out_dim, nlayers=3, hidden_dim=2048,
     return {"mlp": mlp, "last_v": last, "last_g": jnp.ones((out_dim,))}
 
 
-def dino_head_forward(x, params, norm_last_layer=True):
+def dino_head_bottleneck(x, params):
+    """MLP + L2-norm half of the DINO head: [*, in_dim] -> [*, bottleneck]
+    f32 unit rows (everything before the prototype projection)."""
     n = len(params["mlp"])
     for i, p in enumerate(params["mlp"]):
         x = jnp.dot(x, p["kernel"].astype(x.dtype),
@@ -130,13 +132,29 @@ def dino_head_forward(x, params, norm_last_layer=True):
         if i < n - 1:
             x = jax.nn.gelu(x, approximate=False)
     x = x.astype(jnp.float32)
-    x = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
-    # weight-norm: W = g * v / ||v||_col; with norm_last_layer (the reference
-    # default) the magnitude g is frozen at 1 (requires_grad=False)
+    return x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-12)
+
+
+def dino_head_last_w(params, norm_last_layer=True):
+    """The weight-normalised prototype projection [bottleneck, out_dim]:
+    W = g * v / ||v||_col; with norm_last_layer (the reference default)
+    the magnitude g is frozen at 1 (requires_grad=False)."""
     v = params["last_v"].astype(jnp.float32)
     v = v / (jnp.linalg.norm(v, axis=0, keepdims=True) + 1e-12)
     g = params["last_g"].astype(jnp.float32)
     if norm_last_layer:
         g = jax.lax.stop_gradient(g)
-    w = v * g
+    return v * g
+
+
+def dino_head_forward(x, params, norm_last_layer=True, matmul_bf16=False):
+    x = dino_head_bottleneck(x, params)
+    w = dino_head_last_w(params, norm_last_layer)
+    if matmul_bf16:
+        # the [*, bottleneck] x [bottleneck, n_prototypes] matmul is the
+        # head's FLOP body (65536 prototypes); bf16 inputs with f32
+        # accumulation run it on the MXU at full rate.  Normalisations
+        # and the logits stay f32.  Opt-in (dinov2 head_matmul_bf16).
+        return jnp.dot(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
     return jnp.dot(x, w, preferred_element_type=jnp.float32)

@@ -40,7 +40,7 @@ STEPS = 15
 BATCH = 8
 
 VARIANTS = ("base", "no_koleo", "no_ibot", "no_local", "head4096",
-            "ce_stub", "no_last_layer")
+            "ce_stub", "no_last_layer", "head_bf16_real", "proto_ce")
 
 
 def emit(rec):
@@ -101,7 +101,7 @@ def _apply_stubs(name):
     elif name == "no_last_layer":
         from apla_tpu.ssl import heads
 
-        def head_no_last(x, params, norm_last_layer=True):
+        def head_no_last(x, params, norm_last_layer=True, matmul_bf16=False):
             n = len(params["mlp"])
             for i, p in enumerate(params["mlp"]):
                 x = jnp.dot(x, p["kernel"].astype(x.dtype),
@@ -164,6 +164,14 @@ def bench(name):
         # head output = 256-d bottleneck -> centers must match that width
         for head in ("dino", "ibot"):
             params.model_params.dinov2[head].head_n_prototypes = 256
+    elif name == "head_bf16_real":
+        # the REAL knob (r3's "head_bf16 neutral" measured a phantom key
+        # nothing consumed): bf16 last-layer matmul, f32 accumulation
+        params.model_params.dinov2.head_matmul_bf16 = True
+    elif name == "proto_ce":
+        # the fused prototype-CE kernel (linear + online-softmax CE, no
+        # [rows, 65536] logits in HBM) for dino-global/local AND iBOT
+        params.model_params.dinov2.fused_proto_ce = True
 
     wrapper = DINOv2Wrapper(params)
     wrapper.instantiate()

@@ -128,3 +128,38 @@ def test_small_n_fold_disable_env(monkeypatch):
     every small sequence must be refused regardless of fold depth."""
     monkeypatch.setenv("APLA_FUSED_SMALLN", "0")
     assert not small_n_fused_ok(64, 50, C_VITB)
+
+
+def test_dino_head_matmul_bf16_numerics():
+    """head_matmul_bf16 (the dinov2 perf knob): bf16 last-layer matmul with
+    f32 accumulation must track the f32 path within bf16 rounding, produce
+    f32 logits, and keep grads flowing to last_v/last_g."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from apla_tpu.ssl.heads import dino_head_forward, init_dino_head
+
+    params = init_dino_head(jax.random.PRNGKey(0), in_dim=32, out_dim=512,
+                            nlayers=3, hidden_dim=64, bottleneck_dim=16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (24, 32), jnp.float32)
+
+    ref = dino_head_forward(x, params, norm_last_layer=False)
+    out = dino_head_forward(x, params, norm_last_layer=False,
+                            matmul_bf16=True)
+    assert out.dtype == jnp.float32
+    denom = max(float(jnp.abs(ref).max()), 1e-3)
+    assert float(jnp.abs(out - ref).max()) / denom < 2e-2
+
+    def loss(p):
+        return jnp.sum(dino_head_forward(x, p, norm_last_layer=False,
+                                         matmul_bf16=True) ** 2)
+
+    g = jax.grad(loss)(params)
+    assert float(jnp.abs(g["last_v"]).max()) > 0
+    assert float(jnp.abs(g["last_g"]).max()) > 0
+    gr = jax.grad(lambda p: jnp.sum(dino_head_forward(
+        x, p, norm_last_layer=False) ** 2))(params)
+    for k in ("last_v", "last_g"):
+        d = max(float(jnp.abs(gr[k]).max()), 1e-3)
+        assert float(jnp.abs(g[k] - gr[k]).max()) / d < 5e-2, k
