@@ -107,12 +107,11 @@ def apla_attention(x, frozen, trainable, num_heads, scale=None, attn_drop=0.0,
     rng_a, rng_p = (jax.random.split(rng) if rng is not None else (None, None))
     B, N, C = x.shape
     if use_fused and attn_drop == 0.0:
-        from .pallas_apla_attn import (fused_apla_attention, fused_available,
-                                       fused_fits, fused_min_n,
-                                       small_n_fused_ok)
+        from .pallas_apla_attn import (fused_apla_attention, fused_admitted,
+                                       fused_available, fused_fits)
         k_tr = trainable["proj_wt"].shape[-1]
         if (fused_available()
-                and (N >= fused_min_n() or small_n_fused_ok(B, N, C, k_tr))
+                and fused_admitted(B, N, C, k_tr)
                 and fused_fits(N, C, k_tr)):
             from .quant import maybe_quantized_dot
             head_dim = C // num_heads

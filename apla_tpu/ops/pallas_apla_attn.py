@@ -209,6 +209,20 @@ def _cap_bb(bb: int, b: int, bytes_fn) -> int:
     return bb
 
 
+# Largest TOTAL folded batch ever Mosaic-compiled in the small-N regime
+# (r4_smalln_attn: DINOv2 b8/b16 locals arrive as B=64/128).  The scoped-
+# VMEM staging failure (see _STAGING_SAFE_B) scales with the remat-saved
+# qkv operand = the total batch, so an unvalidated larger batch must fall
+# back to XLA instead of risking a compile abort mid-training (ADVICE r4).
+# Raise via APLA_FUSED_SMALLN_BMAX only with hardware compile evidence.
+_SMALL_B_MAX = 128
+
+
+def _small_b_max() -> int:
+    import os
+    return int(os.environ.get("APLA_FUSED_SMALLN_BMAX", _SMALL_B_MAX))
+
+
 # Fold depths ever compiled+measured on hardware in the small-N regime
 # (r4_smalln_attn.jsonl ran 4 and 8; 1 and 2 are round 3's slow-but-valid
 # dispatch).  Odd depths like 5/6/7 — reachable via divisibility for e.g.
@@ -241,6 +255,11 @@ def effective_bb_fwd(b: int, np_: int, c: int) -> int:
 
 def effective_bb_bwd(b: int, np_: int, c: int, kp: int) -> int:
     if np_ <= _SMALL_NP:
+        if b > _small_b_max():
+            # deep folds above the validated total batch were never
+            # compiled; BB=1 here makes small_n_fused_ok decline the
+            # shape, so it runs XLA instead of risking a staging abort
+            return 1
         return _cap_bb_small(_env_bb("APLA_FUSED_BB_BWD_SMALL", 8), b,
                              lambda bb: _bwd_bytes(bb, np_, c, kp))
     req = _env_bb("APLA_FUSED_BB_BWD", 2)
@@ -288,6 +307,20 @@ def small_n_fused_ok(b: int, n: int, c: int, k: int = 128) -> bool:
     kp = _pad_to(min(k, c), 128)
     return (effective_bb_fwd(b, np_, c) >= _SMALL_BB_MIN
             and effective_bb_bwd(b, np_, c, kp) >= _SMALL_BB_MIN)
+
+
+def fused_admitted(b: int, n: int, c: int, k: int = 128) -> bool:
+    """The single fused-kernel admission predicate (ADVICE r4 #2): any
+    sequence whose PADDED length lands in the small-N regime goes through
+    the fold admission — even when ``n >= FUSED_MIN_N`` (N in 113..128 pads
+    to 128 and routes to the small-N BB ladder, where a shallow fold is the
+    round-3 20x dispatch).  ``APLA_FUSED_MIN_N=0`` force-admits everything
+    (experiment harnesses pick BBs explicitly)."""
+    if fused_min_n() == 0:
+        return True
+    if _pad_to(n, 16) <= _SMALL_NP:
+        return small_n_fused_ok(b, n, c, k)
+    return n >= fused_min_n()
 
 
 def fused_available() -> bool:

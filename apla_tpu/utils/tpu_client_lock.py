@@ -53,20 +53,34 @@ def tpu_client(name: str):
 
     Does NOT block on an existing holder (the holder may be this same
     logical job's parent); callers that must not contend should check
-    ``tpu_client_busy()`` first.
+    ``tpu_client_busy()`` first.  If a DIFFERENT live pid already holds the
+    record, this process runs unregistered instead of overwriting it —
+    otherwise our exit would unlink the file and hide the still-running
+    first client from ``tpu_client_busy()`` pollers (ADVICE r4 #3).
     """
+    registered = False
     try:
-        with open(LOCK_PATH, "w") as f:
-            json.dump({"pid": os.getpid(), "name": name,
-                       "ts": time.time()}, f)
-    except OSError:
-        pass
+        with open(LOCK_PATH) as f:
+            rec = json.load(f)
+        pid = int(rec.get("pid", -1))
+        other_live = pid > 0 and pid != os.getpid() and _pid_alive(pid)
+    except (OSError, ValueError):
+        other_live = False
+    if not other_live:
+        try:
+            with open(LOCK_PATH, "w") as f:
+                json.dump({"pid": os.getpid(), "name": name,
+                           "ts": time.time()}, f)
+            registered = True
+        except OSError:
+            pass
     try:
         yield
     finally:
-        try:
-            with open(LOCK_PATH) as f:
-                if int(json.load(f).get("pid", -1)) == os.getpid():
-                    os.unlink(LOCK_PATH)
-        except (OSError, ValueError):
-            pass
+        if registered:
+            try:
+                with open(LOCK_PATH) as f:
+                    if int(json.load(f).get("pid", -1)) == os.getpid():
+                        os.unlink(LOCK_PATH)
+            except (OSError, ValueError):
+                pass

@@ -14,9 +14,10 @@ import pytest
 
 from apla_tpu.ops.pallas_apla_attn import (_bwd_bytes, _fwd_bytes,
                                            _vmem_budget, effective_bb_bwd,
-                                           effective_bb_fwd, fused_fits,
-                                           fused_min_n, FUSED_MIN_N,
-                                           small_n_fused_ok, _pad_to)
+                                           effective_bb_fwd, fused_admitted,
+                                           fused_fits, fused_min_n,
+                                           FUSED_MIN_N, small_n_fused_ok,
+                                           _pad_to)
 
 # the recipe geometry: ViT-B/14 @224 -> N=257 padded, C=768, K=128
 NP_VITB = _pad_to(257, 16)
@@ -128,6 +129,67 @@ def test_small_n_fold_disable_env(monkeypatch):
     every small sequence must be refused regardless of fold depth."""
     monkeypatch.setenv("APLA_FUSED_SMALLN", "0")
     assert not small_n_fused_ok(64, 50, C_VITB)
+
+
+def test_small_n_bwd_fold_capped_at_validated_batch(monkeypatch):
+    """ADVICE r4 #1: total batches above the hardware-validated 128 must
+    not reach the small-N bwd fold (scoped-VMEM staging scales with the
+    remat-saved qkv operand = the total batch); BB=1 there makes the
+    admission decline, so the shape runs XLA instead of risking a compile
+    abort.  The validated DINOv2 b8/b16 folds (B=64/128) stay admitted."""
+    assert effective_bb_bwd(128, 64, C_VITB, KP_VITB) == 8
+    assert effective_bb_bwd(256, 64, C_VITB, KP_VITB) == 1
+    assert not small_n_fused_ok(256, 50, C_VITB)
+    # hardware-evidence override path
+    monkeypatch.setenv("APLA_FUSED_SMALLN_BMAX", "256")
+    assert effective_bb_bwd(256, 64, C_VITB, KP_VITB) == 8
+    assert small_n_fused_ok(256, 50, C_VITB)
+
+
+def test_admission_small_pad_requires_fold(monkeypatch):
+    """ADVICE r4 #2: N in 113..128 pads to 128 and routes to the small-N BB
+    ladder, so the admission must go through the fold check even though
+    N >= FUSED_MIN_N — a batch that only folds shallow (the round-3 20x
+    dispatch) must fall back to XLA."""
+    assert not fused_admitted(2, 128, C_VITB)     # shallow fold -> XLA
+    assert not fused_admitted(61, 120, C_VITB)    # prime batch -> XLA
+    assert fused_admitted(64, 128, C_VITB)        # deep fold -> kernel
+    assert fused_admitted(8, 257, C_VITB)         # recipe N: plain gate
+    assert not fused_admitted(3, 50, C_VITB)      # non-folding small batch
+    # the experiment force-admit knob bypasses the policy entirely
+    monkeypatch.setenv("APLA_FUSED_MIN_N", "0")
+    assert fused_admitted(2, 128, C_VITB)
+
+
+def test_tpu_client_lock_no_overwrite(tmp_path, monkeypatch):
+    """ADVICE r4 #3: a second overlapping tpu_client() must not overwrite a
+    live holder's record — its exit would unlink the file and hide the
+    still-running first client from tpu_client_busy() pollers."""
+    import json
+    import os
+
+    from apla_tpu.utils import tpu_client_lock as lock
+
+    path = str(tmp_path / "lock.json")
+    monkeypatch.setattr(lock, "LOCK_PATH", path)
+    # a live "other" holder: pid 1 is always alive
+    with open(path, "w") as f:
+        json.dump({"pid": 1, "name": "first-job", "ts": 0}, f)
+    with lock.tpu_client("second-job"):
+        with open(path) as f:
+            assert json.load(f)["name"] == "first-job"
+    # after the unregistered client exits, the first holder is still seen
+    assert os.path.exists(path)
+    assert lock.tpu_client_busy() == "first-job"
+    with open(path) as f:
+        assert json.load(f)["pid"] == 1
+    # a STALE holder (dead pid) is overwritten normally
+    with open(path, "w") as f:
+        json.dump({"pid": 2 ** 22 + 12345, "name": "dead-job", "ts": 0}, f)
+    with lock.tpu_client("third-job"):
+        with open(path) as f:
+            assert json.load(f)["pid"] == os.getpid()
+    assert not os.path.exists(path)
 
 
 def test_dino_head_matmul_bf16_numerics():
