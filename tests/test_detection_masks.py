@@ -202,6 +202,49 @@ def test_mask_train_step_decreases_loss(tmp_path):
     assert float(m["total"]) < first + 10  # finite, trained
 
 
+def test_mask_step_fsdp_mesh_matches_single_device(tmp_path):
+    """One with_mask detection step on a 2-device DP mesh with the frozen
+    Swin genuinely fsdp-sharded must reproduce the single-device update —
+    mask-branch (protonet + coefficient head) gradients included (the
+    reference trains masks under DDP, apla_mask_rcnn_swin_tiny_...coco.py:28).
+    Companion of __graft_entry__.dryrun_multichip path 7m."""
+    from jax.sharding import PartitionSpec as P
+
+    from apla_tpu.parallel.mesh import (fsdp_sharding_tree, make_mesh,
+                                        shard_batch, shard_params)
+
+    img_dir, ann_file = make_coco_masks(tmp_path)
+    ds = CocoDetection(img_dir, ann_file, img_size=56, max_boxes=4,
+                       with_masks=True)
+    batch_np = detection_collate([ds[i] for i in range(2)])
+    t, frozen = _mask_setup(batch_np)
+    tx = optax.adamw(1e-3)
+    step = make_detection_train_step(CFG, tx, strides=(4, 8), with_mask=True)
+    t1, _, m1 = step(t, tx.init(t), frozen,
+                     {k: jnp.asarray(v) for k, v in batch_np.items()})
+
+    # the step donates (trainable, opt_state) — re-init identically
+    t, frozen = _mask_setup(batch_np)
+    mesh = make_mesh(n_data=2, devices=jax.devices()[:2])
+    # toy Swin leaves sit below the production fsdp min_size; lower it so
+    # the placement actually shards (the thing under test)
+    fr_sh = fsdp_sharding_tree(mesh, frozen, min_size=2 ** 10)
+    assert any(s.spec != P() for s in jax.tree.leaves(fr_sh)), \
+        "nothing sharded at this scale"
+    t2, _, m2 = step(shard_params(t, mesh),
+                     shard_params(tx.init(t), mesh),
+                     jax.device_put(frozen, fr_sh),
+                     shard_batch(batch_np, mesh))
+
+    for k in ("total", "mask_loss", "cls_loss"):
+        if k in m1:
+            np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-5)
+    assert float(m1["mask_loss"]) > 0
+    for a, b in zip(jax.tree.leaves(t1), jax.tree.leaves(t2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 # ------------------------------------------------------------------ #
 # decode + metric
 # ------------------------------------------------------------------ #
