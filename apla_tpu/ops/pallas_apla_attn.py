@@ -147,6 +147,87 @@ def _bwd_kernel(qkv_ref, w_ref, g_ref, gt_ref, dqkv_ref, dwt_ref, *,
         dwt_ref[...] += dwt
 
 
+# ---- biased variant (Swin windows): per-head relative-position bias
+# [H, Np, Np] + per-window additive shift mask sliced from [M, Np, Np]
+# (M = lcm(n_windows, BB) tiles of the classic Swin region mask; both are
+# FROZEN under APLA — apla_swin_transformer.py:25-39 trains only attn.proj
+# — so neither needs a cotangent) --------------------------------------- #
+
+def _fwd_kernel_bias(qkv_ref, w_ref, bias_ref, mask_ref, o_ref, *,
+                     H, Dh, scale, n_real):
+    C = H * Dh
+    qkv_b = qkv_ref[...]
+    mask = mask_ref[...]                        # [BB, Np, Np] f32
+    outs = []
+    for h in range(H):
+        q, k, v = _heads(qkv_b, h, C, Dh)
+        s = jax.lax.dot_general(
+            q, k, _B_NT, preferred_element_type=jnp.float32) * scale
+        s = s + bias_ref[h][None] + mask
+        p = _masked_softmax(s, n_real).astype(qkv_b.dtype)
+        outs.append(jax.lax.dot_general(
+            p, v, _B_NN, preferred_element_type=jnp.float32))
+    o_cat = jnp.concatenate(outs, axis=2).astype(qkv_b.dtype)
+    proj = jax.lax.dot_general(
+        o_cat, w_ref[...], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[...] = proj.astype(o_ref.dtype)
+
+
+def _bwd_kernel_bias(qkv_ref, w_ref, bias_ref, mask_ref, g_ref, gt_ref,
+                     dqkv_ref, dwt_ref, *, H, Dh, scale, n_real):
+    C = H * Dh
+    qkv_b = qkv_ref[...]
+    mask = mask_ref[...]
+    g = g_ref[...]
+    g_t = gt_ref[...]
+    dO_cat = jax.lax.dot_general(
+        g, w_ref[...], (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(qkv_b.dtype)
+
+    dqs, dks, dvs, os_ = [], [], [], []
+    for h in range(H):
+        q, k, v = _heads(qkv_b, h, C, Dh)
+        dO = dO_cat[:, :, h * Dh:(h + 1) * Dh]
+        s = jax.lax.dot_general(
+            q, k, _B_NT, preferred_element_type=jnp.float32) * scale
+        s = s + bias_ref[h][None] + mask
+        p = _masked_softmax(s, n_real)
+        pb = p.astype(qkv_b.dtype)
+        o = jax.lax.dot_general(pb, v, _B_NN,
+                                preferred_element_type=jnp.float32)
+        os_.append(o.astype(qkv_b.dtype))
+        dv = jax.lax.dot_general(pb, dO, _B_TN,
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(dO, v, _B_NT,
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds = (ds * scale).astype(qkv_b.dtype)
+        dqs.append(jax.lax.dot_general(
+            ds, k, _B_NN, preferred_element_type=jnp.float32))
+        dks.append(jax.lax.dot_general(
+            ds, q, _B_TN, preferred_element_type=jnp.float32))
+        dvs.append(dv)
+    dqkv = jnp.concatenate(
+        [a.astype(dqkv_ref.dtype) for a in dqs + dks + dvs], axis=2)
+    dqkv_ref[...] = dqkv
+
+    o_cat = jnp.concatenate(os_, axis=2)
+    o2 = o_cat.reshape(-1, C)
+    g2 = g_t.reshape(-1, g_t.shape[-1])
+    dwt = jax.lax.dot_general(
+        o2, g2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dwt_ref[...] = dwt
+
+    @pl.when(pl.program_id(0) != 0)
+    def _():
+        dwt_ref[...] += dwt
+
+
 def _pick_bb(b: int, requested: int) -> int:
     bb = max(1, requested)
     while b % bb:
@@ -472,3 +553,214 @@ def _fused_bwd(num_heads, scale, segment_len, res, g):
 
 
 fused_apla_attention.defvjp(_fused_fwd, _fused_bwd)
+
+
+# --------------------------------------------------------------------------- #
+# Swin window-attention variant (VERDICT r4 item 3): attention over folded
+# batch x windows sequences (N = window² = 49 -> pad 64) with the frozen
+# relative-position bias and shift mask added pre-softmax, and the FULL
+# output projection (Swin-APLA trains the whole attn.proj,
+# apla_swin_transformer.py:25-39) applied in-kernel with dW accumulated
+# across the batch grid.
+# --------------------------------------------------------------------------- #
+
+def _gcd(a: int, b: int) -> int:
+    while b:
+        a, b = b, a % b
+    return a
+
+
+def _lcm(a: int, b: int) -> int:
+    return a * b // _gcd(a, b)
+
+
+def _swin_fwd_bytes(bb: int, np_: int, c: int, h: int) -> int:
+    return _fwd_bytes(bb, np_, c) + bb * np_ * np_ * 4 + h * np_ * np_ * 4
+
+
+def _swin_bwd_bytes(bb: int, np_: int, c: int, kp: int, h: int) -> int:
+    return _bwd_bytes(bb, np_, c, kp) + bb * np_ * np_ * 4 \
+        + h * np_ * np_ * 4
+
+
+# Largest folded batch x windows the Swin variant has been Mosaic-compiled
+# at on hardware (validated this round at the det recipe's stage-1 fold;
+# see r5_swin_fused.jsonl).  Unlike the ViT small-N path there is no remat
+# around the det step, so the scoped-VMEM staging pathology does not apply
+# — the bound still exists so untested folds fall back to XLA.
+_SWIN_B_MAX = 1024
+
+
+def _swin_b_max() -> int:
+    import os
+    return int(os.environ.get("APLA_FUSED_SWIN_BMAX", _SWIN_B_MAX))
+
+
+def swin_effective_bb(b: int, np_: int, c: int, h: int,
+                      kp: int | None = None) -> int:
+    """Fold depth for the Swin window kernel (validated ladder only)."""
+    if kp is None:
+        bytes_fn = lambda bb: _swin_fwd_bytes(bb, np_, c, h)  # noqa: E731
+        req = _env_bb("APLA_FUSED_BB_FWD_SMALL", 8)
+    else:
+        bytes_fn = lambda bb: _swin_bwd_bytes(bb, np_, c, kp, h)  # noqa: E731
+        req = _env_bb("APLA_FUSED_BB_BWD_SMALL", 8)
+    return _cap_bb_small(req, b, bytes_fn)
+
+
+def swin_fused_ok(b: int, n: int, c: int, h: int) -> bool:
+    """Admission for the Swin window kernel: deep fold both directions
+    within the hardware-validated batch bound; APLA_FUSED_SMALLN=0 is the
+    same measurement control as the ViT small-N fold."""
+    import os
+    if os.environ.get("APLA_FUSED_SMALLN", "1") == "0":
+        return False
+    if b > _swin_b_max():
+        return False
+    np_ = _pad_to(n, 16)
+    kp = _pad_to(c, 128)
+    return (swin_effective_bb(b, np_, c, h) >= _SMALL_BB_MIN
+            and swin_effective_bb(b, np_, c, h, kp) >= _SMALL_BB_MIN)
+
+
+def _tile_mask(mask_p, bb):
+    """[M0, Np, Np] -> [lcm(M0, bb), Np, Np] so every bb-deep grid block
+    slices one full period of the per-window pattern."""
+    m0 = mask_p.shape[0]
+    m = _lcm(m0, bb)
+    if m != m0:
+        mask_p = jnp.tile(mask_p, (m // m0, 1, 1))
+    return mask_p, m
+
+
+def _call_fwd_swin(qkv, w, bias, mask_p, H, Dh, scale, n_real):
+    B, Np, C3 = qkv.shape
+    C = C3 // 3
+    BB = swin_effective_bb(B, Np, C, H)
+    mask_t, M = _tile_mask(mask_p, BB)
+    nblk = M // BB
+    kern = functools.partial(_fwd_kernel_bias, H=H, Dh=Dh, scale=scale,
+                             n_real=n_real)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, Np, C), qkv.dtype),
+        grid=(B // BB,),
+        in_specs=[
+            pl.BlockSpec((BB, Np, C3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, Np, Np), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, Np, Np), lambda i: (i % nblk, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BB, Np, C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Np * Np * C * 2 + 2 * B * Np * C * C,
+            transcendentals=B * H * Np * Np,
+            bytes_accessed=(B * Np * C3 + B * Np * C + C * C) * 2),
+        interpret=INTERPRET,
+    )(qkv, w, bias, mask_t)
+
+
+def _call_bwd_swin(qkv, w, bias, mask_p, g, g_t, H, Dh, scale, n_real):
+    B, Np, C3 = qkv.shape
+    C = C3 // 3
+    Kp = g_t.shape[-1]
+    BB = swin_effective_bb(B, Np, C, H, Kp)
+    mask_t, M = _tile_mask(mask_p, BB)
+    nblk = M // BB
+    kern = functools.partial(_bwd_kernel_bias, H=H, Dh=Dh, scale=scale,
+                             n_real=n_real)
+    return pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Np, C3), qkv.dtype),
+            jax.ShapeDtypeStruct((C, Kp), jnp.float32),
+        ),
+        grid=(B // BB,),
+        in_specs=[
+            pl.BlockSpec((BB, Np, C3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, Np, Np), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, Np, Np), lambda i: (i % nblk, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, Np, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, Np, Kp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((BB, Np, C3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, Kp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Np * Np * C * 5 + 2 * B * Np * C * (C + Kp),
+            transcendentals=B * H * Np * Np,
+            bytes_accessed=(B * Np * C3 * 2 + B * Np * C + C * C) * 2),
+        interpret=INTERPRET,
+    )(qkv, w, bias, mask_t, g, g_t)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_swin_attention(qkv, w, b, bias, wmask, num_heads, scale):
+    """Swin window attention + FULL trainable projection in one kernel.
+
+    qkv [B, N, 3C] (B = images x windows), w [C, C] / b [C] the trainable
+    proj, bias [H, N, N] relative-position bias (frozen), wmask
+    [nW, N, N] additive shift mask (frozen; pass zeros [1, N, N] for
+    unshifted blocks).  Returns [B, N, C].  Differentiable in (qkv, w, b).
+    """
+    out, _ = _fused_swin_fwd(qkv, w, b, bias, wmask, num_heads, scale)
+    return out
+
+
+def _pad_bias(x, n_pad):
+    n = x.shape[-1]
+    if n_pad != n:
+        x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, n_pad - n)))
+    return x.astype(jnp.float32)
+
+
+def _fused_swin_fwd(qkv, w, b, bias, wmask, num_heads, scale):
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    Dh = C // num_heads
+    Np = _pad_to(N, 16)
+    qkv_p = _prep(qkv, Np)
+    bias_p = _pad_bias(bias, Np)
+    mask_p = _pad_bias(wmask, Np)
+    out = _call_fwd_swin(qkv_p, w.astype(qkv.dtype), bias_p, mask_p,
+                         num_heads, Dh, float(scale), N)
+    out = out[:, :N] + b.astype(out.dtype)
+    return out, (qkv_p, w, b, bias_p, mask_p)
+
+
+def _fused_swin_bwd(num_heads, scale, res, g):
+    qkv_p, w, b, bias_p, mask_p = res
+    B, Np, C3 = qkv_p.shape
+    C = C3 // 3
+    Dh = C // num_heads
+    N = g.shape[1]
+    g_p = jnp.pad(g, ((0, 0), (0, Np - N), (0, 0))) if Np != N else g
+    Kp = _pad_to(C, 128)
+    g_t = g_p if Kp == C else jnp.pad(g_p, ((0, 0), (0, 0), (0, Kp - C)))
+    dqkv, dw_full = _call_bwd_swin(
+        qkv_p, w.astype(g.dtype), bias_p, mask_p,
+        g_p.astype(qkv_p.dtype), g_t.astype(qkv_p.dtype),
+        num_heads, Dh, float(scale), N)
+    dqkv = dqkv[:, :N]
+    dw = dw_full[:, :C].astype(w.dtype)
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 1)).astype(b.dtype)
+    return dqkv, dw, db, jnp.zeros_like(bias_p[:, :N, :N]), \
+        jnp.zeros_like(mask_p[:, :N, :N])
+
+
+fused_swin_attention.defvjp(_fused_swin_fwd, _fused_swin_bwd)

@@ -39,8 +39,9 @@ OUT = os.path.join(os.path.dirname(__file__), "r4_dinov2_anatomy.jsonl")
 STEPS = 15
 BATCH = 8
 
-VARIANTS = ("base", "no_koleo", "no_ibot", "no_local", "head4096",
-            "ce_stub", "no_last_layer", "head_bf16_real", "proto_ce")
+VARIANTS = ("base", "no_koleo", "no_ibot", "no_ibot_smalln0", "no_local",
+            "head4096", "ce_stub", "no_last_layer", "head_bf16_real",
+            "proto_ce")
 
 
 def emit(rec):
@@ -154,6 +155,13 @@ def bench(name):
         params.model_params.dinov2.dino.koleo_loss_weight = 0.0
     elif name == "no_ibot":
         params.model_params.dinov2.ibot.loss_weight = 0.0
+    elif name == "no_ibot_smalln0":
+        # control for the r4 103.7 ms no_ibot anomaly: same ablation with
+        # the small-N fused fold disabled (locals forced onto XLA) — if the
+        # anomaly is an admission interaction, this row is FASTER than
+        # no_ibot; if it reproduces here too, it's not the fold
+        params.model_params.dinov2.ibot.loss_weight = 0.0
+        os.environ["APLA_FUSED_SMALLN"] = "0"
     elif name == "no_local":
         params.dataset_params.augmentation_strategy_path = \
             _no_local_strategy_file()
@@ -195,9 +203,20 @@ def bench(name):
                            1e-4, 0.04, 0.994, 0.07, trainer.rng)
     _ = float(m["loss"])
     dt = (time.perf_counter() - t0) / STEPS
+    # admission diagnostics: what the fused policy actually selects at the
+    # two geometries this step dispatches (272-pad globals, 64-pad locals)
+    from apla_tpu.ops.pallas_apla_attn import (effective_bb_bwd,
+                                               effective_bb_fwd,
+                                               small_n_fused_ok)
+    bl = BATCH * 8  # local crops fold batch x n_crops
     emit({"study": "r4_anatomy", "variant": name, "batch": BATCH,
           "ms_per_step": round(dt * 1e3, 1),
-          "img_s": round(BATCH / dt, 1)})
+          "img_s": round(BATCH / dt, 1),
+          "local_admitted": bool(small_n_fused_ok(bl, 50, 768)),
+          "bb_local": [effective_bb_fwd(bl, 64, 768),
+                       effective_bb_bwd(bl, 64, 768, 128)],
+          "bb_global": [effective_bb_fwd(2 * BATCH, 272, 768),
+                        effective_bb_bwd(2 * BATCH, 272, 768, 128)]})
 
 
 if __name__ == "__main__":
