@@ -110,6 +110,26 @@ def apla_attention(x, frozen, trainable, num_heads, scale=None, attn_drop=0.0,
         from .pallas_apla_attn import (fused_apla_attention, fused_admitted,
                                        fused_available, fused_fits)
         k_tr = trainable["proj_wt"].shape[-1]
+        if (fused_available() and segment_len == 0
+                and fused_admitted(B, N, C, k_tr)
+                and not fused_fits(N, C, k_tr)):
+            # beyond the monolithic kernel's VMEM envelope (the @518
+            # N=1370 regime): the q-strip long kernel, same contract
+            from .pallas_apla_attn_long import (fused_apla_attention_long,
+                                                long_fused_ok)
+            if long_fused_ok(N, C, k_tr):
+                from .quant import maybe_quantized_dot
+                head_dim = C // num_heads
+                qkv = maybe_quantized_dot(x, frozen["qkv"]["kernel"],
+                                          frozen["qkv"].get("bias"))
+                out = fused_apla_attention_long(
+                    qkv, trainable["proj_wt"], trainable["proj_bt"],
+                    frozen["proj"]["kernel"], frozen["proj"]["bias"],
+                    frozen["inds"], num_heads,
+                    float(scale if scale is not None
+                          else head_dim ** -0.5))
+                out = checkpoint_name(out, "attn_out")
+                return _dropout(out, proj_drop, rng_p, deterministic)
         if (fused_available()
                 and fused_admitted(B, N, C, k_tr)
                 and fused_fits(N, C, k_tr)):
