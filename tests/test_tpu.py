@@ -298,3 +298,130 @@ def test_serve_artifact_executes_on_chip(tmp_path):
     x = np.zeros((3, 32, 32, 3), np.float32)
     logits = pred.predict(x)
     assert logits.shape == (3, 7) and np.isfinite(logits).all()
+
+
+# ------------------------------------------------------------------ #
+# round-5 kernels on hardware
+# ------------------------------------------------------------------ #
+
+def test_proto_ce_parity_on_chip():
+    """Fused prototype-CE kernel (ops/pallas_proto_ce.py) vs the dense
+    separate-ops math ON THE CHIP — forward and (dxs, dws) at the DINOv2
+    recipe bottleneck width (the kernel's first-and-only hardware contract;
+    VERDICT r4 item 1a)."""
+    _require_tpu()
+    from apla_tpu.ops.pallas_proto_ce import proto_ce
+
+    R, D, K = 128, 256, 8192
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    xs = jax.random.normal(ks[0], (R, D), jnp.float32)
+    xs = xs / jnp.linalg.norm(xs, axis=-1, keepdims=True)
+    xt = jax.random.normal(ks[1], (R, D), jnp.float32)
+    xt = xt / jnp.linalg.norm(xt, axis=-1, keepdims=True)
+    ws = jax.random.normal(ks[2], (D, K), jnp.float32)
+    ws = ws / jnp.linalg.norm(ws, axis=0, keepdims=True)
+    wt = jax.random.normal(ks[3], (D, K), jnp.float32)
+    wt = wt / jnp.linalg.norm(wt, axis=0, keepdims=True)
+    center = 0.1 * jax.random.normal(ks[4], (K,), jnp.float32)
+    tt = jnp.float32(0.04)
+
+    def dense(xs, ws):
+        s = jnp.dot(xs.astype(jnp.bfloat16), ws.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        t = jnp.dot(xt.astype(jnp.bfloat16), wt.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        p_t = jax.nn.softmax((t - center.reshape(1, -1)) / tt, axis=-1)
+        return -jnp.sum(jax.lax.stop_gradient(p_t)
+                        * jax.nn.log_softmax(s / 0.1, axis=-1), axis=-1)
+
+    lf, gf = jax.jit(jax.value_and_grad(
+        lambda xs, ws: jnp.sum(proto_ce(xs, ws, xt, wt, center, tt, 0.1)),
+        argnums=(0, 1)))(xs, ws)
+    ld, gd = jax.jit(jax.value_and_grad(
+        lambda xs, ws: jnp.sum(dense(xs, ws)), argnums=(0, 1)))(xs, ws)
+    assert abs(float(lf) - float(ld)) / max(abs(float(ld)), 1e-6) < 2e-2
+    for a, b, name in zip(gf, gd, ("dxs", "dws")):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        denom = max(np.abs(b).max(), 1e-4)
+        assert np.abs(a - b).max() / denom < 0.08, name
+
+
+def test_fused_swin_parity_on_chip():
+    """Swin window kernel (rel-pos bias + shift mask in-kernel, full APLA
+    proj) vs the XLA oracle at the det recipe's stage-1 fold geometry."""
+    _require_tpu()
+    from apla_tpu.ops.pallas_apla_attn import (fused_swin_attention,
+                                               swin_fused_ok)
+
+    B, N, H, Dh, nW = 64, 49, 3, 32, 4
+    C = H * Dh
+    assert swin_fused_ok(B, N, C, H)
+    keys = jax.random.split(jax.random.PRNGKey(0), 6)
+    qkv = (jax.random.normal(keys[0], (B, N, 3 * C)) * 0.3).astype(
+        jnp.bfloat16)
+    w = (jax.random.normal(keys[1], (C, C)) * 0.05).astype(jnp.float32)
+    b = jnp.zeros((C,), jnp.float32)
+    bias = (jax.random.normal(keys[2], (H, N, N)) * 0.5).astype(jnp.float32)
+    blk = jax.random.uniform(keys[3], (nW, N, N)) > 0.7
+    blk = blk & jnp.swapaxes(blk, 1, 2) & ~jnp.eye(N, dtype=bool)[None]
+    wmask = jnp.where(blk, -1e9, 0.0).astype(jnp.float32)
+    scale = Dh ** -0.5
+
+    def oracle(qkv, w, b):
+        q, k, v = (qkv.reshape(B, N, 3, H, Dh)[:, :, i] for i in range(3))
+        logits = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        logits = logits + bias[None] + wmask[jnp.arange(B) % nW][:, None]
+        attn = jax.nn.softmax(logits, axis=-1).astype(qkv.dtype)
+        o = jnp.einsum("bhnm,bmhd->bnhd", attn, v,
+                       preferred_element_type=jnp.float32)
+        return jnp.dot(o.reshape(B, N, C).astype(qkv.dtype), w,
+                       preferred_element_type=jnp.float32) + b
+
+    def loss_fused(qkv, w, b):
+        return jnp.sum(fused_swin_attention(qkv, w, b, bias, wmask,
+                                            H, scale) ** 2)
+
+    def loss_ref(qkv, w, b):
+        return jnp.sum(oracle(qkv, w, b) ** 2)
+
+    (lf, gf) = jax.jit(jax.value_and_grad(
+        loss_fused, argnums=(0, 1, 2)))(qkv, w, b)
+    (lr, gr) = jax.jit(jax.value_and_grad(
+        loss_ref, argnums=(0, 1, 2)))(qkv, w, b)
+    assert abs(float(lf) - float(lr)) / max(abs(float(lr)), 1e-3) < 0.05
+    for a, r, name in zip(gf, gr, ("dqkv", "dw", "db")):
+        a, r = np.asarray(a, np.float32), np.asarray(r, np.float32)
+        denom = max(np.abs(r).max(), 1e-3)
+        assert np.abs(a - r).max() / denom < 0.08, name
+
+
+def test_long_kernel_parity_on_chip():
+    """The @518 q-strip kernel at the real geometry (N=1370, ViT-B width):
+    forward + all three cotangents vs the XLA oracle on hardware."""
+    _require_tpu()
+    from apla_tpu.ops.pallas_apla_attn_long import (fused_apla_attention_long,
+                                                    long_fused_ok)
+
+    assert long_fused_ok(1370, 768)
+    qkv, w_t, b_t, w_frozen, b_frozen, inds, H, scale = _recipe_args(
+        B=2, N=1370)
+
+    def loss_fused(qkv, w_t, b_t):
+        o = fused_apla_attention_long(qkv, w_t, b_t, w_frozen, b_frozen,
+                                      inds, H, scale)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def loss_ref(qkv, w_t, b_t):
+        o = _xla_oracle(qkv, w_t, b_t, w_frozen, b_frozen, inds, H, scale)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    lf, g1 = jax.jit(jax.value_and_grad(
+        loss_fused, argnums=(0, 1, 2)))(qkv, w_t, b_t)
+    lr, g2 = jax.jit(jax.value_and_grad(
+        loss_ref, argnums=(0, 1, 2)))(qkv, w_t, b_t)
+    assert abs(float(lf) - float(lr)) / max(abs(float(lr)), 1e-3) < 0.05
+    for a, b, name in zip(g1, g2, ("d_qkv", "dW_t", "db_t")):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        denom = max(np.abs(b).max(), 1e-3)
+        assert np.abs(a - b).max() / denom < 0.08, name
