@@ -368,10 +368,17 @@ def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
     # ever materialising the [rows, 65536] logits (ops/pallas_proto_ce.py).
     # Softmax-centering only (Sinkhorn's global iterations need the full
     # logit matrix); off-TPU it silently stays on the XLA path.
-    fused_ce = bool(cfg.get("fused_proto_ce", False))
-    if fused_ce:
+    # Modes (r5 hardware sweep, r5_proto_ce_tpu.jsonl): the kernel wins 42%
+    # at the iBOT row count (R ~ 2048) but loses ~0.15 ms at the tiny
+    # dino-global/local sites — true/"all" fuses every site, "ibot" only
+    # the winning one (dino sites keep the dense math).
+    _fused_mode = cfg.get("fused_proto_ce", False)
+    fused_dino = fused_ibot = False
+    if _fused_mode:
         from ..ops.pallas_proto_ce import proto_ce, proto_ce_available
-        fused_ce = centering == "centering" and proto_ce_available()
+        if centering == "centering" and proto_ce_available():
+            fused_dino = _fused_mode in (True, "all")
+            fused_ibot = _fused_mode in (True, "all", "ibot")
     do_dino, do_ibot = dino_w > 0, ibot_w > 0
     do_koleo = koleo_w > 0
     assert not (pack_local_crops and pipeline is not None), \
@@ -417,48 +424,51 @@ def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
             -1, t_patches.shape[-1])[mask_idx]          # [U, D]
         ihead = t_heads["ibot_head"] if separate_head else t_heads["dino_head"]
 
-        if fused_ce:
-            # teacher logits are never materialised: the student CE kernel
-            # consumes (bottleneck, last-layer W, center, temp) directly,
-            # and the center EMA uses linearity —
-            # sum_rows(X @ W) = (sum_rows X) @ W, an O(D*K) matvec.
-            t_dino_bott = dino_head_bottleneck(t_cls_swapped,
-                                               t_heads["dino_head"])
-            wt_dino = dino_head_last_w(t_heads["dino_head"])
-            t_ibot_bott = dino_head_bottleneck(t_masked_patches, ihead)
-            wt_ibot = wt_dino if not separate_head else dino_head_last_w(ihead)
-            new_dino_center = state.dino_center * center_momentum + \
-                jnp.dot(jnp.mean(t_dino_bott, axis=0, keepdims=True),
-                        wt_dino) * (1 - center_momentum)
+        wt_dino = wt_ibot = None
+        if centering == "centering":
+            # per-site fused/dense split.  Fused sites never materialise
+            # teacher logits: the student CE kernel consumes (bottleneck,
+            # last-layer W, center, temp) directly, and the center EMA
+            # uses linearity — sum_rows(X @ W) = (sum_rows X) @ W, an
+            # O(D*K) matvec.  The loss plumbing carries TEACHER
+            # BOTTLENECKS through the same row-sliced channels the
+            # softmaxed targets use.
+            if fused_dino:
+                t_dino_bott = dino_head_bottleneck(t_cls_swapped,
+                                                   t_heads["dino_head"])
+                wt_dino = jax.lax.stop_gradient(
+                    dino_head_last_w(t_heads["dino_head"]))
+                new_dino_center = state.dino_center * center_momentum + \
+                    jnp.dot(jnp.mean(t_dino_bott, axis=0, keepdims=True),
+                            wt_dino) * (1 - center_momentum)
+                t_dino_sm = t_dino_bott
+            else:
+                t_cls_out = dino_head_forward(t_cls_swapped,
+                                              t_heads["dino_head"],
+                                              matmul_bf16=head_mm_bf16)
+                t_dino_sm = softmax_center_teacher(
+                    t_cls_out, state.dino_center, teacher_temp)
+                new_dino_center = state.dino_center * center_momentum + \
+                    jnp.mean(t_cls_out, axis=0, keepdims=True) \
+                    * (1 - center_momentum)
             denom = jnp.maximum(jnp.sum(mask_valid), 1.0)
-            new_ibot_center = state.ibot_center * center_momentum + \
-                jnp.dot(jnp.sum(t_ibot_bott * mask_valid[:, None], axis=0,
-                                keepdims=True) / denom,
-                        wt_ibot) * (1 - center_momentum)
-            # the loss plumbing below carries TEACHER BOTTLENECKS through
-            # the same row-sliced channels the softmaxed targets use
-            t_dino_sm = jax.lax.stop_gradient(t_dino_bott)
-            t_ibot_sm = jax.lax.stop_gradient(t_ibot_bott)
-            wt_dino = jax.lax.stop_gradient(wt_dino)
-            wt_ibot = jax.lax.stop_gradient(wt_ibot)
-        elif centering == "centering":
-            t_cls_out = dino_head_forward(t_cls_swapped,
-                                          t_heads["dino_head"],
-                                          matmul_bf16=head_mm_bf16)
-            t_masked_out = dino_head_forward(t_masked_patches, ihead,
-                                             matmul_bf16=head_mm_bf16)
-            t_dino_sm = softmax_center_teacher(t_cls_out, state.dino_center,
-                                               teacher_temp)
-            t_ibot_sm = softmax_center_teacher(t_masked_out,
-                                               state.ibot_center,
-                                               teacher_temp)
-            new_dino_center = state.dino_center * center_momentum + \
-                jnp.mean(t_cls_out, axis=0, keepdims=True) \
-                * (1 - center_momentum)
-            denom = jnp.maximum(jnp.sum(mask_valid), 1.0)
-            new_ibot_center = state.ibot_center * center_momentum + \
-                (jnp.sum(t_masked_out * mask_valid[:, None], axis=0,
-                         keepdims=True) / denom) * (1 - center_momentum)
+            if fused_ibot:
+                t_ibot_bott = dino_head_bottleneck(t_masked_patches, ihead)
+                wt_ibot = jax.lax.stop_gradient(dino_head_last_w(ihead))
+                new_ibot_center = state.ibot_center * center_momentum + \
+                    jnp.dot(jnp.sum(t_ibot_bott * mask_valid[:, None],
+                                    axis=0, keepdims=True) / denom,
+                            wt_ibot) * (1 - center_momentum)
+                t_ibot_sm = t_ibot_bott
+            else:
+                t_masked_out = dino_head_forward(t_masked_patches, ihead,
+                                                 matmul_bf16=head_mm_bf16)
+                t_ibot_sm = softmax_center_teacher(t_masked_out,
+                                                   state.ibot_center,
+                                                   teacher_temp)
+                new_ibot_center = state.ibot_center * center_momentum + \
+                    (jnp.sum(t_masked_out * mask_valid[:, None], axis=0,
+                             keepdims=True) / denom) * (1 - center_momentum)
         else:  # sinkhorn_knopp
             t_cls_out = dino_head_forward(t_cls_swapped,
                                           t_heads["dino_head"],
@@ -506,39 +516,43 @@ def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
             # magnitude `g` is a TRAINABLE parameter (dino_head.py:28 only
             # fills it with 1, nothing freezes it) — unlike DINO v1's
             # norm_last_layer option
-            if fused_ce:
-                # bottlenecks only — the prototype projection, softmaxes
-                # and CE all happen inside the fused kernel, so the
-                # [rows, n_prototypes] logits never exist in HBM
-                outs = dino_head_bottleneck(
-                    jnp.concatenate(head_in, axis=0), trainable["dino_head"])
-                ws_dino = dino_head_last_w(trainable["dino_head"],
-                                           norm_last_layer=False)
-            else:
-                outs = dino_head_forward(jnp.concatenate(head_in, axis=0),
-                                         trainable["dino_head"],
-                                         norm_last_layer=False,
-                                         matmul_bf16=head_mm_bf16)
+            # ONE shared bottleneck pass for every row; fused sites keep
+            # bottlenecks (the prototype projection, softmaxes and CE all
+            # happen inside the kernel — the [rows, n_prototypes] logits
+            # never exist in HBM), dense sites project their rows only
+            bott = dino_head_bottleneck(jnp.concatenate(head_in, axis=0),
+                                        trainable["dino_head"])
+            ws_dino = dino_head_last_w(trainable["dino_head"],
+                                       norm_last_layer=False)
+
+            def _project(x, w):
+                if head_mm_bf16:
+                    return jnp.dot(x.astype(jnp.bfloat16),
+                                   w.astype(jnp.bfloat16),
+                                   preferred_element_type=jnp.float32)
+                return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
             splits = np.cumsum(sizes)[:-1]
-            parts = jnp.split(outs, splits, axis=0)
-            s_cls_g_out = parts[0]
-            s_cls_l_out = parts[1] if n_local else None
+            parts = jnp.split(bott, splits, axis=0)
+            n_cls = sizes[0] + (sizes[1] if n_local else 0)
+            if fused_dino or not do_dino:
+                s_cls_g_out = parts[0]
+                s_cls_l_out = parts[1] if n_local else None
+            else:
+                cls_logits = _project(bott[:n_cls], ws_dino)
+                s_cls_g_out = cls_logits[:sizes[0]]
+                s_cls_l_out = cls_logits[sizes[0]:] if n_local else None
             if not do_ibot:
                 s_masked_out = None
             elif separate_head:
-                if fused_ce:
-                    s_masked_out = dino_head_bottleneck(
-                        s_masked, trainable["ibot_head"])
-                    ws_ibot = dino_head_last_w(trainable["ibot_head"],
-                                               norm_last_layer=False)
-                else:
-                    s_masked_out = dino_head_forward(
-                        s_masked, trainable["ibot_head"],
-                        norm_last_layer=False, matmul_bf16=head_mm_bf16)
+                b_m = dino_head_bottleneck(s_masked, trainable["ibot_head"])
+                ws_ibot = dino_head_last_w(trainable["ibot_head"],
+                                           norm_last_layer=False)
+                s_masked_out = b_m if fused_ibot else _project(b_m, ws_ibot)
             else:
-                s_masked_out = parts[-1]
-                if fused_ce:
-                    ws_ibot = ws_dino
+                ws_ibot = ws_dino
+                s_masked_out = (parts[-1] if fused_ibot
+                                else _project(parts[-1], ws_dino))
 
             losses = {}
             total = 0.0
@@ -546,7 +560,7 @@ def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
                 t_list = list(jnp.split(t_dino_c, n_global))
                 if n_local:
                     s_local_chunks = list(jnp.split(s_cls_l_out, n_local))
-                    if fused_ce:
+                    if fused_dino:
                         # every (student local chunk, teacher chunk) pair is
                         # row-aligned; stack the pair-expanded bottlenecks
                         # ([n_local*n_global*B', 256] — tiny) for ONE kernel
@@ -565,7 +579,7 @@ def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
                             student_temp=student_temp) / loss_term_denom
                     losses["dino_local_crops_loss"] = dino_local
                     total = total + dino_w * dino_local
-                if fused_ce:
+                if fused_dino:
                     ce = proto_ce(s_cls_g_out, ws_dino, t_dino_c, wt_dino,
                                   state.dino_center, teacher_temp,
                                   student_temp)
@@ -583,7 +597,7 @@ def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
                     losses["koleo_loss"] = kl / 2
                     total = total + kl
             if do_ibot:
-                if fused_ce:
+                if fused_ibot:
                     ce = proto_ce(s_masked_out, ws_ibot, t_ibot_c, wt_ibot,
                                   state.ibot_center, teacher_temp,
                                   student_temp)

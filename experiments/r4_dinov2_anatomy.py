@@ -41,7 +41,7 @@ BATCH = 8
 
 VARIANTS = ("base", "no_koleo", "no_ibot", "no_ibot_smalln0", "no_local",
             "head4096", "ce_stub", "no_last_layer", "head_bf16_real",
-            "proto_ce")
+            "proto_ce", "proto_ce_ibot")
 
 
 def emit(rec):
@@ -180,6 +180,10 @@ def bench(name):
         # the fused prototype-CE kernel (linear + online-softmax CE, no
         # [rows, 65536] logits in HBM) for dino-global/local AND iBOT
         params.model_params.dinov2.fused_proto_ce = True
+    elif name == "proto_ce_ibot":
+        # selective mode: fuse ONLY the iBOT site (the r5 hardware winner,
+        # +42% at R=2048); dino global/local keep the dense math
+        params.model_params.dinov2.fused_proto_ce = "ibot"
 
     wrapper = DINOv2Wrapper(params)
     wrapper.instantiate()

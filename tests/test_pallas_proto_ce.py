@@ -143,13 +143,15 @@ def _build_trainer(fused, accum=1):
 
 
 @pytest.mark.parametrize(
-    "accum", [1, pytest.param(2, marks=pytest.mark.slow)])
-def test_full_dinov2_step_parity_fused_vs_xla(accum):
+    "accum,mode", [(1, True), (1, "ibot"),
+                   pytest.param(2, True, marks=pytest.mark.slow)])
+def test_full_dinov2_step_parity_fused_vs_xla(accum, mode):
     """fused_proto_ce through the REAL wrapper/trainer: one full DINOv2
     train step (losses, trainable update, BOTH center recurrences) must
     match the XLA path — monolithic AND under gradient accumulation (the
     teacher bottlenecks ride the same micro-sliced channels the softmaxed
-    targets use)."""
+    targets use).  mode "ibot" fuses only the iBOT call site (the r5
+    hardware winner); dino sites keep the dense math."""
     w1, t1 = _build_trainer(False, accum)
     loader = w1.dataloaders.trainloader
     loader.set_epoch(0)
@@ -158,7 +160,7 @@ def test_full_dinov2_step_parity_fused_vs_xla(accum):
     st1, m1 = t1._get_step(False)(t1.state, t1.frozen, db,
                                   1e-4, 0.04, 0.994, 0.07, t1.rng)
 
-    _, t2 = _build_trainer(True, accum)
+    _, t2 = _build_trainer(mode, accum)
     st2, m2 = t2._get_step(False)(t2.state, t2.frozen, db,
                                   1e-4, 0.04, 0.994, 0.07, t2.rng)
 
