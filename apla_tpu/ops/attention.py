@@ -117,7 +117,7 @@ def apla_attention(x, frozen, trainable, num_heads, scale=None, attn_drop=0.0,
             # N=1370 regime): the q-strip long kernel, same contract
             from .pallas_apla_attn_long import (fused_apla_attention_long,
                                                 long_fused_ok)
-            if long_fused_ok(N, C, k_tr):
+            if long_fused_ok(N, C, k_tr, b=B):
                 from .quant import maybe_quantized_dot
                 head_dim = C // num_heads
                 qkv = maybe_quantized_dot(x, frozen["qkv"]["kernel"],

@@ -40,6 +40,34 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 # flipped by tests to run in the Pallas interpreter off-TPU
 INTERPRET = False
 
+# Trace-scoped marker: the gradient-accumulation builders wrap their
+# microbatch scan bodies in `accum_scan_trace()` so kernel admission can
+# tell an accum micro-step apart from a monolithic step of the same batch
+# size.  The distinction is load-bearing for the scoped-VMEM staging
+# pathology (round 3: XLA stages remat-saved qkv in scoped VMEM adjacent
+# to the kernel inside a scan): @518 the long kernel compiles monolithic
+# b8 but CRASHES the compiler at accum micro-b8 (r5_long_fused.jsonl
+# long_b16a2), while accum micro-b4 is fine — batch size alone cannot
+# separate the two.
+import contextlib as _contextlib
+import contextvars as _contextvars
+
+_ACCUM_SCAN = _contextvars.ContextVar("apla_accum_scan", default=False)
+
+
+@_contextlib.contextmanager
+def accum_scan_trace():
+    """Mark the enclosed trace as running inside an accum microbatch scan."""
+    tok = _ACCUM_SCAN.set(True)
+    try:
+        yield
+    finally:
+        _ACCUM_SCAN.reset(tok)
+
+
+def in_accum_scan() -> bool:
+    return _ACCUM_SCAN.get()
+
 
 def _pad_to(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple

@@ -41,7 +41,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_apla_attn import NEG_INF, _assemble, _pad_to, _vmem_budget
+from .pallas_apla_attn import (NEG_INF, _assemble, _pad_to, _vmem_budget,
+                               in_accum_scan)
 
 # flipped by tests to run in the Pallas interpreter off-TPU (kept in sync
 # with pallas_apla_attn.INTERPRET by the shared test fixture)
@@ -75,13 +76,24 @@ def _bwdb_bytes(bk: int, np_: int, c: int) -> int:
         + bk * 2 * c * 2 + 2 * np_ * 4
 
 
-def long_fused_ok(n: int, c: int, k: int = 128) -> bool:
+def long_fused_ok(n: int, c: int, k: int = 128, b: int | None = None) -> bool:
     """Geometry admission: every phase's working set fits the VMEM budget
     at the configured strip depth.  APLA_FUSED_LONG=0 disables (the
-    measurement control)."""
+    measurement control).
+
+    Inside an accum microbatch scan (`accum_scan_trace`), micro-batches
+    beyond the hardware-validated bound fall back to XLA: @518 ViT-B the
+    kernel compiles monolithic b8 and accum micro-b4 but accum micro-b8
+    aborts the remote compiler (r5_long_fused.jsonl long_b16a2) — the
+    scoped-VMEM staging pathology, which must never be reachable from a
+    training job."""
     import os
     if os.environ.get("APLA_FUSED_LONG", "1") == "0":
         return False
+    if b is not None and in_accum_scan():
+        bmax = int(os.environ.get("APLA_FUSED_LONG_ACCUM_BMAX", 4))
+        if b > bmax:
+            return False
     bq = _bq()
     np_ = _pad_to(n, bq)
     kp = _pad_to(min(k, c), 128)

@@ -26,6 +26,7 @@ from flax import struct
 
 from ..models.classifier import _backbone_params
 from ..models.vit import vit_features
+from ..ops.pallas_apla_attn import accum_scan_trace
 from ..parallel.mesh import replicated_sharding
 from ..train.optim import build_optimizer, set_lr
 from ..train.schedules import cosine_with_warmup_table
@@ -308,9 +309,10 @@ def make_byol_train_step(vit_cfg, tx, use_momentum: bool,
             def body(carry, xs):
                 acc_loss, acc_g, ms = carry
                 vs, rs = xs
-                (loss_i, new_ms), g_i = jax.value_and_grad(
-                    make_loss_fn(list(vs), list(rs), ms),
-                    has_aux=True)(state.trainable)
+                with accum_scan_trace():
+                    (loss_i, new_ms), g_i = jax.value_and_grad(
+                        make_loss_fn(list(vs), list(rs), ms),
+                        has_aux=True)(state.trainable)
                 return (acc_loss + loss_i,
                         jax.tree.map(jnp.add, acc_g, g_i), new_ms), None
 

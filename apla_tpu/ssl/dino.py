@@ -22,6 +22,7 @@ import numpy as np
 import optax
 from flax import struct
 
+from ..ops.pallas_apla_attn import accum_scan_trace
 from ..parallel.mesh import replicated_sharding
 from ..train.optim import build_optimizer, set_lr
 from ..train.schedules import cosine_with_warmup_table
@@ -260,8 +261,9 @@ def make_dino_train_step(vit_cfg, tx, n_global: int, n_local: int,
                 else:
                     g_i, ts_i, rg_i, rl_i = xs
                     l_i = None
-                loss_i, g_i_grad = jax.value_and_grad(student_loss)(
-                    state.trainable, g_i, l_i, list(ts_i), rg_i, rl_i)
+                with accum_scan_trace():
+                    loss_i, g_i_grad = jax.value_and_grad(student_loss)(
+                        state.trainable, g_i, l_i, list(ts_i), rg_i, rl_i)
                 return (acc_loss + loss_i,
                         jax.tree.map(jnp.add, acc_g, g_i_grad)), None
 

@@ -35,6 +35,7 @@ import numpy as np
 import optax
 from flax import struct
 
+from ..ops.pallas_apla_attn import accum_scan_trace
 from ..parallel.mesh import replicated_sharding
 from ..train.optim import build_optimizer, set_lr
 from ..utils.config import EDict
@@ -691,10 +692,11 @@ def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
                      rg_i, rl_i) = xs
                     l_i = None
                 t_ibot_i = jax.lax.stop_gradient(t_ibot_sm[order_i])
-                (loss_i, ld_i), g_i_grad = jax.value_and_grad(
-                    student_loss, has_aux=True)(
-                    state.trainable, g_i, l_i, masks_i, t_dino_i, idx_i,
-                    t_ibot_i, w_i, valid_i, rg_i, rl_i, n_global * mb)
+                with accum_scan_trace():
+                    (loss_i, ld_i), g_i_grad = jax.value_and_grad(
+                        student_loss, has_aux=True)(
+                        state.trainable, g_i, l_i, masks_i, t_dino_i, idx_i,
+                        t_ibot_i, w_i, valid_i, rg_i, rl_i, n_global * mb)
                 return (acc_loss + loss_i,
                         jax.tree.map(jnp.add, acc_ld, ld_i),
                         jax.tree.map(jnp.add, acc_g, g_i_grad)), None

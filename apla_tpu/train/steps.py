@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import optax
 
 from ..models.classifier import classifier_forward
+from ..ops.pallas_apla_attn import accum_scan_trace
 from .optim import set_lr
 from .train_state import TrainState
 
@@ -87,8 +88,9 @@ def make_train_step(vit_cfg, tx, criterion: Callable,
 
             def body(acc, xs):
                 im_i, lb_i, rng_i = xs
-                (loss_i, logits_i), g_i = fwd_bwd(state.trainable, frozen,
-                                                  im_i, lb_i, rng_i)
+                with accum_scan_trace():
+                    (loss_i, logits_i), g_i = fwd_bwd(
+                        state.trainable, frozen, im_i, lb_i, rng_i)
                 acc_loss, acc_g = acc
                 acc_g = jax.tree.map(jnp.add, acc_g, g_i)
                 return (acc_loss + loss_i, acc_g), logits_i

@@ -160,3 +160,62 @@ def test_apla_attention_dispatches_long_kernel(monkeypatch):
     assert calls, "long kernel did not dispatch"
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_xla),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_long_accum_scan_gate(monkeypatch):
+    """Inside an accum microbatch scan the long kernel declines
+    micro-batches beyond the hardware-validated bound (r5_long_fused:
+    monolithic b8 + accum micro-b4 compile, accum micro-b8 aborts the
+    compiler) — never reachable from a training job."""
+    from apla_tpu.ops.pallas_apla_attn import accum_scan_trace, in_accum_scan
+
+    assert not in_accum_scan()
+    assert long_fused_ok(1370, 768, b=8)          # monolithic b8 ok
+    with accum_scan_trace():
+        assert in_accum_scan()
+        assert long_fused_ok(1370, 768, b=4)      # validated accum micro
+        assert not long_fused_ok(1370, 768, b=8)  # the crash config
+        monkeypatch.setenv("APLA_FUSED_LONG_ACCUM_BMAX", "8")
+        assert long_fused_ok(1370, 768, b=8)      # explicit override
+    assert not in_accum_scan()
+    monkeypatch.delenv("APLA_FUSED_LONG_ACCUM_BMAX")
+    assert long_fused_ok(1370, 768, b=8)
+
+
+def test_accum_builders_mark_the_scan_trace():
+    """The supervised accum body runs its microbatch trace inside
+    accum_scan_trace() so kernel admission can see it (probed via the
+    criterion, which executes at trace time inside the body)."""
+    import optax
+
+    from apla_tpu.apla.core import AplaConfig
+    from apla_tpu.models.classifier import init_classifier
+    from apla_tpu.models.vit import ViTConfig
+    from apla_tpu.ops.pallas_apla_attn import in_accum_scan
+    from apla_tpu.train.optim import build_optimizer
+    from apla_tpu.train.steps import make_train_step
+    from apla_tpu.train.train_state import TrainState
+
+    cfg = ViTConfig(img_size=28, patch_size=14, embed_dim=32, depth=1,
+                    num_heads=2, compute_dtype=jnp.float32)
+    seen = []
+
+    def probe_criterion(logits, labels):
+        seen.append(in_accum_scan())
+        return jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels))
+
+    batch = {"image": jnp.zeros((4, 28, 28, 3), jnp.float32),
+             "label": jnp.zeros((4,), jnp.int32)}
+    for accum, expect in ((1, False), (2, True)):
+        seen.clear()
+        # fresh params per variant: the step donates its state buffers
+        trainable, frozen = init_classifier(
+            jax.random.PRNGKey(0), cfg, n_classes=3,
+            apla_cfg=AplaConfig(partial_size=4))
+        tx = build_optimizer("AdamW", {"lr": 1e-3}, trainable)
+        step = make_train_step(cfg, tx, probe_criterion, accum_steps=accum)
+        state = TrainState.create(trainable, tx)
+        state, m = step(state, frozen, batch, 1e-3, jax.random.PRNGKey(1))
+        assert float(m["loss"]) > 0
+        assert seen and all(s is expect for s in seen), (accum, seen)
