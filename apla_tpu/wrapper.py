@@ -112,6 +112,7 @@ class DefaultWrapper:
                 brightness=float(cj.get("brightness", 0.2)),
                 contrast=float(cj.get("contrast", 0.2)),
                 saturation=float(cj.get("saturation", 0.1)),
+                hue=float(cj.get("hue", 0.0)),
                 grayscale_p=float(
                     tt.get("RandomGrayscale", {}).get("p", 0.0)
                     if tt.get("RandomGrayscale", {}).get("apply") else 0.0),

@@ -35,14 +35,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OUT = os.path.join(os.path.dirname(__file__), "r5_swin_bisect.jsonl")
 
-# (C, H, B=images*windows, nW) — N fixed at 49 (window 7)
+# (C, H, B=images*windows, nW[, env]) — N fixed at 49 (window 7)
+# Round-1 findings (r5_swin_bisect.jsonl): only the WIDE stage's backward
+# fails — scoped-VMEM 26.16M > 16M at C=768 BB=8 (full [C,C] dW + full
+# g_t blocks, doubled-buffered).  C=96/192, the shift mask, the mod index
+# map, and Dh=32 all compile.  Round 2 finds the validated bwd BB ladder.
 CONFIGS = {
     "base96": (96, 3, 64, 0),      # 0 -> use fused_apla_attention
     "swin768": (768, 24, 64, 1),
     "swin96": (96, 3, 512, 1),
     "swin96sh": (96, 3, 512, 64),
     "swin192": (192, 6, 256, 16),
+    # round 2: the wide-stage bwd BB ladder + the untested stage-2 width
+    "swin384": (384, 12, 128, 4),
+    "swin768bb4": (768, 24, 64, 1, {"APLA_FUSED_BB_BWD_SMALL": "4"}),
+    "swin768bb2": (768, 24, 64, 1, {"APLA_FUSED_BB_BWD_SMALL": "2"}),
+    "swin384bb4": (384, 12, 128, 4, {"APLA_FUSED_BB_BWD_SMALL": "4"}),
 }
+ROUND2 = ("swin384", "swin768bb4", "swin768bb2", "swin384bb4")
 N = 49
 
 
@@ -60,7 +70,10 @@ def run(name):
     import jax.numpy as jnp
     import numpy as np
 
-    C, H, B, nW = CONFIGS[name]
+    cfg = CONFIGS[name]
+    C, H, B, nW = cfg[:4]
+    for k, v in (cfg[4] if len(cfg) > 4 else {}).items():
+        os.environ[k] = v
     rng = np.random.default_rng(0)
     qkv = jnp.asarray(rng.standard_normal((B, N, 3 * C)), jnp.bfloat16)
     scale = (C // H) ** -0.5
@@ -115,14 +128,17 @@ def run(name):
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1:
+    if len(sys.argv) > 1 and sys.argv[1] in CONFIGS:
         run(sys.argv[1])
     else:
         from apla_tpu.utils.tpu_client_lock import tpu_client
-        emit({"study": "r5_swin_bisect", "subprocess_per_variant": True})
+        names = ROUND2 if "--round2" in sys.argv else \
+            tuple(n for n in CONFIGS if n not in ROUND2)
+        emit({"study": "r5_swin_bisect", "subprocess_per_variant": True,
+              "names": list(names)})
         here = os.path.abspath(__file__)
         root = os.path.dirname(os.path.dirname(here))
         with tpu_client("r5_swin_bisect"):
-            for name in CONFIGS:
+            for name in names:
                 subprocess.run([sys.executable, here, name], cwd=root)
         emit({"study": "r5_swin_bisect", "done": True})
