@@ -607,8 +607,18 @@ def _swin_fwd_bytes(bb: int, np_: int, c: int, h: int) -> int:
 
 
 def _swin_bwd_bytes(bb: int, np_: int, c: int, kp: int, h: int) -> int:
+    # Beyond _bwd_bytes: bias + mask blocks, PLUS the per-head gradient
+    # strips (dqs/dks/dvs f32 + os_ bf16) the kernel holds live until the
+    # final concat — at Swin's tiny Np=64 these dominate the score chain
+    # and Mosaic does not reuse their buffers.  Calibrated against the
+    # r5_swin_bisect hardware ladder: C=768 BB=8 aborts the compiler
+    # (scoped 26.16M > 16M) while BB=4 and every C<=384 BB=8 point
+    # compiles; this model declines exactly the failing point.  The ViT
+    # _bwd_bytes model is left alone — its N=272 BB=2 envelope is
+    # hardware-validated and a shared live-strip term would falsely
+    # decline it.
     return _bwd_bytes(bb, np_, c, kp) + bb * np_ * np_ * 4 \
-        + h * np_ * np_ * 4
+        + h * np_ * np_ * 4 + 3 * bb * np_ * c * 4 + bb * np_ * c * 2
 
 
 # Largest folded batch x windows the Swin variant has been Mosaic-compiled
