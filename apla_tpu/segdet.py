@@ -149,7 +149,8 @@ def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
                        vit_cfg=None, n_devices=1,
                        param_sharding="replicated", resume=False,
                        eval_only=False, eval_img_size=None,
-                       eval_stride=None, aux_heads=0, head_lr_mult=1.0):
+                       eval_stride=None, aux_heads=0, head_lr_mult=1.0,
+                       use_fused=False):
     """APLA-SETR-PUP on an ADE20K-layout directory (reference recipe:
     apla_setr_vit-l_pup_8xb2-160k_ade20k-512x512.py — ViT-L backbone,
     'full' APLA = only attn out-projections train)."""
@@ -160,7 +161,8 @@ def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
     from .models.vit import VIT_BUILDERS
 
     cfg = vit_cfg if vit_cfg is not None else \
-        VIT_BUILDERS[backbone](img_size=img_size, patch_size=patch_size)
+        VIT_BUILDERS[backbone](img_size=img_size, patch_size=patch_size,
+                               use_fused_apla=use_fused)
     train_ds = ADE20KSegmentation(root, "training", img_size=img_size)
     # eval_img_size > img_size: sliding-window eval (the reference seg
     # recipe's test_cfg mode='slide' — train at the crop, eval larger)
@@ -582,6 +584,11 @@ def main(argv=None):
     ps.add_argument("--aux_heads", type=int, default=0,
                     help="auxiliary SETR-UP decoders on intermediate "
                          "layers (reference recipe: 3, loss weight 0.4)")
+    ps.add_argument("--use_fused", action="store_true",
+                    help="route backbone attention through the fused APLA "
+                         "kernels (ViT-L@512 lands on the long q-strip "
+                         "kernel; set APLA_FUSED_VMEM_MB=15 — full-k dW_t "
+                         "needs the ViT-giant-style budget override)")
     ps.add_argument("--head_lr_mult", type=float, default=1.0,
                     help="decoder-head lr multiplier (reference: 10)")
     pd = sub.add_parser("det")
@@ -626,7 +633,8 @@ def main(argv=None):
             n_devices=args.n_devices, param_sharding=args.param_sharding,
             resume=args.resume, eval_only=args.eval_only,
             eval_img_size=args.eval_img_size, eval_stride=args.eval_stride,
-            aux_heads=args.aux_heads, head_lr_mult=args.head_lr_mult)
+            aux_heads=args.aux_heads, head_lr_mult=args.head_lr_mult,
+            use_fused=args.use_fused)
     else:
         out = train_detection(
             args.img_dir, args.ann, epochs=args.epochs,
