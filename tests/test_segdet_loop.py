@@ -257,6 +257,23 @@ def test_detection_loop(tmp_path):
     assert os.path.exists(tmp_path / "ck" / "det_best.msgpack")
 
 
+def test_detection_loop_fused_bf16_flags(tmp_path):
+    """`--use_fused --bf16` plumbing (the r5_swin_fused-validated regime):
+    the loop runs with the fused knob on (off-TPU it falls back to XLA
+    automatically — the admission requires a TPU backend) and bf16
+    backbone compute, producing finite metrics and a checkpoint."""
+    from apla_tpu.segdet import train_detection
+    img_dir, ann = make_coco(tmp_path)
+    out = train_detection(
+        img_dir, ann, epochs=1, img_size=56, batch_size=2, lr=1e-3,
+        embed_dim=32, depths=(2, 2), num_heads=(2, 4),
+        save_dir=str(tmp_path / "ck"), num_workers=2, log_every=1,
+        use_fused=True, bf16=True)
+    assert out["iters"] == 2
+    assert 0.0 <= out["best_map50"] <= 1.0
+    assert os.path.exists(tmp_path / "ck" / "det_best.msgpack")
+
+
 def test_detection_masks_loop_and_resume(tmp_path):
     """--masks end to end: the loop trains the instance-mask branch,
     reports BOTH metrics, and --resume restores the saved best BOX mAP
