@@ -167,9 +167,7 @@ def _swin_attention(x_windows, p, num_heads, window, mask, cfg, rng,
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     logits = jnp.einsum("bnhd,bmhd->bhnm", q, k,
                         preferred_element_type=jnp.float32) * scale
-    rel_idx = jnp.asarray(_rel_pos_index(window).reshape(-1))
-    bias = p["rel_bias"][rel_idx].reshape(n, n, num_heads)
-    logits = logits + bias.transpose(2, 0, 1)[None].astype(jnp.float32)
+    logits = logits + _gathered_rel_bias(p, window, n, num_heads)[None]
     if mask is not None:
         nW = mask.shape[0]
         logits = logits.reshape(-1, nW, num_heads, n, n) \
@@ -182,18 +180,38 @@ def _swin_attention(x_windows, p, num_heads, window, mask, cfg, rng,
     return out
 
 
-def _swin_fused_admitted(cfg, wins_shape, num_heads, deterministic) -> bool:
+def _gathered_rel_bias(p_attn, window, n, num_heads):
+    """Relative-position bias table gathered to [H, n, n] f32 — the ONE
+    place the indexing convention lives (XLA and fused paths must agree
+    or parity breaks)."""
+    rel_idx = jnp.asarray(_rel_pos_index(window).reshape(-1))
+    bias = p_attn["rel_bias"][rel_idx].reshape(n, n, num_heads)
+    return bias.transpose(2, 0, 1).astype(jnp.float32)
+
+
+def _swin_fused_admitted(cfg, wins_shape, dtype, num_heads,
+                         deterministic) -> bool:
     """Route this block's windows through the fused kernel?  Needs the knob
-    on, a usable backend, no attention dropout (train-time drop rate 0 or
-    eval), and the folded batch x windows shape admitted by the validated
-    small-N policy (ops/pallas_apla_attn.swin_fused_ok)."""
+    on, a usable backend, bf16 activations (the only hardware-calibrated
+    dtype — the r5 bisect ladder's abort point leaves no f32 headroom), no
+    attention dropout (train-time drop rate 0 or eval), and the folded
+    batch x windows shape admitted by the validated small-N policy
+    (ops/pallas_apla_attn.swin_fused_ok)."""
     if not cfg.use_fused_apla:
         return False
     if cfg.attn_drop_rate > 0.0 and not deterministic:
         return False
-    from ..ops.pallas_apla_attn import fused_available, swin_fused_ok
+    from ..ops.pallas_apla_attn import (fused_available, fused_dtype_ok,
+                                        swin_fused_ok, warn_fused_fallback)
+    if not fused_available():
+        return False
+    if not fused_dtype_ok(dtype):
+        warn_fused_fallback(
+            f"Swin compute dtype {jnp.dtype(dtype).name} (the window "
+            "kernel's VMEM ladder is bf16-calibrated; pass --bf16)")
+        return False
     nWB, n, C = wins_shape
-    return fused_available() and swin_fused_ok(nWB, n, C, num_heads)
+    return swin_fused_ok(nWB, n, C, num_heads)
 
 
 def _swin_block(x, H, W, p, p_train, num_heads, window, shift, cfg, rng,
@@ -212,15 +230,14 @@ def _swin_block(x, H, W, p, p_train, num_heads, window, shift, cfg, rng,
         mask = None
     wins = _window_partition(x, window)
     proj = p_train["proj"] if p_train is not None else p["attn"]["proj"]
-    if _swin_fused_admitted(cfg, wins.shape, num_heads, deterministic):
+    if _swin_fused_admitted(cfg, wins.shape, wins.dtype, num_heads,
+                            deterministic):
         from ..ops.pallas_apla_attn import fused_swin_attention
         from ..ops.quant import maybe_quantized_dot
         nWB, n, _ = wins.shape
         qkv = maybe_quantized_dot(wins, p["attn"]["qkv"]["kernel"],
                                   p["attn"]["qkv"]["bias"])
-        rel_idx = jnp.asarray(_rel_pos_index(window).reshape(-1))
-        bias = p["attn"]["rel_bias"][rel_idx].reshape(n, n, num_heads)
-        bias = bias.transpose(2, 0, 1).astype(jnp.float32)
+        bias = _gathered_rel_bias(p["attn"], window, n, num_heads)
         wmask = (mask if mask is not None
                  else jnp.zeros((1, n, n), jnp.float32))
         wins = fused_swin_attention(

@@ -108,11 +108,34 @@ def apla_attention(x, frozen, trainable, num_heads, scale=None, attn_drop=0.0,
     B, N, C = x.shape
     if use_fused and attn_drop == 0.0:
         from .pallas_apla_attn import (fused_apla_attention, fused_admitted,
-                                       fused_available, fused_fits)
+                                       fused_available, fused_dtype_ok,
+                                       fused_fits, warn_fused_fallback)
         k_tr = trainable["proj_wt"].shape[-1]
-        if (fused_available() and segment_len == 0
-                and fused_admitted(B, N, C, k_tr)
-                and not fused_fits(N, C, k_tr)):
+        if fused_available() and not fused_dtype_ok(x.dtype):
+            # the kernel ladders are bf16-calibrated; f32 doubles the VMEM
+            # working set past the bisected Mosaic abort points
+            warn_fused_fallback(
+                f"compute dtype {jnp.dtype(x.dtype).name} (kernels are "
+                "hardware-validated at bfloat16; APLA_FUSED_ALLOW_F32=1 "
+                "overrides)")
+        elif fused_available() and not fused_admitted(B, N, C, k_tr):
+            warn_fused_fallback(
+                f"geometry B={B} N={N} C={C} declined by the fold/envelope "
+                "admission (runs XLA)")
+        elif fused_available() and fused_fits(N, C, k_tr):
+            from .quant import maybe_quantized_dot
+            head_dim = C // num_heads
+            qkv = maybe_quantized_dot(x, frozen["qkv"]["kernel"],
+                                      frozen["qkv"].get("bias"))
+            out = fused_apla_attention(
+                qkv, trainable["proj_wt"], trainable["proj_bt"],
+                frozen["proj"]["kernel"], frozen["proj"]["bias"],
+                frozen["inds"], num_heads,
+                float(scale if scale is not None else head_dim ** -0.5),
+                int(segment_len))
+            out = checkpoint_name(out, "attn_out")
+            return _dropout(out, proj_drop, rng_p, deterministic)
+        elif fused_available() and segment_len == 0:
             # beyond the monolithic kernel's VMEM envelope (the @518
             # N=1370 regime): the q-strip long kernel, same contract
             from .pallas_apla_attn_long import (fused_apla_attention_long,
@@ -130,21 +153,11 @@ def apla_attention(x, frozen, trainable, num_heads, scale=None, attn_drop=0.0,
                           else head_dim ** -0.5))
                 out = checkpoint_name(out, "attn_out")
                 return _dropout(out, proj_drop, rng_p, deterministic)
-        if (fused_available()
-                and fused_admitted(B, N, C, k_tr)
-                and fused_fits(N, C, k_tr)):
-            from .quant import maybe_quantized_dot
-            head_dim = C // num_heads
-            qkv = maybe_quantized_dot(x, frozen["qkv"]["kernel"],
-                                      frozen["qkv"].get("bias"))
-            out = fused_apla_attention(
-                qkv, trainable["proj_wt"], trainable["proj_bt"],
-                frozen["proj"]["kernel"], frozen["proj"]["bias"],
-                frozen["inds"], num_heads,
-                float(scale if scale is not None else head_dim ** -0.5),
-                int(segment_len))
-            out = checkpoint_name(out, "attn_out")
-            return _dropout(out, proj_drop, rng_p, deterministic)
+            warn_fused_fallback(
+                f"geometry B={B} N={N} C={C} k={k_tr} exceeds the "
+                "monolithic kernel's VMEM envelope and the long kernel "
+                "declined (raise APLA_FUSED_VMEM_MB — the ViT-L@512+ "
+                "full-k dW_t needs ~15)")
     out = qkv_and_attend(
         x, frozen["qkv"]["kernel"], frozen["qkv"].get("bias"), num_heads,
         scale=scale, attn_drop=attn_drop, rng=rng_a,

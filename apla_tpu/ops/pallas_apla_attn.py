@@ -29,6 +29,7 @@ Used via `ViTConfig(use_fused_apla=True)`.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -101,15 +102,22 @@ _B_NN = (((2,), (1,)), ((0,), (0,)))   # [BB,N,M] x [BB,M,D] -> [BB,N,D]
 _B_TN = (((1,), (1,)), ((0,), (0,)))   # [BB,M,N]^T-style contraction
 
 
-def _fwd_kernel(qkv_ref, w_ref, o_ref, *, H, Dh, scale, n_real, seg):
+def _fwd_kernel(qkv_ref, w_ref, o_ref, *, H, Dh, scale, n_real, seg,
+                bias_ref=None, mask_ref=None):
+    """Shared forward body.  bias_ref/mask_ref (the Swin variant) are
+    STATIC kwargs — when None the generated kernel is bit-identical to the
+    plain hardware-validated one (no extra refs, no dead adds)."""
     C = H * Dh
     qkv_b = qkv_ref[...]                     # [BB, Np, 3C] bf16
+    mask = mask_ref[...] if mask_ref is not None else None  # [BB, Np, Np]
     outs = []
     for h in range(H):
         q, k, v = _heads(qkv_b, h, C, Dh)
         s = jax.lax.dot_general(
             q, k, _B_NT,
             preferred_element_type=jnp.float32) * scale  # [BB, Np, Np] f32
+        if bias_ref is not None:
+            s = s + bias_ref[h][None] + mask
         p = _masked_softmax(s, n_real, seg).astype(qkv_b.dtype)
         outs.append(jax.lax.dot_general(
             p, v, _B_NN, preferred_element_type=jnp.float32))
@@ -121,11 +129,12 @@ def _fwd_kernel(qkv_ref, w_ref, o_ref, *, H, Dh, scale, n_real, seg):
 
 
 def _bwd_kernel(qkv_ref, w_ref, g_ref, gt_ref, dqkv_ref, dwt_ref, *,
-                H, Dh, scale, n_real, seg):
+                H, Dh, scale, n_real, seg, bias_ref=None, mask_ref=None):
     C = H * Dh
     qkv_b = qkv_ref[...]                     # [BB, Np, 3C] bf16
     g = g_ref[...]                           # [BB, Np, C]  bf16
     g_t = gt_ref[...]                        # [BB, Np, Kp] bf16
+    mask = mask_ref[...] if mask_ref is not None else None
     # dO for every head at once: [BB, Np, C] = g @ W^T
     dO_cat = jax.lax.dot_general(
         g, w_ref[...], (((2,), (1,)), ((), ())),
@@ -138,6 +147,8 @@ def _bwd_kernel(qkv_ref, w_ref, g_ref, gt_ref, dqkv_ref, dwt_ref, *,
         s = jax.lax.dot_general(
             q, k, _B_NT,
             preferred_element_type=jnp.float32) * scale
+        if bias_ref is not None:
+            s = s + bias_ref[h][None] + mask
         p = _masked_softmax(s, n_real, seg)              # [BB, Np, Np] f32
         pb = p.astype(qkv_b.dtype)
         o = jax.lax.dot_general(pb, v, _B_NN,
@@ -179,81 +190,21 @@ def _bwd_kernel(qkv_ref, w_ref, g_ref, gt_ref, dqkv_ref, dwt_ref, *,
 # [H, Np, Np] + per-window additive shift mask sliced from [M, Np, Np]
 # (M = lcm(n_windows, BB) tiles of the classic Swin region mask; both are
 # FROZEN under APLA — apla_swin_transformer.py:25-39 trains only attn.proj
-# — so neither needs a cotangent) --------------------------------------- #
+# — so neither needs a cotangent).  Thin ref-reordering wrappers over the
+# shared kernel bodies above: the softmax-backward math lives in exactly
+# one place. ------------------------------------------------------------ #
 
 def _fwd_kernel_bias(qkv_ref, w_ref, bias_ref, mask_ref, o_ref, *,
                      H, Dh, scale, n_real):
-    C = H * Dh
-    qkv_b = qkv_ref[...]
-    mask = mask_ref[...]                        # [BB, Np, Np] f32
-    outs = []
-    for h in range(H):
-        q, k, v = _heads(qkv_b, h, C, Dh)
-        s = jax.lax.dot_general(
-            q, k, _B_NT, preferred_element_type=jnp.float32) * scale
-        s = s + bias_ref[h][None] + mask
-        p = _masked_softmax(s, n_real).astype(qkv_b.dtype)
-        outs.append(jax.lax.dot_general(
-            p, v, _B_NN, preferred_element_type=jnp.float32))
-    o_cat = jnp.concatenate(outs, axis=2).astype(qkv_b.dtype)
-    proj = jax.lax.dot_general(
-        o_cat, w_ref[...], (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    o_ref[...] = proj.astype(o_ref.dtype)
+    _fwd_kernel(qkv_ref, w_ref, o_ref, H=H, Dh=Dh, scale=scale,
+                n_real=n_real, seg=0, bias_ref=bias_ref, mask_ref=mask_ref)
 
 
 def _bwd_kernel_bias(qkv_ref, w_ref, bias_ref, mask_ref, g_ref, gt_ref,
                      dqkv_ref, dwt_ref, *, H, Dh, scale, n_real):
-    C = H * Dh
-    qkv_b = qkv_ref[...]
-    mask = mask_ref[...]
-    g = g_ref[...]
-    g_t = gt_ref[...]
-    dO_cat = jax.lax.dot_general(
-        g, w_ref[...], (((2,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(qkv_b.dtype)
-
-    dqs, dks, dvs, os_ = [], [], [], []
-    for h in range(H):
-        q, k, v = _heads(qkv_b, h, C, Dh)
-        dO = dO_cat[:, :, h * Dh:(h + 1) * Dh]
-        s = jax.lax.dot_general(
-            q, k, _B_NT, preferred_element_type=jnp.float32) * scale
-        s = s + bias_ref[h][None] + mask
-        p = _masked_softmax(s, n_real)
-        pb = p.astype(qkv_b.dtype)
-        o = jax.lax.dot_general(pb, v, _B_NN,
-                                preferred_element_type=jnp.float32)
-        os_.append(o.astype(qkv_b.dtype))
-        dv = jax.lax.dot_general(pb, dO, _B_TN,
-                                 preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(dO, v, _B_NT,
-                                 preferred_element_type=jnp.float32)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        ds = (ds * scale).astype(qkv_b.dtype)
-        dqs.append(jax.lax.dot_general(
-            ds, k, _B_NN, preferred_element_type=jnp.float32))
-        dks.append(jax.lax.dot_general(
-            ds, q, _B_TN, preferred_element_type=jnp.float32))
-        dvs.append(dv)
-    dqkv = jnp.concatenate(
-        [a.astype(dqkv_ref.dtype) for a in dqs + dks + dvs], axis=2)
-    dqkv_ref[...] = dqkv
-
-    o_cat = jnp.concatenate(os_, axis=2)
-    o2 = o_cat.reshape(-1, C)
-    g2 = g_t.reshape(-1, g_t.shape[-1])
-    dwt = jax.lax.dot_general(
-        o2, g2, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        dwt_ref[...] = dwt
-
-    @pl.when(pl.program_id(0) != 0)
-    def _():
-        dwt_ref[...] += dwt
+    _bwd_kernel(qkv_ref, w_ref, g_ref, gt_ref, dqkv_ref, dwt_ref,
+                H=H, Dh=Dh, scale=scale, n_real=n_real, seg=0,
+                bias_ref=bias_ref, mask_ref=mask_ref)
 
 
 def _pick_bb(b: int, requested: int) -> int:
@@ -440,6 +391,36 @@ def fused_available() -> bool:
     return INTERPRET or _on_tpu()
 
 
+def fused_dtype_ok(dtype) -> bool:
+    """Every VMEM byte model and hardware compile ladder in this file (and
+    the Swin/long variants) was calibrated with bf16 activations — every
+    r3-r5 study ran bf16.  f32 doubles the real working set past the
+    bisected Mosaic abort points (the Swin stage-3 bwd aborts at 26.16M >
+    16M scoped VMEM at what the bf16 model scores ~13M), so an f32 request
+    falls back to XLA instead of risking a mid-run compile abort.
+    Interpret mode (tests) has no VMEM; APLA_FUSED_ALLOW_F32=1 lets
+    compile-ladder experiments override."""
+    import os
+    if INTERPRET or os.environ.get("APLA_FUSED_ALLOW_F32") == "1":
+        return True
+    return jnp.dtype(dtype) == jnp.bfloat16
+
+
+_WARNED_FALLBACKS: set[str] = set()
+
+
+def warn_fused_fallback(reason: str) -> None:
+    """One-line, once-per-reason notice when a `use_fused` request falls
+    back to XLA (admission/dtype/VMEM decline).  Silent fallback cost a
+    round-5 review finding: a user benchmarking `--use_fused` must not
+    unknowingly measure the XLA path."""
+    if reason not in _WARNED_FALLBACKS:
+        _WARNED_FALLBACKS.add(reason)
+        import sys
+        print(f"[apla-fused] falling back to XLA attention: {reason}",
+              file=sys.stderr)
+
+
 def fused_fits(n: int, c: int, k: int = 128) -> bool:
     """Whether the fused kernel's BACKWARD fits VMEM at BB=1 for this
     geometry (its footprint is several times pallas_mha's per-head blocks —
@@ -592,16 +573,6 @@ fused_apla_attention.defvjp(_fused_fwd, _fused_bwd)
 # across the batch grid.
 # --------------------------------------------------------------------------- #
 
-def _gcd(a: int, b: int) -> int:
-    while b:
-        a, b = b, a % b
-    return a
-
-
-def _lcm(a: int, b: int) -> int:
-    return a * b // _gcd(a, b)
-
-
 def _swin_fwd_bytes(bb: int, np_: int, c: int, h: int) -> int:
     return _fwd_bytes(bb, np_, c) + bb * np_ * np_ * 4 + h * np_ * np_ * 4
 
@@ -665,7 +636,7 @@ def _tile_mask(mask_p, bb):
     """[M0, Np, Np] -> [lcm(M0, bb), Np, Np] so every bb-deep grid block
     slices one full period of the per-window pattern."""
     m0 = mask_p.shape[0]
-    m = _lcm(m0, bb)
+    m = math.lcm(m0, bb)
     if m != m0:
         mask_p = jnp.tile(mask_p, (m // m0, 1, 1))
     return mask_p, m

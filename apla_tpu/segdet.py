@@ -14,6 +14,7 @@ with checkpointing, so a reference user has a complete in-repo path.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 import time
@@ -160,9 +161,21 @@ def train_segmentation(root, epochs=8, img_size=512, batch_size=8, lr=1e-4,
                              segmenter_forward, segmenter_slide_forward)
     from .models.vit import VIT_BUILDERS
 
-    cfg = vit_cfg if vit_cfg is not None else \
-        VIT_BUILDERS[backbone](img_size=img_size, patch_size=patch_size,
-                               use_fused_apla=use_fused)
+    if vit_cfg is not None:
+        # an explicit cfg must still honor --use_fused (a silent drop here
+        # cost a round-5 review finding)
+        cfg = (dataclasses.replace(vit_cfg, use_fused_apla=True)
+               if use_fused and not vit_cfg.use_fused_apla else vit_cfg)
+    else:
+        cfg = VIT_BUILDERS[backbone](img_size=img_size,
+                                     patch_size=patch_size,
+                                     use_fused_apla=use_fused)
+    if use_fused:
+        # ViT-L@512 'full' APLA needs the ViT-giant-style VMEM budget for
+        # the long kernel's full-k dW_t (~14.9 MB modeled > the 12 MiB
+        # default) — without this the flag was a silent XLA no-op unless
+        # the user separately exported APLA_FUSED_VMEM_MB=15
+        os.environ.setdefault("APLA_FUSED_VMEM_MB", "15")
     train_ds = ADE20KSegmentation(root, "training", img_size=img_size)
     # eval_img_size > img_size: sliding-window eval (the reference seg
     # recipe's test_cfg mode='slide' — train at the crop, eval larger)
@@ -594,8 +607,9 @@ def main(argv=None):
     ps.add_argument("--use_fused", action="store_true",
                     help="route backbone attention through the fused APLA "
                          "kernels (ViT-L@512 lands on the long q-strip "
-                         "kernel; set APLA_FUSED_VMEM_MB=15 — full-k dW_t "
-                         "needs the ViT-giant-style budget override)")
+                         "kernel; sets APLA_FUSED_VMEM_MB=15 for the "
+                         "full-k dW_t unless already set; measured "
+                         "step-neutral at ViT-L@512 — r5_seg_fused.jsonl)")
     ps.add_argument("--head_lr_mult", type=float, default=1.0,
                     help="decoder-head lr multiplier (reference: 10)")
     pd = sub.add_parser("det")

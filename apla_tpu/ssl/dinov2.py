@@ -374,6 +374,12 @@ def make_dinov2_train_step(vit_cfg, tx, cfg: EDict, n_global: int,
     # dino-global/local sites — true/"all" fuses every site, "ibot" only
     # the winning one (dino sites keep the dense math).
     _fused_mode = cfg.get("fused_proto_ce", False)
+    if _fused_mode not in (False, None, True, "all", "ibot"):
+        # a typo ("iBOT", quoted "true", ...) must not silently drop the
+        # optimization back to dense math
+        raise ValueError(
+            f"fused_proto_ce: {_fused_mode!r} — expected true/'all' "
+            "(fuse every site) or 'ibot' (fuse only the iBOT patch loss)")
     fused_dino = fused_ibot = False
     if _fused_mode:
         from ..ops.pallas_proto_ce import proto_ce, proto_ce_available

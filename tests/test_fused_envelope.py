@@ -161,10 +161,12 @@ def test_admission_small_pad_requires_fold(monkeypatch):
     assert fused_admitted(2, 128, C_VITB)
 
 
-def test_tpu_client_lock_no_overwrite(tmp_path, monkeypatch):
-    """ADVICE r4 #3: a second overlapping tpu_client() must not overwrite a
-    live holder's record — its exit would unlink the file and hide the
-    still-running first client from tpu_client_busy() pollers."""
+def test_tpu_client_lock_overlapping_holders(tmp_path, monkeypatch):
+    """ADVICE r4 #3 + its r5 mirror: overlapping clients are BOTH recorded
+    — neither exit path may leave a still-running client invisible to
+    tpu_client_busy() pollers (the old single-record file either got
+    overwritten, hiding the first client, or left the second client
+    unregistered, hiding it once the first exited)."""
     import json
     import os
 
@@ -172,23 +174,25 @@ def test_tpu_client_lock_no_overwrite(tmp_path, monkeypatch):
 
     path = str(tmp_path / "lock.json")
     monkeypatch.setattr(lock, "LOCK_PATH", path)
-    # a live "other" holder: pid 1 is always alive
+    # a live "other" holder in the LEGACY single-record format: pid 1 is
+    # always alive
     with open(path, "w") as f:
         json.dump({"pid": 1, "name": "first-job", "ts": 0}, f)
     with lock.tpu_client("second-job"):
         with open(path) as f:
-            assert json.load(f)["name"] == "first-job"
-    # after the unregistered client exits, the first holder is still seen
+            holders = json.load(f)["holders"]
+        assert {h["name"] for h in holders} == {"first-job", "second-job"}
+        assert lock.tpu_client_busy() is not None
+    # after the second client exits, the first holder is still seen
     assert os.path.exists(path)
     assert lock.tpu_client_busy() == "first-job"
-    with open(path) as f:
-        assert json.load(f)["pid"] == 1
-    # a STALE holder (dead pid) is overwritten normally
+    # a STALE holder (dead pid) is pruned; sole live holder unlinks on exit
     with open(path, "w") as f:
         json.dump({"pid": 2 ** 22 + 12345, "name": "dead-job", "ts": 0}, f)
     with lock.tpu_client("third-job"):
         with open(path) as f:
-            assert json.load(f)["pid"] == os.getpid()
+            holders = json.load(f)["holders"]
+        assert [h["pid"] for h in holders] == [os.getpid()]
     assert not os.path.exists(path)
 
 
@@ -225,3 +229,71 @@ def test_dino_head_matmul_bf16_numerics():
     for k in ("last_v", "last_g"):
         d = max(float(jnp.abs(gr[k]).max()), 1e-3)
         assert float(jnp.abs(g[k] - gr[k]).max()) / d < 5e-2, k
+
+
+def test_fused_dtype_gate(monkeypatch):
+    """The kernel VMEM ladders are bf16-calibrated; an f32 request must
+    fall back to XLA (r5 review: `det --use_fused` without --bf16 would
+    otherwise compile-abort past the bisected Mosaic limit) — except in
+    interpret mode (tests) or under the explicit experiment override."""
+    import jax.numpy as jnp
+
+    from apla_tpu.ops import pallas_apla_attn as pa
+
+    monkeypatch.setattr(pa, "INTERPRET", False)
+    assert pa.fused_dtype_ok(jnp.bfloat16)
+    assert not pa.fused_dtype_ok(jnp.float32)
+    monkeypatch.setenv("APLA_FUSED_ALLOW_F32", "1")
+    assert pa.fused_dtype_ok(jnp.float32)
+    monkeypatch.delenv("APLA_FUSED_ALLOW_F32")
+    monkeypatch.setattr(pa, "INTERPRET", True)
+    assert pa.fused_dtype_ok(jnp.float32)
+
+
+def test_fused_fallback_warns_once(capsys):
+    """A declined use_fused request prints ONE stderr notice per reason
+    (silent fallback = user benchmarks the wrong path)."""
+    from apla_tpu.ops import pallas_apla_attn as pa
+
+    pa._WARNED_FALLBACKS.discard("unit-test-reason")
+    pa.warn_fused_fallback("unit-test-reason")
+    pa.warn_fused_fallback("unit-test-reason")
+    err = capsys.readouterr().err
+    assert err.count("unit-test-reason") == 1
+    assert "falling back to XLA" in err
+
+
+def test_f32_apla_attention_falls_back_to_xla(monkeypatch):
+    """End to end through apla_attention: an f32 trace with use_fused=True
+    must produce the XLA path's numbers (kernel declined), not die or
+    diverge."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from apla_tpu.ops import pallas_apla_attn as pa
+    from apla_tpu.ops.attention import apla_attention
+
+    # force the "TPU available" branch so only the dtype gate can decline
+    monkeypatch.setattr(pa, "INTERPRET", False)
+    import apla_tpu.ops.flash_attention as fa
+    monkeypatch.setattr(fa, "_on_tpu", lambda: True)
+
+    rng = np.random.default_rng(0)
+    B, N, C, H, k = 4, 64, 64, 4, 16
+    x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    frozen = {
+        "qkv": {"kernel": jnp.asarray(
+            rng.standard_normal((C, 3 * C)) * 0.05, jnp.float32)},
+        "proj": {"kernel": jnp.asarray(
+            rng.standard_normal((C, C)) * 0.05, jnp.float32),
+            "bias": jnp.zeros((C,), jnp.float32)},
+        "inds": jnp.arange(k, dtype=jnp.int32),
+    }
+    trainable = {"proj_wt": jnp.asarray(
+        rng.standard_normal((C, k)) * 0.05, jnp.float32),
+        "proj_bt": jnp.zeros((k,), jnp.float32)}
+    fused = apla_attention(x, frozen, trainable, H, use_fused=True)
+    ref = apla_attention(x, frozen, trainable, H, use_fused=False)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
