@@ -173,3 +173,28 @@ def test_full_dinov2_step_parity_fused_vs_xla(accum, mode):
     assert max(deltas) < 2e-3
     assert float(jnp.abs(st1.dino_center - st2.dino_center).max()) < 1e-6
     assert float(jnp.abs(st1.ibot_center - st2.ibot_center).max()) < 1e-6
+
+
+def test_fused_mode_typo_rejected():
+    """A config typo ('iBOT', quoted 'true', 'dino', ...) must raise, not
+    silently run the dense math (the shipped 179.2 img/s record depends on
+    the exact string 'ibot')."""
+    from apla_tpu.ssl.dinov2 import make_dinov2_train_step
+    from apla_tpu.utils.config import EDict
+
+    def cfg_with(mode):
+        return EDict({
+            "dino": {"loss_weight": 1.0, "koleo_loss_weight": 0.1},
+            "ibot": {"loss_weight": 1.0},
+            "fused_proto_ce": mode,
+        })
+
+    for bad in ("iBOT", "true", "dino"):
+        with pytest.raises(ValueError, match="fused_proto_ce"):
+            make_dinov2_train_step(None, None, cfg_with(bad),
+                                   n_global=2, n_local=8,
+                                   freeze_last_layer=False)
+    # YAML `fused_proto_ce: 1` is a truthy alias for true (1 == True) and
+    # must keep working
+    make_dinov2_train_step(None, None, cfg_with(1), n_global=2, n_local=8,
+                           freeze_last_layer=False)
